@@ -1,0 +1,55 @@
+package graft
+
+import graft.model.{ExtractedPage, Page, Span}
+import graft.html.{BlockBuilder, Charset}
+import graft.score.Classifier
+import graft.assemble.Assembler
+import graft.pdf.PdfParser
+
+/** Per-row extraction: the whole reference pipeline trace
+  * (/root/reference/src/oarocr/structure.rs:2271-2468) as ONE pure function
+  * of the page row — preprocess (charset) → detect (tokenize/blocks) →
+  * score → recognize (text materialization) → stitch (render + spans).
+  * Called from a single mapPartitions; nothing materializes between stages
+  * (per-row locality is what makes linear scaling possible).
+  *
+  * Graceful degradation per the reference
+  * (/root/reference/src/oarocr/ocr.rs:510-523): any per-row failure yields an
+  * error row, never a task failure.
+  */
+object Extractor {
+
+  /** Input-size guard, the analogue of the reference's max-side clamp
+    * (/root/reference/src/core/constants.rs:17, 4000px): bytes beyond the cap
+    * are ignored; spans still index the original bytes. */
+  val MaxHtmlBytes: Int = 16 * 1024 * 1024
+
+  def extract(p: Page): ExtractedPage = {
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    try {
+      if (PdfParser.isPdf(raw)) {
+        val (text, spans) = PdfParser.extract(raw)
+        ExtractedPage(p.url, p.warc_ts, p.lang, text, spans,
+          nBlocks = spans.length, nKept = spans.length,
+          htmlBytes = raw.length.toLong, isPdf = true, error = "")
+      } else {
+        val html =
+          if (raw.length > MaxHtmlBytes) java.util.Arrays.copyOf(raw, MaxHtmlBytes)
+          else raw
+        val cs = Charset.sniff(html).charset
+        val raws = BlockBuilder.build(html, cs)
+        val blocks = Classifier.classify(raws)
+        val text = Assembler.render(blocks)
+        val spans = Assembler.spans(raws, blocks)
+        ExtractedPage(p.url, p.warc_ts, p.lang, text, spans,
+          nBlocks = blocks.length, nKept = blocks.count(_.keep),
+          htmlBytes = raw.length.toLong, isPdf = false, error = "")
+      }
+    } catch {
+      case e: Throwable =>
+        ExtractedPage(p.url, p.warc_ts, p.lang, "", Array.empty[Span],
+          nBlocks = 0, nKept = 0, htmlBytes = raw.length.toLong,
+          isPdf = false, error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+  }
+}

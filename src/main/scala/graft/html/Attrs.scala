@@ -1,0 +1,50 @@
+package graft.html
+
+import java.nio.charset.StandardCharsets
+
+/** Minimal attribute scanner over the raw in-tag byte slice the tokenizer
+  * hands out. Only called for tags whose attributes matter (meta, table,
+  * td/th, a, and container class/id checks) — never in the per-byte hot loop.
+  */
+object Attrs {
+
+  /** Parse `name=value` pairs in html[from,until). Names lower-cased;
+    * values unquoted/entity-left-as-is. Valueless attrs map to "".
+    */
+  def parse(html: Array[Byte], from: Int, until: Int): Map[String, String] = {
+    var i = from
+    var out = Map.empty[String, String]
+    @inline def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    while (i < until) {
+      while (i < until && (isSpace(html(i)) || html(i) == '/')) i += 1
+      if (i < until) {
+        val nameStart = i
+        while (i < until && !isSpace(html(i)) && html(i) != '=' && html(i) != '/') i += 1
+        val name = new String(html, nameStart, i - nameStart, StandardCharsets.US_ASCII).toLowerCase
+        while (i < until && isSpace(html(i))) i += 1
+        if (i < until && html(i) == '=') {
+          i += 1
+          while (i < until && isSpace(html(i))) i += 1
+          if (i < until && (html(i) == '"' || html(i) == '\'')) {
+            val q = html(i); i += 1
+            val vs = i
+            while (i < until && html(i) != q) i += 1
+            out += name -> new String(html, vs, i - vs, StandardCharsets.UTF_8)
+            if (i < until) i += 1
+          } else {
+            val vs = i
+            while (i < until && !isSpace(html(i))) i += 1
+            out += name -> new String(html, vs, i - vs, StandardCharsets.UTF_8)
+          }
+        } else if (name.nonEmpty) {
+          out += name -> ""
+        }
+      }
+    }
+    out
+  }
+
+  def intAttr(attrs: Map[String, String], name: String, default: Int): Int =
+    attrs.get(name).flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(default)
+}

@@ -1,0 +1,309 @@
+package graft.html
+
+import java.nio.charset.{Charset => JCharset}
+
+/** DOM-walk block discovery: consumes tokenizer events, emits candidate text
+  * blocks with boilerpipe-scoring inputs. The analogue of the reference's
+  * box-extraction stage (/root/reference/src/processors/db_bitmap.rs:81-142):
+  * flat candidate regions out of the masked detection surface, each carrying
+  * the score inputs and the back-mapped source coordinates (here: byte
+  * offsets into the raw html).
+  */
+object BlockBuilder {
+
+  /** One candidate block, pre-classification. `cellRuns` is non-empty only
+    * for captured data tables: per-cell (beginByte, endByte) for the span
+    * table. */
+  final case class RawBlock(
+      tag: String,
+      kind: String, // title|paragraph|list_item|table
+      level: Int,   // h1..h6 => 1..6, else 0
+      text: String, // collapsed visible text (tables: canonical HTML)
+      beginByte: Long,
+      endByte: Long,
+      chars: Int,        // non-whitespace visible chars
+      anchorChars: Int,  // non-whitespace chars inside <a>
+      dropped: Boolean,  // discovered inside a structurally-dropped subtree
+      cellRuns: Array[(Long, Long)]
+  )
+
+  // subtrees dropped wholesale (mask-then-detect, reference
+  // /root/reference/src/oarocr/structure.rs:1981-1990)
+  private val dropTags = Set("nav", "aside", "header", "footer", "form",
+    "button", "select", "iframe", "object", "menu", "dialog")
+
+  // class/id substrings that mark boilerplate containers (Readability-style
+  // negative indicators)
+  private val dropClassRe = java.util.regex.Pattern.compile(
+    "(?:^|[\\s_-])(?:nav|menu|sidebar|banner|cookie|consent|footer|header|" +
+    "breadcrumb|promo|advert|ads?|social|share|related|comments?|widget|" +
+    "pagination|masthead)(?:$|[\\s_-])")
+
+  private val blockTags = Set("p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
+    "pre", "blockquote", "figcaption", "dt", "dd", "td", "th", "caption")
+
+  private val containerTags = Set("div", "section", "article", "main", "body",
+    "html", "ul", "ol", "dl", "table", "thead", "tbody", "tfoot", "tr",
+    "center", "figure", "details", "summary", "address", "fieldset")
+
+  @inline private def titleLevel(tag: String): Int =
+    if (tag.length == 2 && tag.charAt(0) == 'h' &&
+        tag.charAt(1) >= '1' && tag.charAt(1) <= '6') tag.charAt(1) - '0'
+    else 0
+
+  def build(html: Array[Byte], cs: JCharset): Vector[RawBlock] = {
+    val out = Vector.newBuilder[RawBlock]
+
+    final class Sink extends Tokenizer.Sink {
+      // element stack: (name, startedDrop, startedBlock, startedAnchor)
+      private val stack = new scala.collection.mutable.ArrayBuffer[(String, Boolean, Boolean, Boolean)](64)
+      private var dropDepth = 0
+      private var anchorDepth = 0
+
+      // current block accumulation
+      private val buf = new java.lang.StringBuilder(256)
+      private var blkTag = "body"
+      private var blkKind = "paragraph"
+      private var blkLevel = 0
+      private var blkBegin = -1L
+      private var blkEnd = -1L
+      private var blkChars = 0
+      private var blkAnchor = 0
+      private var blkDropped = false
+
+      /** Readability-style negative class/id indicator on a container tag. */
+      private def hasDropClass(ab: Int, ae: Int): Boolean = {
+        if (ae <= ab) return false
+        val attrs = Attrs.parse(html, ab, ae)
+        val cls = attrs.getOrElse("class", "") + " " + attrs.getOrElse("id", "")
+        cls.length > 1 && dropClassRe.matcher(cls.toLowerCase).find()
+      }
+
+      // table capture state
+      private var tblDepth = 0 // >0: inside a captured data table
+      private var tblNested = 0
+      private var tblRows = Vector.empty[Vector[(Int, Int, Boolean, String)]]
+      private var tblRow = Vector.empty[(Int, Int, Boolean, String)]
+      private var tblCellBuf: java.lang.StringBuilder = null
+      private var tblCellSpan: (Int, Int, Boolean) = null
+      private var tblCellRuns = Vector.empty[(Long, Long)]
+      private var tblCellBegin = -1L
+      private var tblCellEnd = -1L
+      private var tblBegin = -1L
+      private var tblDroppedCtx = false
+
+      private def flushBlock(): Unit = {
+        val text = collapse(buf)
+        if (text.nonEmpty) {
+          out += RawBlock(blkTag, blkKind, blkLevel, text, blkBegin, blkEnd,
+            blkChars, blkAnchor, blkDropped, Array.empty)
+        }
+        buf.setLength(0)
+        blkBegin = -1L; blkEnd = -1L; blkChars = 0; blkAnchor = 0
+      }
+
+      private def startBlock(tag: String): Unit = {
+        flushBlock()
+        blkTag = tag
+        blkLevel = titleLevel(tag)
+        blkKind =
+          if (blkLevel > 0) "title"
+          else if (tag == "li" || tag == "dt" || tag == "dd") "list_item"
+          else "paragraph"
+        blkDropped = dropDepth > 0
+      }
+
+      private def flushTableCell(): Unit = {
+        if (tblCellBuf != null) {
+          tblRow :+= ((tblCellSpan._1, tblCellSpan._2, tblCellSpan._3, collapse(tblCellBuf)))
+          if (tblCellBegin >= 0) tblCellRuns :+= ((tblCellBegin, tblCellEnd))
+          tblCellBuf = null; tblCellSpan = null; tblCellBegin = -1L; tblCellEnd = -1L
+        }
+      }
+
+      private def flushTableRow(): Unit = {
+        flushTableCell()
+        if (tblRow.nonEmpty) { tblRows :+= tblRow; tblRow = Vector.empty }
+      }
+
+      private def finishTable(endByte: Long): Unit = {
+        flushTableRow()
+        if (tblRows.nonEmpty) {
+          val grid = TableGrid.resolve(tblRows)
+          val htmlText = TableGrid.render(grid)
+          val nonWs = htmlText.count(c => !c.isWhitespace)
+          out += RawBlock("table", "table", 0, htmlText, tblBegin, endByte,
+            nonWs, 0, tblDroppedCtx, tblCellRuns.toArray)
+        }
+        tblDepth = 0; tblNested = 0; tblRows = Vector.empty; tblRow = Vector.empty
+        tblCellRuns = Vector.empty; tblBegin = -1L
+      }
+
+      override def startTag(name: String, ab: Int, ae: Int, selfClosing: Boolean): Unit = {
+        if (tblDepth > 0) {
+          name match {
+            case "table" => tblNested += 1
+            case "tr" if tblNested == 0 => flushTableRow()
+            case "td" | "th" if tblNested == 0 =>
+              flushTableCell()
+              val attrs = Attrs.parse(html, ab, ae)
+              tblCellSpan = (Attrs.intAttr(attrs, "rowspan", 1),
+                Attrs.intAttr(attrs, "colspan", 1), name == "th")
+              tblCellBuf = new java.lang.StringBuilder(32)
+            case _ => ()
+          }
+          if (!selfClosing) stack += ((name, false, false, false))
+          return
+        }
+
+        var startedDrop = false
+        var startedBlock = false
+        var startedAnchor = false
+
+        if (dropTags.contains(name)) {
+          flushBlock()
+          dropDepth += 1; startedDrop = true
+        } else if ((containerTags.contains(name) || blockTags.contains(name)) && hasDropClass(ab, ae)) {
+          flushBlock()
+          dropDepth += 1; startedDrop = true
+        }
+
+        if (!startedDrop) {
+          if (name == "table") {
+            val attrs = Attrs.parse(html, ab, ae)
+            val isData = attrs.contains("border") ||
+              attrs.get("role").exists(_.equalsIgnoreCase("table"))
+            if (isData) {
+              flushBlock()
+              tblDepth = 1
+              tblDroppedCtx = dropDepth > 0
+              tblBegin = ab.toLong
+              if (!selfClosing) stack += ((name, false, false, false))
+              return
+            } else {
+              flushBlock() // layout table: plain container
+            }
+          } else if (name == "a") {
+            anchorDepth += 1; startedAnchor = true
+          } else if (blockTags.contains(name)) {
+            startBlock(name); startedBlock = true
+          } else if (containerTags.contains(name)) {
+            flushBlock()
+            blkTag = name; blkKind = "paragraph"; blkLevel = 0
+            blkDropped = dropDepth > 0
+          } else if (name == "br" || name == "hr") {
+            if (buf.length() > 0) buf.append(' ')
+            if (name == "hr") flushBlock()
+          }
+          // other inline tags: text flows through
+        }
+        if (!selfClosing) stack += ((name, startedDrop, startedBlock, startedAnchor))
+      }
+
+      override def endTag(name: String): Unit = {
+        // pop to nearest matching open element; ignore stray end tags
+        var i = stack.length - 1
+        while (i >= 0 && stack(i)._1 != name) i -= 1
+        if (i < 0) return
+        // unwind everything above (implicitly closed malformed elements)
+        var j = stack.length - 1
+        while (j >= i) {
+          val (nm, sd, sb, sa) = stack(j)
+          if (sd) dropDepth -= 1
+          if (sa) anchorDepth = math.max(0, anchorDepth - 1)
+          if (tblDepth > 0) {
+            nm match {
+              case "table" =>
+                // finish the capture whenever the captured table's element is
+                // popped — even implicitly by a stray end tag below it
+                if (tblNested > 0) tblNested -= 1
+                else finishTable(endOfCurrentTag())
+              case "tr" if tblNested == 0 => flushTableRow()
+              case "td" | "th" if tblNested == 0 => flushTableCell()
+              case _ => ()
+            }
+          } else if (sb) {
+            flushBlock()
+            blkTag = "body"; blkKind = "paragraph"; blkLevel = 0
+            blkDropped = dropDepth > 0
+          } else if (containerTags.contains(nm)) {
+            flushBlock()
+            blkDropped = dropDepth > 0
+          }
+          stack.remove(j)
+          j -= 1
+        }
+      }
+
+      // byte offset just past the current end tag — approximated by the last
+      // text end; precise table end byte is refined by the caller if needed
+      private var lastTextEnd = 0L
+      private def endOfCurrentTag(): Long = lastTextEnd
+
+      override def text(begin: Int, end: Int): Unit = {
+        lastTextEnd = end.toLong
+        if (tblDepth > 0) {
+          if (tblCellBuf != null && tblNested == 0) {
+            val decoded = Entities.decode(Charset.decode(html, begin, end, cs))
+            tblCellBuf.append(decoded)
+            if (decoded.exists(c => !c.isWhitespace)) {
+              if (tblCellBegin < 0) tblCellBegin = begin.toLong
+              tblCellEnd = end.toLong
+            }
+          }
+          return
+        }
+        val decoded = Entities.decode(Charset.decode(html, begin, end, cs))
+        var nonWs = 0
+        var k = 0
+        while (k < decoded.length) {
+          if (!isWs(decoded.charAt(k))) nonWs += 1
+          k += 1
+        }
+        // no synthetic inter-run space: HTML whitespace semantics — inline
+        // tags (<b>wo</b>rd) must not split words; source whitespace decides
+        buf.append(decoded)
+        if (nonWs > 0) {
+          if (blkBegin < 0) blkBegin = begin.toLong
+          blkEnd = end.toLong
+          blkChars += nonWs
+          if (anchorDepth > 0) blkAnchor += nonWs
+        }
+      }
+
+      def finish(): Unit = {
+        if (tblDepth > 0) finishTable(lastTextEnd)
+        flushBlock()
+      }
+    }
+
+    val sink = new Sink
+    Tokenizer.tokenize(html, sink)
+    sink.finish()
+    out.result()
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u00a0' || Character.isWhitespace(c)
+
+  /** Collapse whitespace runs to single spaces and trim — the analogue of the
+    * reference's CTC collapse (consecutive dups folded, blanks dropped,
+    * /root/reference/src/processors/decode.rs:554-640).
+    */
+  def collapse(sb: java.lang.CharSequence): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (isWs(c)) { if (out.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+}

@@ -1,0 +1,71 @@
+package graft.score
+
+import graft.html.BlockBuilder.RawBlock
+import graft.model.Block
+
+/** Block-level boilerplate classifier — the correctness-critical scoring
+  * kernel, analogue of the reference's box scoring + thresholding
+  * (/root/reference/src/processors/db_score.rs:35-145 with
+  *  box_thresh/unclip gates /root/reference/src/processors/db_postprocess.rs:67-88).
+  *
+  * Boilerpipe/Readability-style: text density + link density + structural
+  * drop signals (computed upstream by the DOM walk). Thresholds are the
+  * "config profile" — fixed constants here, switchable per page class later
+  * (the reference's seal-vs-text profile switch,
+  * /root/reference/src/oarocr/ocr.rs:264-301).
+  */
+object Classifier {
+
+  /** link-density gate: blocks whose visible chars are mostly anchor text are
+    * navigation, not content (boilerpipe's canonical rule) */
+  val MaxLinkDensity = 0.33
+  /** minimum words for a paragraph to count as content */
+  val MinContentWords = 3
+  /** line width used for the text-density line-equivalent */
+  val LineWidth = 80.0
+
+  def classify(raw: Vector[RawBlock]): Vector[Block] =
+    raw.zipWithIndex.map { case (b, i) =>
+      val linkDensity =
+        if (b.chars == 0) 0.0 else b.anchorChars.toDouble / b.chars
+      val lines = math.max(1.0, math.ceil(b.chars / LineWidth))
+      val textDensity = b.chars / lines
+      val words = countWords(b.text)
+      val keep =
+        if (b.dropped) false
+        else if (b.chars == 0) false
+        else b.kind match {
+          case "table" => true // data tables kept verbatim (canonical HTML)
+          case "title" => b.chars >= 2 && linkDensity < 0.5
+          case _       => linkDensity <= MaxLinkDensity && words >= MinContentWords
+        }
+      Block(
+        idx = i, tag = b.tag, path = b.tag, kind = b.kind, level = b.level,
+        chars = b.chars, anchorChars = b.anchorChars,
+        textDensity = textDensity, linkDensity = linkDensity,
+        keep = keep, text = b.text)
+    }
+
+  /** Word count: whitespace-delimited runs; each CJK codepoint counts as one
+    * word (the reference's CJK-aware segmentation,
+    * /root/reference/src/oarocr/ocr.rs:988-995). */
+  def countWords(s: String): Int = {
+    var n = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isCjk(c)) { n += 1; inWord = false }
+      else if (Character.isWhitespace(c)) inWord = false
+      else if (!inWord) { n += 1; inWord = true }
+      i += 1
+    }
+    n
+  }
+
+  /** CJK ranges per the reference (/root/reference/src/oarocr/ocr.rs:988-995). */
+  @inline def isCjk(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF) ||
+    (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x3040 && c <= 0x30FF) ||
+    (c >= 0xAC00 && c <= 0xD7AF)
+}

@@ -1,0 +1,129 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{ExtractedPage, Page}
+import graft.Extractor
+
+/** The Spark-native extraction pipeline: one narrow mapPartitions over the
+  * typed Dataset[Page] carrying the whole per-row stage chain (SURVEY.md
+  * §3.2) — nothing materializes between stages, no joins, and the single
+  * shuffle (optional) is the explicit skew-salting repartition.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *   - `html` is projected away immediately after extraction; only the
+  *     extracted columns ever cross a shuffle boundary;
+  *   - giant pages / hot domains are spread by repartitioning on
+  *     xxhash64(url) + a size-class salt so one straggler partition cannot
+  *     hold several multi-MB pages (the reference's dynamic batching /
+  *     oversize clamping analogue,
+  *     /root/reference/src/core/batch/dynamic/processor.rs:432-511);
+  *   - per-row failures degrade to error rows
+  *     (/root/reference/src/oarocr/ocr.rs:510-523), counted via accumulators.
+  */
+object ExtractJob {
+
+  /** Number of url buckets used for output partitioning + resume lineage. */
+  val UrlBuckets = 64
+
+  def run(pages: Dataset[Page], salt: Int = 0): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val input =
+      if (salt > 0) {
+        // explicit skew spread: hash(url) xor a per-row salt derived from the
+        // html size class, so hot domains and giant pages scatter
+        pages
+          .withColumn("__salt",
+            pmod(xxhash64(col("url"), length(col("html"))), lit(salt.toLong)))
+          .repartition(salt, col("__salt"))
+          .drop("__salt")
+          .as[Page]
+      } else pages
+    val okRows = spark.sparkContext.longAccumulator("graft.pages.ok")
+    val errRows = spark.sparkContext.longAccumulator("graft.pages.err")
+    val bytesIn = spark.sparkContext.longAccumulator("graft.bytes.in")
+    input.mapPartitions { iter =>
+      iter.map { p =>
+        val r = Extractor.extract(p)
+        if (r.error.isEmpty) okRows.add(1) else errRows.add(1)
+        bytesIn.add(r.htmlBytes)
+        r
+      }
+    }
+  }
+
+  /** Output projection for writing: drops nothing we need, keeps columns
+    * primitive; partition layout per the north rule (crawl date + url
+    * bucket). */
+  def toOutput(extracted: Dataset[ExtractedPage]) = {
+    extracted
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(UrlBuckets)).cast("int"))
+  }
+}
+
+/** Smoke main: fixture corpus through the full Spark pipeline on local[*];
+  * prints extraction stats. `runMain graft.spark.ExtractDemo [nRows]`. */
+object ExtractDemo {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.flatMap(_.toIntOption).getOrElse(1000)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-extract-demo")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // distributed deterministic generation: rowIds parallelized, pages built
+    // inside executors (no driver-side corpus materialization)
+    val ts = new java.sql.Timestamp(0L)
+    val pages: Dataset[Page] =
+      if (args.contains("--probe")) {
+        // adversarial rows: empty, null html, garbage bytes, truncated PDF,
+        // html-less text, deep nesting, only boilerplate
+        val probes = Seq(
+          Page("probe://empty", ts, Array.emptyByteArray, "", "en"),
+          Page("probe://null", ts, null, "", "en"),
+          Page("probe://garbage", ts, Array.tabulate(4096)(i => (i * 31 % 251).toByte), "", "en"),
+          Page("probe://pdf-truncated", ts, "%PDF-GRAFT 1\nP 600".getBytes, "", "en"),
+          Page("probe://pdf-empty", ts, "%PDF".getBytes, "", "en"),
+          Page("probe://boilerplate-only", ts,
+            "<nav><a href='/'>x</a></nav><footer>y</footer>".getBytes, "", "en"),
+          Page("probe://deep-nesting", ts,
+            ("<div>" * 5000 + "<p>deep nested content words here</p>" + "</div>" * 5000).getBytes, "", "en"),
+          Page("probe://tag-soup", ts,
+            "<p><table border=1><tr><td>a</p></div><td>b<tr></table></b><p>tail words appear here fine</p>".getBytes, "", "en"),
+          Page("probe://huge-tag", ts, ("<p " + "x" * 100000 + ">words in a giant tag here</p>").getBytes, "", "en")
+        )
+        spark.createDataset(probes)
+      } else spark.range(n).as[Long]
+        .mapPartitions(_.map(i => graft.fixtures.FixtureGen.fixture(i).page))
+
+    val t0 = System.nanoTime()
+    val out = ExtractJob.run(pages, salt = 16)
+    val agg = out.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("error") =!= "", 1).otherwise(0)).as("errors"),
+      sum("htmlBytes").as("html_bytes"),
+      sum(length(col("text"))).as("text_chars"),
+      sum(size(col("spans"))).as("spans"),
+      sum(when(col("isPdf"), 1).otherwise(0)).as("pdf_pages"),
+      sum("nKept").as("kept_blocks"),
+      sum("nBlocks").as("all_blocks")
+    ).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(s"rows=${agg.getLong(0)} errors=${agg.getLong(1)} htmlMB=${agg.getLong(2) / 1e6}%.1f " +
+      s"textChars=${agg.getLong(3)} spans=${agg.getLong(4)} pdf=${agg.getLong(5)} " +
+      s"kept=${agg.getLong(6)}/${agg.getLong(7)} secs=$secs pages_per_sec=${n / secs}")
+    // sample rows through the full encoder round-trip
+    val k = if (args.contains("--probe")) 20 else 1
+    for (sample <- out.orderBy(col("url")).limit(k).collect())
+      println(s"sample url=${sample.url} err='${sample.error}' nKept=${sample.nKept} " +
+        s"textHead=${sample.text.take(100).replace("\n", "\\n")}")
+    spark.stop()
+  }
+}

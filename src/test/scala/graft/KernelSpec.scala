@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html._
+import graft.assemble.{TitleLevel, JoinRules}
+import graft.geom.{Box, XYCut}
+import graft.score.Classifier
+import java.nio.charset.StandardCharsets
+
+/** Hand-computed kernel tests, ported from the reference's inline unit tests
+  * (SURVEY.md §5) plus our own extraction-domain vectors. */
+class KernelSpec extends AnyFunSuite {
+
+  private def blocksOf(html: String) =
+    BlockBuilder.build(html.getBytes(StandardCharsets.UTF_8), StandardCharsets.UTF_8)
+
+  test("entities: named, numeric, unknown pass-through") {
+    assert(Entities.decode("a &amp; b") == "a & b")
+    assert(Entities.decode("&#65;&#x42;") == "AB")
+    assert(Entities.decode("&#x4E2D;") == "中")
+    assert(Entities.decode("&bogus; &amp") == "&bogus; &amp")
+    assert(Entities.decode("no entities") == "no entities")
+    assert(Entities.decode("&quot;q&quot;") == "\"q\"")
+  }
+
+  test("tokenizer: masks script/style/template content") {
+    val bs = blocksOf(
+      "<body><script>var x = '<p>hi</p>';</script><style>p>a{}</style><p>real content words here now</p></body>")
+    assert(bs.map(_.text) == Vector("real content words here now"))
+  }
+
+  test("tokenizer: comments, doctype, PI skipped; literal < kept") {
+    val bs = blocksOf("<!DOCTYPE html><!-- c --><p>a &lt; b and 1 < 2 ok</p>")
+    assert(bs.map(_.text) == Vector("a < b and 1 < 2 ok"))
+  }
+
+  test("blocks: inline tags do not split words; source whitespace decides") {
+    val bs = blocksOf("<p>wo<b>rd</b> and <em>more</em> text</p>")
+    assert(bs.head.text == "word and more text")
+  }
+
+  test("blocks: drop nav/aside/footer subtrees and negative classes") {
+    val html =
+      "<nav><ul><li><a href='/'>home link</a></li></ul></nav>" +
+        "<div class='cookie-banner'>We use cookies <a href='/a'>accept</a></div>" +
+        "<p>this paragraph is the real article content</p>" +
+        "<footer><p>copyright words</p></footer>"
+    val bs = blocksOf(html)
+    val kept = Classifier.classify(bs).filter(_.keep)
+    assert(kept.map(_.text) == Vector("this paragraph is the real article content"))
+  }
+
+  test("classifier: link-density gate drops link lists outside nav") {
+    val html = "<ul>" + (1 to 6).map(i => s"<li><a href='/$i'>link words here</a></li>").mkString + "</ul>" +
+      "<p>content paragraph with enough plain words</p>"
+    val kept = Classifier.classify(blocksOf(html)).filter(_.keep)
+    assert(kept.map(_.text) == Vector("content paragraph with enough plain words"))
+  }
+
+  test("title levels: arabic depth, chinese, roman, tag fallback") {
+    assert(TitleLevel.resolve("1. Introduction words", 2) == 1)
+    assert(TitleLevel.resolve("1.2 Some Section", 1) == 2)
+    assert(TitleLevel.resolve("1.2.3 Deep Section", 1) == 3)
+    assert(TitleLevel.resolve("一、概述", 1) == 1)
+    assert(TitleLevel.resolve("IV. Results here", 3) == 1)
+    assert(TitleLevel.resolve("Plain Title", 2) == 2)
+    assert(TitleLevel.resolve("Plain Title", 0) == 2)
+  }
+
+  test("join rule: space only after ASCII alpha (reference stitching.rs:731-733)") {
+    assert(JoinRules.joinLine(Seq("A", "B")) == "A B")
+    assert(JoinRules.joinLine(Seq("end.", "next")) == "end.next")
+    assert(JoinRules.joinLine(Seq("中文", "词")) == "中文词")
+    assert(JoinRules.joinLine(Seq("num1", "x")) == "num1x")
+  }
+
+  test("table grid: rowspan/colspan occupancy (reference table_structure_decode.rs:210-291)") {
+    // | A(2x1) | B | C |
+    // |        | D(1x2)  |
+    val grid = TableGrid.resolve(Vector(
+      Vector((2, 1, true, "A"), (1, 1, false, "B"), (1, 1, false, "C")),
+      Vector((1, 2, false, "D"))))
+    val cells = grid.cells.map(c => (c.row, c.col, c.rowSpan, c.colSpan, c.text))
+    assert(cells == Vector((0, 0, 2, 1, "A"), (0, 1, 1, 1, "B"), (0, 2, 1, 1, "C"), (1, 1, 1, 2, "D")))
+    assert(grid.nRows == 2 && grid.nCols == 3)
+    val html = TableGrid.render(grid)
+    assert(html.contains("<th rowspan=\"2\">A</th>"))
+    assert(html.contains("<td colspan=\"2\">D</td>"))
+  }
+
+  test("data table captured; layout table text extracted as paragraphs") {
+    val html = "<table border='1'><tr><th>H1</th><th>H2</th></tr><tr><td>a b c</td><td>d e f</td></tr></table>" +
+      "<table><tr><td>layout cell with plain words inside</td></tr></table>"
+    val bs = blocksOf(html)
+    assert(bs.count(_.kind == "table") == 1)
+    assert(bs.exists(b => b.kind == "paragraph" && b.text == "layout cell with plain words inside"))
+    val tbl = bs.find(_.kind == "table").get
+    assert(tbl.text == "<table><tr><th>H1</th><th>H2</th></tr><tr><td>a b c</td><td>d e f</td></tr></table>")
+    assert(tbl.cellRuns.length == 4)
+  }
+
+  test("charset: meta sniff + cp1252 decode") {
+    val s = "<html><head><meta charset=\"windows-1252\"></head><body><p>café große words here</p></body></html>"
+    val bytes = s.getBytes("windows-1252")
+    val dec = Charset.sniff(bytes)
+    assert(dec.charset.name() == "windows-1252" && dec.declared)
+    val bs = BlockBuilder.build(bytes, dec.charset)
+    assert(bs.map(_.text) == Vector("café große words here"))
+  }
+
+  test("xycut: two columns read column-major, lines top-down") {
+    // col1: (0..80), col2: (200..280); two lines each
+    val boxes = Array(
+      Box(200, 40, 280, 52), // c2 l1
+      Box(0, 40, 80, 52),    // c1 l1
+      Box(0, 62, 80, 74),    // c1 l2
+      Box(200, 62, 280, 74)) // c2 l2
+    assert(XYCut.readingOrder(boxes).toSeq == Seq(1, 2, 0, 3))
+  }
+
+  test("xycut: same line ordered left-to-right regardless of input order") {
+    val boxes = Array(Box(50, 10, 80, 22), Box(0, 11, 40, 23), Box(90, 9, 120, 21))
+    assert(XYCut.readingOrder(boxes).toSeq == Seq(1, 0, 2))
+  }
+
+  test("malformed html: unclosed tags and stray end tags survive") {
+    val bs = blocksOf("<p><b>unclosed bold content words</p><p>second paragraph words here</span></p>")
+    assert(bs.map(_.text) == Vector("unclosed bold content words", "second paragraph words here"))
+  }
+
+  test("classifier: cjk word counting") {
+    assert(Classifier.countWords("中文词") == 3)
+    assert(Classifier.countWords("two words") == 2)
+    assert(Classifier.countWords("mix 中文 ok") == 4)
+  }
+}
