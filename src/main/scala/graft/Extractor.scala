@@ -52,4 +52,31 @@ object Extractor {
           isPdf = false, error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
     }
   }
+
+  /** Debug surface: classified blocks of a non-PDF page (empty for PDFs /
+    * failures). Used by the driver-facing x03/x06 inventory queries. */
+  def debugBlocks(p: Page): Vector[graft.model.Block] = {
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    try {
+      if (PdfParser.isPdf(raw)) Vector.empty
+      else {
+        val cs = Charset.sniff(raw).charset
+        Classifier.classify(BlockBuilder.build(raw, cs))
+      }
+    } catch { case _: Throwable => Vector.empty }
+  }
+
+  /** Debug surface: captured data tables as (blockIdx, nCells, canonicalHtml). */
+  def debugTables(p: Page): Vector[(Int, Int, String)] = {
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    try {
+      if (PdfParser.isPdf(raw)) Vector.empty
+      else {
+        val cs = Charset.sniff(raw).charset
+        BlockBuilder.build(raw, cs).zipWithIndex.collect {
+          case (b, i) if b.kind == "table" => (i, b.cellRuns.length, b.text)
+        }
+      }
+    } catch { case _: Throwable => Vector.empty }
+  }
 }

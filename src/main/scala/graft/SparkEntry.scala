@@ -1,13 +1,251 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Page
+import graft.spark.ExtractJob
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the training-data ops), with DuckDB oracle SQL wherever
+  * the semantics are ANSI-SQL-expressible. Extraction queries run over the
+  * deterministic fixture corpus (FIXTURES.md; no SQL oracle possible — the
+  * golden byte-identity gate lives in `sbt test`), sized 4× the documents
+  * table so they scale with sf.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def li(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  private def ord(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** Deterministic fixture pages, 4x the documents row count of the sf. */
+  private def fixturePages(spark: SparkSession, dir: String): Dataset[Page] = {
+    import spark.implicits._
+    val n = docs(spark, dir).count() * 4
+    spark.range(n).as[Long]
+      .mapPartitions(_.map(i => fixtures.FixtureGen.fixture(i).page))
+  }
+
+  private def extracted(spark: SparkSession, dir: String) =
+    ExtractJob.run(fixturePages(spark, dir))
+
+  /** Flagship: full extraction pipeline on the smoke corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = spark.range(200).as[Long]
+      .mapPartitions(_.map(i => fixtures.FixtureGen.fixture(i).page))
+    ExtractJob.run(pages)
+      .select(col("url"), col("lang"), col("isPdf"),
+        length(col("text")).as("text_len"), size(col("spans")).as("n_spans"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction pipeline (golden-oracle'd in sbt test; rows-only here) --
+    "x01_extract" -> ((s, d) =>
+      extracted(s, d).select(
+        col("url"), col("lang"), col("isPdf").as("is_pdf"),
+        col("nBlocks").as("n_blocks"), col("nKept").as("n_kept"),
+        length(col("text")).as("text_len"),
+        sha2(to_binary(col("text"), lit("utf-8")), 256).as("text_sha256"),
+        size(col("spans")).as("n_spans"))),
+    "x02_spans" -> ((s, d) =>
+      extracted(s, d).select(col("url"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .select(col("url"), col("pos"), col("span.blockIdx").as("block_idx"),
+          col("span.beginByte").as("begin_byte"), col("span.endByte").as("end_byte"),
+          col("span.kind"))),
+    "x03_blocks" -> ((s, d) => {
+      import s.implicits._
+      fixturePages(s, d).flatMap { p =>
+        Extractor.debugBlocks(p).map(b =>
+          (p.url, b.idx, b.tag, b.kind, b.level, b.chars, b.anchorChars, b.keep))
+      }.toDF("url", "idx", "tag", "kind", "level", "chars", "anchor_chars", "keep")
+    }),
+    "x04_charset" -> ((s, d) => {
+      import s.implicits._
+      fixturePages(s, d).map { p =>
+        val dec = html.Charset.sniff(if (p.html == null) Array.emptyByteArray else p.html)
+        (p.url, dec.charset.name(), dec.declared, pdf.PdfParser.isPdf(p.html))
+      }.toDF("url", "charset", "declared", "is_pdf")
+    }),
+    "x05_pdf_pages" -> ((s, d) =>
+      extracted(s, d).filter(col("isPdf"))
+        .select(col("url"), posexplode(split(col("text"), java.util.regex.Pattern.quote(pdf.PdfParser.PageBreak))).as(Seq("page_idx", "page_text")))
+        .select(col("url"), col("page_idx"), length(col("page_text")).as("page_len"),
+          sha2(to_binary(col("page_text"), lit("utf-8")), 256).as("page_sha256"))),
+    "x06_titles" -> ((s, d) => {
+      import s.implicits._
+      fixturePages(s, d).flatMap { p =>
+        Extractor.debugBlocks(p).filter(b => b.kind == "title" && b.keep).map(b =>
+          (p.url, b.idx, b.level, assemble.TitleLevel.resolve(b.text, b.level), b.text))
+      }.toDF("url", "idx", "tag_level", "render_level", "text")
+    }),
+    "x07_tables" -> ((s, d) => {
+      import s.implicits._
+      fixturePages(s, d).flatMap { p =>
+        Extractor.debugTables(p).map { case (idx, nCells, html) =>
+          (p.url, idx, nCells, html.length)
+        }
+      }.toDF("url", "block_idx", "n_cells", "html_len")
+    }),
+    "x08_dedup_extracted" -> ((s, d) =>
+      Dedup.exact(extracted(s, d).filter(length(col("text")) > 0).toDF(), "text", "url")
+        .withColumnRenamed("canonical_id", "canonical_url")),
+
+    // ---- text analysis over documents (DuckDB-oracle'd) --------------------
+    "d01_text_stats" -> ((s, d) =>
+      TextOps.qualityFeatures(docs(s, d), col("text")).orderBy("doc_id")),
+    "d02_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d))),
+    "d03_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), 0L until 10L, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))),
+    "d04_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(emb(s, d), 0.45)),
+    "d05_minhash" -> ((s, d) => {
+      val pairs = Dedup.minhashPairs(s, docs(s, d), threshold = 0.7)
+      val perDoc = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
+      docs(s, d).select(col("doc_id").cast("long").as("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+    }),
+    "d06_simhash" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, Dedup.simhash(t)) }
+        .toDF("doc_id", "simhash_sig")
+    }),
+    "d07_ngram_jaccard" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(s, docs(s, d), threshold = 0.5)
+      val perDoc = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
+      docs(s, d).select(col("doc_id").cast("long").as("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+    }),
+    "d08_lang_id" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, TextOps.langId(t)) }
+        .toDF("doc_id", "detected_lang")
+    }),
+    "d09_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, TextOps.fingerprint(t)) }
+        .toDF("doc_id", "fingerprint")
+    }),
+    "d10_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), 0L until 10L, dim = 64, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))),
+
+    // ---- relational shell (DuckDB-oracle'd) --------------------------------
+    "r01_agg" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("bigint")).as("revenue_cents"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "r02_join_agg" -> ((s, d) =>
+      li(s, d).join(broadcast(ord(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .orderBy("o_orderpriority")),
+    "r03_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("int").as("rn"))
+    }),
+    "r04_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+        |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+        |  CAST(length(regexp_extract_all(text, '[A-Z]')) AS INTEGER) AS n_upper,
+        |  CAST(length(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d02_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d03_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.q_emb, e.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM p) WHERE rnk <= 10""".stripMargin,
+    "d04_embed_neardup" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM n a, n b WHERE a.vec_id < b.vec_id AND
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+    "r01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r02_join_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r03_window" ->
+      """SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "r04_sessionize" ->
+      """SELECT user_id,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts, event_id,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
 }

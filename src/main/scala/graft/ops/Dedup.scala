@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. Each returns a DataFrame
+  * suitable for the driver's oracle compare; all are shuffle-conscious:
+  *
+  *   - exact: one hash-groupBy shuffle, map-side partial agg free.
+  *   - minhash-LSH: shingle→signature in a narrow map, ONE shuffle on the
+  *     (band, bucket) key, candidate pairs verified with exact Jaccard inside
+  *     the bucket group (no second pass over the corpus) — the standard
+  *     banding scheme (Broder; Leskovec et al. MMDS ch.3).
+  *   - simhash: 64-bit signature in a narrow map; pigeonhole banding on 4×16
+  *     bit chunks → bucket join → exact Hamming verify (Charikar; Manku et
+  *     al. WWW'07 near-duplicate detection).
+  *   - ngram-jaccard: rare-shingle inverted-index blocking, exact verify.
+  *   - embedding cosine: exact all-pairs above a threshold via block-nested
+  *     join (sf scale); the LSH-bucketed variant for the 100 TB path is in
+  *     Similarity.scala.
+  *
+  * At 10^12 rows the LSH variants are the only viable paths: their shuffles
+  * key on short signatures (bytes, not documents), hot buckets are capped
+  * (maxBucket) exactly like the reference caps detection candidates
+  * (/root/reference/src/processors/db_postprocess.rs:81 max_candidates=1000).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeps the minimum doc_id as the
+    * canonical representative. One shuffle. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), md5(to_binary(col(textCol), lit("utf-8"))).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  final case class DocSig(doc_id: Long, sig: Array[Long])
+  final case class BandKey(band: Int, bucket: Long, doc_id: Long)
+
+  /** MinHash signatures: k char-5-shingles → 64 permutation mins. Narrow. */
+  def minhashSignatures(spark: SparkSession, docs: DataFrame,
+      numHashes: Int = 64, shingleK: Int = 5): Dataset[DocSig] = {
+    import spark.implicits._
+    // deterministic affine permutations over the shingle hash space
+    val as = Array.tabulate(numHashes)(i => 0x9E3779B97F4A7C15L * (2L * i + 1))
+    val bs = Array.tabulate(numHashes)(i => 0xC2B2AE3D27D4EB4FL * (i + 1))
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val sh = TextOps.charShingleHashes(if (text == null) "" else text.toLowerCase, shingleK)
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          var i = 0
+          while (i < sh.length) {
+            val h = sh(i)
+            var j = 0
+            while (j < numHashes) {
+              val v = as(j) * h + bs(j)
+              if (v < sig(j)) sig(j) = v
+              j += 1
+            }
+            i += 1
+          }
+          DocSig(id, sig)
+        }
+      }
+  }
+
+  /** MinHash-LSH near-dup pairs: band signatures, bucket-join, then exact
+    * Jaccard estimate from the full signatures. Returns (doc_a, doc_b,
+    * est_jaccard_pct) with doc_a < doc_b, est >= threshold. */
+  def minhashPairs(spark: SparkSession, docs: DataFrame,
+      bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sigs = minhashSignatures(spark, docs)
+    val rowsPerBand = 64 / bands
+    val banded = sigs.flatMap { s =>
+      (0 until bands).iterator.map { b =>
+        var h = 0xcbf29ce484222325L
+        var r = 0
+        while (r < rowsPerBand) {
+          h = (h ^ s.sig(b * rowsPerBand + r)) * 0x100000001b3L
+          r += 1
+        }
+        BandKey(b, h, s.doc_id)
+      }
+    }
+    // candidate pairs within a bucket; hot buckets capped (skew guard)
+    val candidates = banded
+      .groupByKey(k => (k.band, k.bucket))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[BandKey]) =>
+        val ids = it.map(_.doc_id).take(maxBucket + 1).toArray
+        if (ids.length > maxBucket) Iterator.empty // degenerate bucket: skip (logged upstream at scale)
+        else {
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1) until ids.length
+          } yield (ids(i), ids(j))
+        }
+      }
+      .distinct()
+      .toDF("doc_a", "doc_b")
+    // verify: estimated jaccard = fraction of matching signature positions
+    val s1 = sigs.toDF("doc_a", "sig_a")
+    val s2 = sigs.toDF("doc_b", "sig_b")
+    candidates
+      .join(s1, "doc_a").join(s2, "doc_b")
+      .withColumn("est_jaccard_pct",
+        (lit(100) * size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)) / lit(64)).cast("int"))
+      .filter(col("est_jaccard_pct") >= (threshold * 100).toInt)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard_pct"))
+  }
+
+  /** SimHash 64-bit signature of token features. */
+  def simhash(text: String): Long = {
+    val toks = TextOps.tokenize(if (text == null) "" else text.toLowerCase)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextOps.fnv1a64(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<=3 uses the
+    * 4-chunk pigeonhole: any pair within distance 3 shares at least one exact
+    * 16-bit chunk). Returns (doc_a, doc_b, hamming). */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simhash(t)) }
+      .toDF("doc_id", "sig")
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
+    val a = chunked.toDF("doc_a", "sig_a", "chunk", "key")
+    val b = chunked.toDF("doc_b", "sig_b", "chunk", "key")
+    a.join(b, Seq("chunk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Token-3-gram Jaccard near-dups via rare-shingle inverted-index blocking:
+    * only shingles with document frequency <= maxDf generate candidates (the
+    * common-shingle tail would explode quadratically), then exact Jaccard on
+    * the pair. Returns (doc_a, doc_b, jaccard_pct). */
+  def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 32): DataFrame = {
+    import spark.implicits._
+    val grams = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.tokenNgramHashes(TextOps.tokenize(if (t == null) "" else t.toLowerCase), n)
+          .distinct.iterator.map(g => (id, g))
+      }
+      .toDF("doc_id", "gram")
+    val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val candidates = grams.join(rare, "gram")
+      .select(col("gram"), col("doc_id"))
+    val pairs = candidates.toDF("gram", "doc_a")
+      .join(candidates.toDF("gram", "doc_b"), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.toDF("doc_a", "gram")
+      .join(grams.toDF("doc_b", "gram"), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("jaccard_pct",
+        (lit(100) * col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).cast("int"))
+      .filter(col("jaccard_pct") >= (threshold * 100).toInt)
+      .select("doc_a", "doc_b", "jaccard_pct")
+  }
+}

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, expressed as
+  * Catalyst column functions (codegen'd, no UDFs) wherever the semantics are
+  * SQL-expressible so filters/pruning around them stay optimizable; only the
+  * genuinely imperative kernels (language ID, fingerprints) are row funcs
+  * applied inside typed map stages.
+  */
+object TextOps {
+
+  /** Whitespace token count; empty/blank → 0. Matches the DuckDB oracle
+    * `length(regexp_split_to_array(trim(text), '\s+'))` semantics. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Punctuation count (fixed class, ASCII) — codegen regexp. */
+  def punctCount(text: Column): Column =
+    coalesce(regexp_count(text, lit("[.,!?;:]")), lit(0))
+
+  /** Quality score features: all integer/exact so the oracle compare is
+    * stable across engines (no accumulated float error). */
+  def qualityFeatures(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      punctCount(text).as("n_punct"),
+      coalesce(regexp_count(text, lit("[A-Z]")), lit(0)).as("n_upper"),
+      coalesce(regexp_count(text, lit("[0-9]")), lit(0)).as("n_digit")
+    )
+
+  // --- imperative kernels (row-level) ---------------------------------------
+
+  /** Cheap n-gram/char-class language ID heuristic (the reference's
+    * PP-LCNet-classifier analogue — a per-row classifier over cheap features,
+    * /root/reference/src/models/classification/pp_lcnet.rs:44-53).
+    * Returns ISO-ish code or "und".
+    */
+  def langId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val n = math.min(text.length, 4000)
+    var cjk = 0; var arab = 0; var cyr = 0; var latin = 0; var hangul = 0; var kana = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+      else if (c >= 0x3040 && c <= 0x30FF) kana += 1
+      else if (c >= 0xAC00 && c <= 0xD7AF) hangul += 1
+      else if (c >= 0x0600 && c <= 0x06FF) arab += 1
+      else if (c >= 0x0400 && c <= 0x04FF) cyr += 1
+      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= 0xC0 && c <= 0x17F)) latin += 1
+      i += 1
+    }
+    val total = cjk + arab + cyr + latin + hangul + kana
+    if (total == 0) return "und"
+    if (kana * 5 >= total) "ja"
+    else if (hangul * 2 >= total) "ko"
+    else if (cjk * 2 >= total) "zh"
+    else if (arab * 2 >= total) "ar"
+    else if (cyr * 2 >= total) "ru"
+    else if (latin * 2 >= total) latinLang(text, n)
+    else "und"
+  }
+
+  /** Distinguish big latin languages by stopword/diacritic evidence
+    * (n-gram-heuristic style; deterministic). */
+  private def latinLang(text: String, n: Int): String = {
+    val t = " " + text.substring(0, n).toLowerCase + " "
+    def c(w: String): Int = {
+      var cnt = 0; var at = t.indexOf(w)
+      while (at >= 0) { cnt += 1; at = t.indexOf(w, at + 1) }
+      cnt
+    }
+    val en = c(" the ") + c(" and ") + c(" of ") + c(" to ") + c(" is ")
+    val de = c(" der ") + c(" und ") + c(" die ") + c(" das ") + c(" ist ") +
+      t.count(ch => ch == 'ä' || ch == 'ö' || ch == 'ü' || ch == 'ß')
+    val fr = c(" le ") + c(" la ") + c(" les ") + c(" et ") + c(" est ")
+    val es = c(" el ") + c(" los ") + c(" las ") + c(" y ") + c(" es ")
+    val best = math.max(math.max(en, de), math.max(fr, es))
+    if (best == 0) "en"
+    else if (best == en) "en" else if (best == de) "de"
+    else if (best == fr) "fr" else "es"
+  }
+
+  /** 64-bit FNV-1a over UTF-8 — the deterministic base hash for fingerprints
+    * and shingles (public-domain algorithm). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // hash UTF-16 code units hi/lo bytes — stable and cheap
+      h = (h ^ (c & 0xff)) * 0x100000001b3L
+      h = (h ^ ((c >> 8) & 0xff)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Rolling document fingerprint: winnowed min-sampling of token 3-gram
+    * hashes (w=8) — robust to local edits (Rabin-Karp / winnowing style). */
+  def fingerprint(text: String): Long = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return 0L
+    var fp = 0L
+    val grams = tokenNgramHashes(toks, 3)
+    if (grams.isEmpty) return fnv1a64(text)
+    // min-sample every window of 8
+    var i = 0
+    while (i < grams.length) {
+      var m = Long.MaxValue
+      var j = i
+      val e = math.min(grams.length, i + 8)
+      while (j < e) { if (grams(j) < m) m = grams(j); j += 1 }
+      fp = fp * 31 + m
+      i += 8
+    }
+    fp
+  }
+
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val out = Array.newBuilder[String]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val s = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > s) out += text.substring(s, i)
+    }
+    out.result()
+  }
+
+  /** Hashes of consecutive token n-grams. */
+  def tokenNgramHashes(toks: Array[String], n: Int): Array[Long] = {
+    if (toks.length < n) return Array.empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < n) {
+        val w = toks(i + k)
+        var j = 0
+        while (j < w.length) {
+          h = (h ^ (w.charAt(j) & 0xffff)) * 0x100000001b3L
+          j += 1
+        }
+        h = (h ^ 0x1f) * 0x100000001b3L // token separator
+        k += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Character k-shingle hashes (for minhash). */
+  def charShingleHashes(text: String, k: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val out = new Array[Long](text.length - k + 1)
+    var i = 0
+    while (i + k <= text.length) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + k) {
+        h = (h ^ (text.charAt(j) & 0xffff)) * 0x100000001b3L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+}
