@@ -1,0 +1,157 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Page
+
+/** The spark-submit entry point (north rule: the same job runs unchanged at N
+  * and 4N executors, resumable from the last committed snapshot).
+  *
+  * {{{
+  * spark-submit --class graft.spark.ExtractMain graft.jar \
+  *   --in  <parquet dir of Page rows | fixture:<nRows>> \
+  *   --out <output table root> \
+  *   [--units 64] [--group-size 8] [--salt 0] [--fail-after-groups -1]
+  * }}}
+  *
+  * Execution model (scale design for 10^12 rows):
+  *   - the input is split into `units` deterministic url-hash buckets
+  *     (pmod(xxhash64(url), units)) — at cluster scale these align with the
+  *     input table's bucket partitioning so each unit's scan is
+  *     partition-pruned, not a full pass;
+  *   - units are processed `groupSize` at a time: one Spark job per group
+  *     writes scratch parquet partitioned by unit, then each unit is
+  *     published via TableIO.commitUnit (data rename before manifest, both
+  *     atomic) together with its lineage counters;
+  *   - on restart, committed units are skipped (the anti-join of pending
+  *     against lineage — here a set difference because the manifest set is
+  *     tiny and driver-side; at 10^12 scale with millions of units it becomes
+  *     `pending.join(lineage, "unit", "left_anti")` as in SURVEY.md §4);
+  *   - `html` never crosses a shuffle: the only wide exchange is the optional
+  *     skew salt inside ExtractJob.run, and the scratch write partitions by a
+  *     column computed in the same stage as the extraction.
+  *
+  * `--fail-after-groups k` injects a crash after k committed groups — the
+  * resume test drives it (ResumeSpec).
+  */
+object ExtractMain {
+
+  final case class Args(
+      in: String = "",
+      out: String = "",
+      units: Int = 64,
+      groupSize: Int = 8,
+      salt: Int = 0,
+      failAfterGroups: Int = -1,
+      master: Option[String] = None)
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--in" => a = a.copy(in = argv(i + 1)); i += 2
+        case "--out" => a = a.copy(out = argv(i + 1)); i += 2
+        case "--units" => a = a.copy(units = argv(i + 1).toInt); i += 2
+        case "--group-size" => a = a.copy(groupSize = argv(i + 1).toInt); i += 2
+        case "--salt" => a = a.copy(salt = argv(i + 1).toInt); i += 2
+        case "--fail-after-groups" => a = a.copy(failAfterGroups = argv(i + 1).toInt); i += 2
+        case "--master" => a = a.copy(master = Some(argv(i + 1))); i += 2
+        case other => throw new IllegalArgumentException(s"unknown arg $other")
+      }
+    }
+    require(a.in.nonEmpty && a.out.nonEmpty, "--in and --out are required")
+    a
+  }
+
+  def pagesFor(spark: SparkSession, in: String): Dataset[Page] = {
+    import spark.implicits._
+    if (in.startsWith("fixture:")) {
+      val n = in.stripPrefix("fixture:").toLong
+      spark.range(n).as[Long]
+        .mapPartitions(_.map(i => graft.fixtures.FixtureGen.fixture(i).page))
+    } else {
+      spark.read.parquet(in)
+        .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+        .as[Page]
+    }
+  }
+
+  final class InjectedFailure(msg: String) extends RuntimeException(msg)
+
+  /** Run (or resume) the job; returns the number of units committed by THIS
+    * invocation. Separated from main() so tests drive it in-process. */
+  def run(spark: SparkSession, a: Args): Int = {
+    import spark.implicits._
+    TableIO.init(a.out)
+    TableIO.cullScratch(a.out)
+    val runId = java.util.UUID.randomUUID.toString.take(8)
+    val committed = TableIO.committedUnits(a.out)
+    val pending = (0 until a.units).filterNot(committed)
+    if (pending.isEmpty) return 0
+
+    val pages = pagesFor(spark, a.in)
+    val scratch = TableIO.scratchDir(a.out, runId)
+    var done = 0
+    var groups = 0
+    pending.grouped(a.groupSize).foreach { group =>
+      if (a.failAfterGroups >= 0 && groups >= a.failAfterGroups)
+        throw new InjectedFailure(s"injected crash after $groups groups")
+      val groupSet = group.toSet
+      // unit id is a pure function of url: deterministic across runs and
+      // parallelism levels — the resume key
+      val unitOf = pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int")
+      val slice = pages.filter(unitOf.isin(groupSet.toSeq: _*)).as[Page]
+      val extracted = ExtractJob.run(slice, a.salt)
+      extracted
+        .withColumn("unit", pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int"))
+        .withColumn("crawl_date", to_date(col("warc_ts")))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("unit")
+        .parquet(scratch)
+      // lineage counters from the scratch output (reads only the small
+      // columns; html never written)
+      val stats = spark.read.parquet(scratch)
+        .groupBy("unit")
+        .agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
+          sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"),
+          sum(col("htmlBytes")).as("bytes"),
+          sum(length(col("text"))).as("chars"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      val now = System.currentTimeMillis()
+      for (u <- group) {
+        val (rows, ok, err, bytes, chars) = stats.getOrElse(u, (0L, 0L, 0L, 0L, 0L))
+        TableIO.commitUnit(a.out, runId,
+          TableIO.UnitManifest(u, runId, rows, ok, err, bytes, chars, now))
+        done += 1
+      }
+      groups += 1
+    }
+    done
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val builder = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.session.timeZone", "UTC")
+    // master comes from spark-submit on a real cluster; --master is the
+    // sandbox/local override
+    a.master.foreach { m =>
+      builder.master(m).config("spark.sql.shuffle.partitions",
+        m.replaceAll("[^0-9]", "") match { case "" => "32"; case n => n })
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = run(spark, a)
+    val ms = TableIO.readManifests(a.out)
+    println(s"committed $n units this run; table now ${ms.length}/${a.units} units, " +
+      s"rows=${ms.map(_.rows).sum} ok=${ms.map(_.pagesOk).sum} err=${ms.map(_.pagesErr).sum} " +
+      s"bytesIn=${ms.map(_.bytesIn).sum}")
+    spark.stop()
+  }
+}
