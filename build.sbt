@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: under the Firecracker VM, G1's grow/uncommit
+  // cycles cause page-fault storms (50%+ system CPU, ~15x kernel slowdown
+  // observed); pinning the heap keeps the JVM out of the guest kernel.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  "-XX:-ShrinkHeapInSteps",
 )

@@ -35,8 +35,27 @@ object SparkEntry {
       .mapPartitions(_.map(i => fixtures.FixtureGen.fixture(i).page))
   }
 
+  /** One extraction per (session, sf dir), persisted: the x-queries are many
+    * consumers of a single pipeline pass (html is projected away before the
+    * cache, so only extracted columns are stored). */
+  private val extractedCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Dataset[graft.model.ExtractedPage]]
   private def extracted(spark: SparkSession, dir: String) =
-    ExtractJob.run(fixturePages(spark, dir))
+    extractedCache.getOrElseUpdate((spark, dir),
+      ExtractJob.run(fixturePages(spark, dir)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Cached (url, block) rows — the detection-stage debug surface shared by
+    * x03/x06. */
+  private val blocksCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+  private def blocks(spark: SparkSession, dir: String): DataFrame =
+    blocksCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      fixturePages(spark, dir)
+        .flatMap(p => Extractor.debugBlocks(p).map(b => (p.url, b)))
+        .toDF("url", "block")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Flagship: full extraction pipeline on the smoke corpus. */
   def entry(spark: SparkSession): DataFrame = {
@@ -62,13 +81,11 @@ object SparkEntry {
         .select(col("url"), col("pos"), col("span.blockIdx").as("block_idx"),
           col("span.beginByte").as("begin_byte"), col("span.endByte").as("end_byte"),
           col("span.kind"))),
-    "x03_blocks" -> ((s, d) => {
-      import s.implicits._
-      fixturePages(s, d).flatMap { p =>
-        Extractor.debugBlocks(p).map(b =>
-          (p.url, b.idx, b.tag, b.kind, b.level, b.chars, b.anchorChars, b.keep))
-      }.toDF("url", "idx", "tag", "kind", "level", "chars", "anchor_chars", "keep")
-    }),
+    "x03_blocks" -> ((s, d) =>
+      blocks(s, d).select(col("url"), col("block.idx").as("idx"),
+        col("block.tag").as("tag"), col("block.kind").as("kind"),
+        col("block.level").as("level"), col("block.chars").as("chars"),
+        col("block.anchorChars").as("anchor_chars"), col("block.keep").as("keep"))),
     "x04_charset" -> ((s, d) => {
       import s.implicits._
       fixturePages(s, d).map { p =>
@@ -83,10 +100,10 @@ object SparkEntry {
           sha2(to_binary(col("page_text"), lit("utf-8")), 256).as("page_sha256"))),
     "x06_titles" -> ((s, d) => {
       import s.implicits._
-      fixturePages(s, d).flatMap { p =>
-        Extractor.debugBlocks(p).filter(b => b.kind == "title" && b.keep).map(b =>
-          (p.url, b.idx, b.level, assemble.TitleLevel.resolve(b.text, b.level), b.text))
-      }.toDF("url", "idx", "tag_level", "render_level", "text")
+      blocks(s, d).filter(col("block.kind") === "title" && col("block.keep"))
+        .select(col("url"), col("block")).as[(String, graft.model.Block)]
+        .map { case (url, b) => (url, b.idx, b.level, assemble.TitleLevel.resolve(b.text, b.level), b.text) }
+        .toDF("url", "idx", "tag_level", "render_level", "text")
     }),
     "x07_tables" -> ((s, d) => {
       import s.implicits._
@@ -149,6 +166,11 @@ object SparkEntry {
     "d10_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), 0L until 10L, dim = 64, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))),
+    "d11_token_bpe" -> ((s, d) =>
+      docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens")).orderBy("doc_id")),
+    "d12_quality" -> ((s, d) =>
+      TextOps.qualityScore(docs(s, d), col("text")).orderBy("doc_id")),
 
     // ---- relational shell (DuckDB-oracle'd) --------------------------------
     "r01_agg" -> ((s, d) =>
@@ -220,6 +242,19 @@ object SparkEntry {
         |FROM n a, n b WHERE a.vec_id < b.vec_id AND
         |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+    "d11_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\r0-9A-Za-z]+|[ \t\n\r]+')) AS INTEGER)
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d12_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_extract_all(lower(text),
+        |    '\b(?:the|a|and|of|to|is|in|that|it|for)\b')) AS INTEGER) AS n_stopwords,
+        |  CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word_runs,
+        |  CAST(length(regexp_extract_all(text, '[^ \t\n\r]')) AS INTEGER) AS n_nonspace
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "r01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -61,7 +61,7 @@ object BlockBuilder {
       private var anchorDepth = 0
 
       // current block accumulation
-      private val buf = new java.lang.StringBuilder(256)
+      private val buf = new CollapseBuf(256)
       private var blkTag = "body"
       private var blkKind = "paragraph"
       private var blkLevel = 0
@@ -84,7 +84,7 @@ object BlockBuilder {
       private var tblNested = 0
       private var tblRows = Vector.empty[Vector[(Int, Int, Boolean, String)]]
       private var tblRow = Vector.empty[(Int, Int, Boolean, String)]
-      private var tblCellBuf: java.lang.StringBuilder = null
+      private var tblCellBuf: CollapseBuf = null
       private var tblCellSpan: (Int, Int, Boolean) = null
       private var tblCellRuns = Vector.empty[(Long, Long)]
       private var tblCellBegin = -1L
@@ -93,12 +93,11 @@ object BlockBuilder {
       private var tblDroppedCtx = false
 
       private def flushBlock(): Unit = {
-        val text = collapse(buf)
-        if (text.nonEmpty) {
-          out += RawBlock(blkTag, blkKind, blkLevel, text, blkBegin, blkEnd,
+        if (buf.nonEmpty) {
+          out += RawBlock(blkTag, blkKind, blkLevel, buf.result(), blkBegin, blkEnd,
             blkChars, blkAnchor, blkDropped, Array.empty)
         }
-        buf.setLength(0)
+        buf.reset()
         blkBegin = -1L; blkEnd = -1L; blkChars = 0; blkAnchor = 0
       }
 
@@ -115,7 +114,7 @@ object BlockBuilder {
 
       private def flushTableCell(): Unit = {
         if (tblCellBuf != null) {
-          tblRow :+= ((tblCellSpan._1, tblCellSpan._2, tblCellSpan._3, collapse(tblCellBuf)))
+          tblRow :+= ((tblCellSpan._1, tblCellSpan._2, tblCellSpan._3, tblCellBuf.result()))
           if (tblCellBegin >= 0) tblCellRuns :+= ((tblCellBegin, tblCellEnd))
           tblCellBuf = null; tblCellSpan = null; tblCellBegin = -1L; tblCellEnd = -1L
         }
@@ -149,7 +148,7 @@ object BlockBuilder {
               val attrs = Attrs.parse(html, ab, ae)
               tblCellSpan = (Attrs.intAttr(attrs, "rowspan", 1),
                 Attrs.intAttr(attrs, "colspan", 1), name == "th")
-              tblCellBuf = new java.lang.StringBuilder(32)
+              tblCellBuf = new CollapseBuf(32)
             case _ => ()
           }
           if (!selfClosing) stack += ((name, false, false, false))
@@ -192,7 +191,7 @@ object BlockBuilder {
             blkTag = name; blkKind = "paragraph"; blkLevel = 0
             blkDropped = dropDepth > 0
           } else if (name == "br" || name == "hr") {
-            if (buf.length() > 0) buf.append(' ')
+            buf.wsHint()
             if (name == "hr") flushBlock()
           }
           // other inline tags: text flows through
@@ -244,25 +243,19 @@ object BlockBuilder {
         lastTextEnd = end.toLong
         if (tblDepth > 0) {
           if (tblCellBuf != null && tblNested == 0) {
-            val decoded = Entities.decode(Charset.decode(html, begin, end, cs))
-            tblCellBuf.append(decoded)
-            if (decoded.exists(c => !c.isWhitespace)) {
+            val nonWs = tblCellBuf.putRun(Charset.decode(html, begin, end, cs))
+            if (nonWs > 0) {
               if (tblCellBegin < 0) tblCellBegin = begin.toLong
               tblCellEnd = end.toLong
             }
           }
           return
         }
-        val decoded = Entities.decode(Charset.decode(html, begin, end, cs))
-        var nonWs = 0
-        var k = 0
-        while (k < decoded.length) {
-          if (!isWs(decoded.charAt(k))) nonWs += 1
-          k += 1
-        }
-        // no synthetic inter-run space: HTML whitespace semantics — inline
-        // tags (<b>wo</b>rd) must not split words; source whitespace decides
-        buf.append(decoded)
+        // single fused pass: charset-decode once, then entity-decode +
+        // whitespace-collapse + char accounting in one sweep into the block
+        // buffer (no synthetic inter-run space: HTML whitespace semantics —
+        // inline tags (<b>wo</b>rd) must not split words; source ws decides)
+        val nonWs = buf.putRun(Charset.decode(html, begin, end, cs))
         if (nonWs > 0) {
           if (blkBegin < 0) blkBegin = begin.toLong
           blkEnd = end.toLong
@@ -283,8 +276,58 @@ object BlockBuilder {
     out.result()
   }
 
-  @inline private def isWs(c: Char): Boolean =
+  @inline private[html] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u00a0' || Character.isWhitespace(c)
+
+  /** Whitespace-collapsing accumulator with fused entity decoding \u2014 the hot
+    * path writes each visible char exactly once (no intermediate entity-decoded
+    * or pre-collapse strings; those copies dominated allocation in profiling).
+    * Collapse semantics identical to `collapse`: leading/trailing ws dropped,
+    * runs fold to one space. */
+  private[html] final class CollapseBuf(cap: Int) {
+    private val buf = new java.lang.StringBuilder(cap)
+    private var pendingSpace = false
+    def reset(): Unit = { buf.setLength(0); pendingSpace = false }
+    @inline def put(c: Char): Unit =
+      if (isWs(c)) { if (buf.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { buf.append(' '); pendingSpace = false }
+        buf.append(c)
+      }
+    /** a soft word-break (e.g. <br>): collapses like source whitespace */
+    def wsHint(): Unit = if (buf.length() > 0) pendingSpace = true
+    def nonEmpty: Boolean = buf.length() > 0
+    def result(): String = buf.toString
+    /** Append a decoded-charset run, decoding entities inline; returns the
+      * number of non-whitespace chars appended (anchor/char accounting). */
+    def putRun(s: String): Int = {
+      var nonWs = 0
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '&') {
+          val m = Entities.matchAt(s, i)
+          if (m != null) {
+            val rep = m._1
+            var k = 0
+            while (k < rep.length) {
+              val rc = rep.charAt(k)
+              put(rc)
+              if (!isWs(rc)) nonWs += 1
+              k += 1
+            }
+            i += m._2
+          } else { put(c); nonWs += 1; i += 1 }
+        } else {
+          put(c)
+          if (!isWs(c)) nonWs += 1
+          i += 1
+        }
+      }
+      nonWs
+    }
+  }
 
   /** Collapse whitespace runs to single spaces and trim — the analogue of the
     * reference's CTC collapse (consecutive dups folded, blanks dropped,

@@ -19,6 +19,25 @@ object Entities {
     "para" -> "¶", "shy" -> ""
   )
 
+  /** If an entity starts at `amp` (an '&' position) return its replacement
+    * string (may be empty, e.g. &shy;), else null. `consumedLen(amp, semi)`
+    * is semi+1-amp. Named replacements come from the shared table (no
+    * allocation); numeric ones allocate one tiny String. */
+  def matchAt(s: String, amp: Int): (String, Int) = {
+    val semi = s.indexOf(';', amp + 1)
+    if (semi <= amp || semi - amp > 10) return null
+    val body = s.substring(amp + 1, semi)
+    val rep: String =
+      if (body.startsWith("#x") || body.startsWith("#X")) {
+        try String.valueOf(Character.toChars(Integer.parseInt(body.substring(2), 16)))
+        catch { case _: Exception => null }
+      } else if (body.startsWith("#")) {
+        try String.valueOf(Character.toChars(Integer.parseInt(body.substring(1))))
+        catch { case _: Exception => null }
+      } else named.getOrElse(body, null)
+    if (rep == null) null else (rep, semi + 1 - amp)
+  }
+
   /** Decode entities in `s`. Unknown entities pass through verbatim. */
   def decode(s: String): String = {
     var i = s.indexOf('&')
@@ -26,25 +45,14 @@ object Entities {
     val sb = new java.lang.StringBuilder(s.length)
     var last = 0
     while (i >= 0 && i < s.length) {
-      val semi = s.indexOf(';', i + 1)
-      var advanced = false
-      if (semi > i && semi - i <= 10) {
-        val body = s.substring(i + 1, semi)
-        val rep: String =
-          if (body.startsWith("#x") || body.startsWith("#X")) {
-            try String.valueOf(Character.toChars(Integer.parseInt(body.substring(2), 16)))
-            catch { case _: Exception => null }
-          } else if (body.startsWith("#")) {
-            try String.valueOf(Character.toChars(Integer.parseInt(body.substring(1))))
-            catch { case _: Exception => null }
-          } else named.getOrElse(body, null)
-        if (rep != null) {
-          sb.append(s, last, i).append(rep)
-          last = semi + 1
-          advanced = true
-        }
+      val m = matchAt(s, i)
+      if (m != null) {
+        sb.append(s, last, i).append(m._1)
+        last = i + m._2
+        i = s.indexOf('&', last)
+      } else {
+        i = s.indexOf('&', i + 1)
       }
-      i = s.indexOf('&', if (advanced) last else i + 1)
     }
     sb.append(s, last, s.length)
     sb.toString

@@ -69,13 +69,19 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: probe only the query's bucket. */
+  /** Multi-probe LSH approximate top-k: each query probes its own bucket plus
+    * every bucket at Hamming distance 1 (bit flips) — the standard recall
+    * boost that costs `bits` extra broadcast rows per query instead of a
+    * second hash table (Lv et al., VLDB'07). The corpus side stays bucketed
+    * once and is never shuffled; only the tiny query set explodes. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], dim: Int,
       k: Int = 10, bits: Int = 8, seed: Long = 42L): DataFrame = {
     val sig = signatureExpr(col("embedding"), dim, bits, seed)
     val bucketed = emb.withColumn("bucket", sig)
+    val flips = array((0 until bits).map(b => lit(1L << b)) :+ lit(0L): _*)
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(transform(flips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
     val scored = bucketed
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("bucket"))
       .join(broadcast(q), Seq("bucket"))

@@ -33,6 +33,26 @@ object TextOps {
       coalesce(regexp_count(text, lit("[0-9]")), lit(0)).as("n_digit")
     )
 
+  /** BPE-ish token count: the GPT-2-style pre-tokenizer regex (contraction
+    * suffixes, letter runs, digit runs, punctuation runs, whitespace runs),
+    * restricted to constructs whose semantics agree between Java regex and
+    * RE2 so the DuckDB oracle is bit-identical. Codegen'd — no UDF. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\t\\n\\r0-9A-Za-z]+|[ \\t\\n\\r]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Stopword / word-shape quality counters (integer-exact for the oracle
+    * compare; ratios are derived downstream where float drift doesn't matter). */
+  def qualityScore(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(lower(text),
+        lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b"), lit(0))).as("n_stopwords"),
+      size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).as("n_word_runs"),
+      size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0))).as("n_nonspace"))
+
   // --- imperative kernels (row-level) ---------------------------------------
 
   /** Cheap n-gram/char-class language ID heuristic (the reference's

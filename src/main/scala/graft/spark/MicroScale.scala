@@ -1,0 +1,61 @@
+package graft.spark
+
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{CountDownLatch, Executors}
+
+/** Spark-free thread-scaling probe for the extraction kernel: same pages,
+  * fixed thread pools of 1/8/32 — separates JVM/memory-bandwidth scaling of
+  * the kernel itself from Spark-layer effects (scan splits, scheduling,
+  * encoders). Diagnostic only; not part of the library surface.
+  * runMain graft.spark.MicroScale [nPages]
+  */
+object MicroScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.flatMap(_.toIntOption).getOrElse(4000)
+    val pages = Array.tabulate(n)(i => graft.fixtures.FixtureGen.fixture(i.toLong).page)
+    val totalBytes = pages.map(_.html.length.toLong).sum
+    println(f"corpus: $n pages, ${totalBytes / 1e6}%.1f MB")
+
+    def run(threads: Int): Double = {
+      val idx = new AtomicInteger(0)
+      val done = new CountDownLatch(threads)
+      val pool = Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      var failures = 0
+      for (_ <- 0 until threads) pool.execute { () =>
+        var i = idx.getAndIncrement()
+        while (i < n) {
+          val r = graft.Extractor.extract(pages(i))
+          if (r.error.nonEmpty) failures += 1
+          i = idx.getAndIncrement()
+        }
+        done.countDown()
+      }
+      done.await()
+      pool.shutdown()
+      require(failures == 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    run(32) // warmup
+    // per-page cost distribution (single thread)
+    val costs = pages.map { p =>
+      val t0 = System.nanoTime()
+      graft.Extractor.extract(p)
+      (System.nanoTime() - t0) / 1e6 // ms
+    }
+    val sorted = costs.sorted
+    println(f"per-page ms: p50=${sorted(n / 2)}%.2f p90=${sorted(n * 9 / 10)}%.2f " +
+      f"p99=${sorted(n * 99 / 100)}%.2f max=${sorted(n - 1)}%.2f sum=${costs.sum}%.0f")
+    val slow = costs.zipWithIndex.sortBy(-_._1).take(5)
+    for ((ms, i) <- slow)
+      println(f"  slow page $i: $ms%.1f ms, ${pages(i).html.length / 1024} KiB, url=${pages(i).url}")
+
+    for (k <- Seq(1, 8, 32)) {
+      val s = run(k)
+      println(f"threads=$k%2d secs=$s%7.2f pages/s=${n / s}%8.0f MB/s=${totalBytes / 1e6 / s}%7.1f")
+    }
+    val s8 = run(8); val s32 = run(32)
+    println(f"kernel scaling 8->32: speedup=${s8 / s32}%.2f efficiency=${s8 / s32 / 4}%.3f")
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Planted-truth tests for the training-data operators: exact/near dup
+  * detection must find the planted pairs and nothing across distinct docs;
+  * ANN recall is measured against brute force. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Distinct docs must use disjoint vocabularies — the fixture word table is
+    * tiny, so generator-shared words create real shingle overlap. */
+  private def mkText(seed: Int, words: Int): String =
+    (0 until words).map(i => s"v${seed}q${(i * 7919) % 997}x").mkString(" ")
+
+  private lazy val docs = {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = mkText(1, 200)
+    val rows = Seq(
+      (0L, base),                                    // original
+      (1L, base),                                    // exact dup of 0
+      (2L, base.replace(base.substring(10, 18), "zzqq wvv")), // near dup of 0
+      (3L, mkText(2, 200)),                          // distinct
+      (4L, mkText(3, 200)),                          // distinct
+      (5L, mkText(3, 200) + " tail extra words")     // near dup of 4
+    )
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups the identical pair only") {
+    val groups = Dedup.exact(docs).collect()
+    val dupGroup = groups.filter(_.getAs[Long]("n_dups") > 1)
+    assert(dupGroup.length == 1)
+    assert(dupGroup.head.getAs[Long]("canonical_id") == 0L)
+    assert(dupGroup.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("minhash-LSH finds planted near-dups, no false pairs across distinct docs") {
+    val pairs = Dedup.minhashPairs(spark, docs, threshold = 0.6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.contains((4L, 5L)))
+    val allowed = Set((0L, 1L), (0L, 2L), (1L, 2L), (4L, 5L))
+    assert(pairs.subsetOf(allowed), s"false pairs: ${pairs -- allowed}")
+  }
+
+  test("simhash: identical texts share signature; near-dups within hamming 3") {
+    val s0 = Dedup.simhash(mkText(1, 200))
+    val s1 = Dedup.simhash(mkText(1, 200))
+    assert(s0 == s1)
+    val pairs = Dedup.simhashPairs(spark, docs, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard finds near-dups with correct percentage ordering") {
+    val rows = Dedup.ngramJaccardPairs(spark, docs, threshold = 0.3)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Int]("jaccard_pct"))).toMap
+    assert(rows.contains((0L, 1L)) && rows((0L, 1L)) == 100)
+    assert(rows.contains((0L, 2L)) && rows((0L, 2L)) < 100)
+    assert(!rows.keySet.contains((3L, 4L)))
+  }
+
+  private lazy val embeddings = {
+    import spark.implicits._
+    // 3 clusters of 30 vectors in 16-d, cluster centers orthogonal-ish
+    val r = new java.util.Random(7)
+    val rows = for (c <- 0 until 3; i <- 0 until 30) yield {
+      val v = Array.tabulate(16) { d =>
+        val center = if (d % 3 == c) 1.0f else 0.0f
+        center + (r.nextFloat() - 0.5f) * 0.2f
+      }
+      ((c * 30 + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k neighbors come from the query's cluster") {
+    val res = Similarity.bruteForceTopK(embeddings, Seq(0L, 30L, 60L), k = 5)
+      .collect()
+    assert(res.length == 15)
+    for (r <- res) {
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(q / 30 == n / 30, s"neighbor $n of query $q crossed clusters")
+    }
+  }
+
+  test("LSH top-k recall vs brute force >= 0.6 on clustered data") {
+    val qs = Seq(0L, 30L, 60L)
+    val bf = Similarity.bruteForceTopK(embeddings, qs, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(embeddings, qs, dim = 16, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("near-dup pairs by cosine: same-cluster pairs only at 0.9") {
+    val pairs = Similarity.nearDupPairs(embeddings, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a / 30 == b / 30 })
+  }
+
+  test("langId identifies scripts and latin stopword languages") {
+    assert(TextOps.langId("the cat and the dog went to the market and it is fine") == "en")
+    assert(TextOps.langId("der hund und die katze sind schön und das ist gut") == "de")
+    assert(TextOps.langId("中文文本的内容都是汉字组成的句子") == "zh")
+    assert(TextOps.langId("こんにちは世界のみなさんお元気ですか") == "ja")
+    assert(TextOps.langId("Привет мир это русский текст для проверки") == "ru")
+    assert(TextOps.langId("") == "und")
+    assert(TextOps.langId("12345 !!! ???") == "und")
+  }
+
+  test("fingerprint is stable and robust to tiny edits, changes on rewrites") {
+    val t = mkText(9, 300)
+    assert(TextOps.fingerprint(t) == TextOps.fingerprint(t))
+    assert(TextOps.fingerprint(t) != TextOps.fingerprint(mkText(10, 300)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.fixtures.FixtureGen
+import graft.streaming.StreamExtract
+
+/** The streaming path must produce byte-identical results to the batch path —
+  * one kernel, two execution modes. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("micro-batch extraction matches batch extraction byte-for-byte") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val fixtures = FixtureGen.corpus(120).toVector
+    val stream = MemoryStream[graft.model.Page]
+    val q = StreamExtract.extractStream(stream.toDS())
+      .writeStream.format("memory").queryName("stream_out")
+      .outputMode("append").start()
+
+    // two micro-batches
+    stream.addData(fixtures.take(60).map(_.page))
+    q.processAllAvailable()
+    stream.addData(fixtures.drop(60).map(_.page))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_out")
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed.size == 120)
+    for (fx <- fixtures) {
+      assert(streamed(fx.page.url) == fx.expectedText, s"stream mismatch for ${fx.page.url}")
+    }
+  }
+
+  test("watermarked ingest metrics aggregate per window and lang") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val fixtures = FixtureGen.corpus(100).toVector
+    val stream = MemoryStream[graft.model.Page]
+    val q = StreamExtract.ingestMetrics(StreamExtract.extractStream(stream.toDS()))
+      .writeStream.format("memory").queryName("metrics_out")
+      .outputMode("complete").start()
+    stream.addData(fixtures.map(_.page))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("metrics_out").collect()
+    assert(rows.nonEmpty)
+    val totalPages = rows.map(_.getAs[Long]("pages")).sum
+    assert(totalPages == 100)
+    assert(rows.map(_.getAs[Long]("errors")).sum == 0)
+    // fixture timestamps advance 1s per row: 100 rows span at least 2 windows
+    assert(rows.map(_.getAs[org.apache.spark.sql.Row]("window")).distinct.length >= 2)
+  }
+}
