@@ -116,6 +116,45 @@ object SparkEntry {
     "x08_dedup_extracted" -> ((s, d) =>
       Dedup.exact(extracted(s, d).filter(length(col("text")) > 0).toDF(), "text", "url")
         .withColumnRenamed("canonical_id", "canonical_url")),
+    "x09_word_spans" -> ((s, d) => {
+      import s.implicits._
+      extracted(s, d).select(col("url"), col("text")).as[(String, String)]
+        .flatMap { case (url, t) =>
+          TextOps.wordSpans(t).iterator.zipWithIndex.map { case ((b, e), i) => (url, i, b, e) }
+        }.toDF("url", "word_idx", "begin_char", "end_char")
+    }),
+    "x10_profile_listing" -> ((s, d) => {
+      import s.implicits._
+      // alternate scoring profile (reference's per-class config switch):
+      // listings keep link-heavy blocks that the article profile drops
+      fixturePages(s, d).flatMap { p =>
+        val raw = if (p.html == null) Array.emptyByteArray else p.html
+        if (pdf.PdfParser.isPdf(raw)) Iterator.empty
+        else {
+          val cs = html.Charset.sniff(raw).charset
+          val raws = html.BlockBuilder.build(raw, cs)
+          val art = score.Classifier.classify(raws, score.Classifier.Article)
+          val lst = score.Classifier.classify(raws, score.Classifier.Listing)
+          Iterator.single((p.url, art.count(_.keep), lst.count(_.keep)))
+        }
+      }.toDF("url", "kept_article", "kept_listing")
+    }),
+
+    // ---- multimodal binary columns (stubbed decode, real plumbing) ---------
+    "m01_media_meta" -> ((s, d) => {
+      import s.implicits._
+      val n = docs(s, d).count() * 2
+      s.range(n).as[Long].map(id => (id, fixtures.FixtureGen.media(id))).toDF("media_id", "payload")
+        .transform(df => ops.Multimodal.mediaMetaDF(s, df))
+    }),
+    "m02_media_ann" -> ((s, d) => {
+      import s.implicits._
+      val n = docs(s, d).count() * 2
+      val media = s.range(n).as[Long].map(id => (id, fixtures.FixtureGen.media(id))).toDF("media_id", "payload")
+      val embedded = ops.Multimodal.embedDF(s, media)
+      Similarity.bruteForceTopK(embedded, 0L until 5L, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    }),
 
     // ---- text analysis over documents (DuckDB-oracle'd) --------------------
     "d01_text_stats" -> ((s, d) =>

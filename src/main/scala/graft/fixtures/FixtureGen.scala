@@ -322,4 +322,47 @@ object FixtureGen {
 
   def corpus(n: Int, from: Long = 0L): Iterator[Fixture] =
     Iterator.range(0, n).map(i => fixture(from + i))
+
+  // ---- synthetic media payloads (multimodal column fixtures) ---------------
+
+  /** Deterministic media payload for `mediaId`: rotates png/jpeg/wav/garbage.
+    * Headers are structurally valid for our parsers (PNG IHDR, JPEG SOF0,
+    * WAV fmt chunk); bodies are deterministic noise — the multimodal DECODE
+    * stage is stubbed (see ops.Multimodal), the container metadata is real. */
+  def media(mediaId: Long): Array[Byte] = {
+    val r = new java.util.Random(Seed * 0x5DEECE66DL + mediaId * 0x9E3779B97F4A7C15L)
+    val body = new Array[Byte](128 + r.nextInt(1024))
+    r.nextBytes(body)
+    (mediaId % 4) match {
+      case 0 => // PNG with IHDR w/h
+        val w = 16 + r.nextInt(2048); val h = 16 + r.nextInt(2048)
+        val out = java.nio.ByteBuffer.allocate(33 + body.length)
+        out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+        out.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+          .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        out.putInt(0) // CRC placeholder (parser reads IHDR fields only)
+        out.put(body)
+        out.array()
+      case 1 => // JPEG: SOI, APP0 skip-chunk, SOF0 with h/w
+        val w = 8 + r.nextInt(4000); val h = 8 + r.nextInt(4000)
+        val out = java.nio.ByteBuffer.allocate(2 + 4 + 4 + 9 + body.length)
+        out.put(0xff.toByte).put(0xd8.toByte)
+        out.put(0xff.toByte).put(0xe0.toByte).putShort(6.toShort).putShort(0.toShort).putShort(0.toShort)
+        out.put(0xff.toByte).put(0xc0.toByte).putShort(9.toShort).put(8.toByte)
+          .putShort(h.toShort).putShort(w.toShort)
+        out.put(body)
+        out.array()
+      case 2 => // WAV: RIFF/WAVE + fmt chunk (PCM, channels, sampleRate)
+        val sr = Array(8000, 16000, 22050, 44100, 48000).apply(r.nextInt(5))
+        val ch = 1 + r.nextInt(2)
+        val out = java.nio.ByteBuffer.allocate(36 + body.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes).putInt(28 + body.length).put("WAVE".getBytes)
+        out.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(ch.toShort)
+          .putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16.toShort)
+        out.put(body)
+        out.array()
+      case _ => body // unknown format: parser must degrade gracefully
+    }
+  }
 }

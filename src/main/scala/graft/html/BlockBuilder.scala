@@ -243,7 +243,7 @@ object BlockBuilder {
         lastTextEnd = end.toLong
         if (tblDepth > 0) {
           if (tblCellBuf != null && tblNested == 0) {
-            val nonWs = tblCellBuf.putRun(Charset.decode(html, begin, end, cs))
+            val nonWs = tblCellBuf.putRunBytes(html, begin, end, cs)
             if (nonWs > 0) {
               if (tblCellBegin < 0) tblCellBegin = begin.toLong
               tblCellEnd = end.toLong
@@ -251,11 +251,12 @@ object BlockBuilder {
           }
           return
         }
-        // single fused pass: charset-decode once, then entity-decode +
-        // whitespace-collapse + char accounting in one sweep into the block
-        // buffer (no synthetic inter-run space: HTML whitespace semantics —
-        // inline tags (<b>wo</b>rd) must not split words; source ws decides)
-        val nonWs = buf.putRun(Charset.decode(html, begin, end, cs))
+        // single fused pass: ASCII bytes append directly, everything else
+        // charset-decodes once, then entity-decode + whitespace-collapse +
+        // char accounting in one sweep into the block buffer (no synthetic
+        // inter-run space: HTML whitespace semantics — inline tags
+        // (<b>wo</b>rd) must not split words; source ws decides)
+        val nonWs = buf.putRunBytes(html, begin, end, cs)
         if (nonWs > 0) {
           if (blkBegin < 0) blkBegin = begin.toLong
           blkEnd = end.toLong
@@ -298,6 +299,32 @@ object BlockBuilder {
     def wsHint(): Unit = if (buf.length() > 0) pendingSpace = true
     def nonEmpty: Boolean = buf.length() > 0
     def result(): String = buf.toString
+    /** ASCII fast path: UTF-8, US-ASCII and windows-1252 are all
+      * ASCII-transparent, so runs of bytes < 0x80 append without an
+      * intermediate decoded String (the dominant case on web text). The
+      * first high byte or '&' falls back to charset decode + putRun for the
+      * remainder of the run. Returns non-ws chars appended. */
+    def putRunBytes(html: Array[Byte], begin: Int, end: Int,
+        cs: java.nio.charset.Charset): Int = {
+      if (!Charset.asciiTransparent(cs))
+        return putRun(Charset.decode(html, begin, end, cs))
+      var nonWs = 0
+      var i = begin
+      while (i < end) {
+        val b = html(i)
+        if (b < 0 || b == '&') {
+          // high byte (multi-byte charset territory) or entity: decode the
+          // remainder once and reuse the string path
+          return nonWs + putRun(Charset.decode(html, i, end, cs))
+        }
+        val c = b.toChar
+        put(c)
+        if (!isWs(c)) nonWs += 1
+        i += 1
+      }
+      nonWs
+    }
+
     /** Append a decoded-charset run, decoding entities inline; returns the
       * number of non-whitespace chars appended (anchor/char accounting). */
     def putRun(s: String): Int = {

@@ -55,4 +55,10 @@ object Charset {
     * never thrown (graceful degradation). */
   def decode(html: Array[Byte], from: Int, until: Int, cs: JCharset): String =
     new String(html, from, until - from, cs)
+
+  /** Charsets whose bytes < 0x80 ARE ASCII (safe for byte-level fast paths).
+    * Conservative allowlist — UTF-16/EBCDIC and friends are not. */
+  def asciiTransparent(cs: JCharset): Boolean =
+    (cs eq StandardCharsets.UTF_8) || (cs eq StandardCharsets.US_ASCII) ||
+      (cs eq win1252) || cs.name() == "windows-1252" || cs.name() == "ISO-8859-1"
 }

@@ -142,6 +142,29 @@ object TextOps {
     fp
   }
 
+  /** Word-level sub-spans of an extracted text: [begin, end) char offsets,
+    * CJK codepoints as singleton words — the reference's CTC word-box
+    * refinement re-expressed over text offsets
+    * (/root/reference/src/oarocr/ocr.rs:862-933,988-995). */
+  def wordSpans(text: String): Array[(Int, Int)] = {
+    if (text == null) return Array.empty
+    val out = Array.newBuilder[(Int, Int)]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (graft.score.Classifier.isCjk(c)) { out += ((i, i + 1)); i += 1 }
+      else {
+        val s = i
+        while (i < n && !Character.isWhitespace(text.charAt(i)) &&
+          !graft.score.Classifier.isCjk(text.charAt(i))) i += 1
+        out += ((s, i))
+      }
+    }
+    out.result()
+  }
+
   def tokenize(text: String): Array[String] = {
     if (text == null) return Array.empty
     val out = Array.newBuilder[String]

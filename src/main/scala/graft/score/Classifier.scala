@@ -16,15 +16,30 @@ import graft.model.Block
   */
 object Classifier {
 
+  /** Threshold profile — the reference switches detection defaults per
+    * content class (text vs seal, /root/reference/src/oarocr/ocr.rs:264-301);
+    * our analogue switches the boilerplate gates per page class. */
+  final case class Profile(
+      maxLinkDensity: Double,
+      minContentWords: Int,
+      titleMaxLinkDensity: Double)
+
+  /** Default: long-form article extraction (boilerpipe's canonical gates). */
+  val Article: Profile = Profile(0.33, 3, 0.5)
+
+  /** Listings/forums: link-heavy snippets ARE the content — permissive link
+    * gate, shorter minimum. */
+  val Listing: Profile = Profile(0.75, 1, 0.9)
+
   /** link-density gate: blocks whose visible chars are mostly anchor text are
     * navigation, not content (boilerpipe's canonical rule) */
-  val MaxLinkDensity = 0.33
+  val MaxLinkDensity = Article.maxLinkDensity
   /** minimum words for a paragraph to count as content */
-  val MinContentWords = 3
+  val MinContentWords = Article.minContentWords
   /** line width used for the text-density line-equivalent */
   val LineWidth = 80.0
 
-  def classify(raw: Vector[RawBlock]): Vector[Block] =
+  def classify(raw: Vector[RawBlock], profile: Profile = Article): Vector[Block] =
     raw.zipWithIndex.map { case (b, i) =>
       val linkDensity =
         if (b.chars == 0) 0.0 else b.anchorChars.toDouble / b.chars
@@ -36,8 +51,8 @@ object Classifier {
         else if (b.chars == 0) false
         else b.kind match {
           case "table" => true // data tables kept verbatim (canonical HTML)
-          case "title" => b.chars >= 2 && linkDensity < 0.5
-          case _       => linkDensity <= MaxLinkDensity && words >= MinContentWords
+          case "title" => b.chars >= 2 && linkDensity < profile.titleMaxLinkDensity
+          case _       => linkDensity <= profile.maxLinkDensity && words >= profile.minContentWords
         }
       Block(
         idx = i, tag = b.tag, path = b.tag, kind = b.kind, level = b.level,

@@ -51,11 +51,14 @@ object MicroScale {
     for ((ms, i) <- slow)
       println(f"  slow page $i: $ms%.1f ms, ${pages(i).html.length / 1024} KiB, url=${pages(i).url}")
 
+    // host contention is bursty: min-of-3 per level, interleaved
+    val best = scala.collection.mutable.Map[Int, Double]().withDefaultValue(Double.MaxValue)
+    for (_ <- 0 until 3; k <- Seq(1, 8, 32))
+      best(k) = math.min(best(k), run(k))
     for (k <- Seq(1, 8, 32)) {
-      val s = run(k)
+      val s = best(k)
       println(f"threads=$k%2d secs=$s%7.2f pages/s=${n / s}%8.0f MB/s=${totalBytes / 1e6 / s}%7.1f")
     }
-    val s8 = run(8); val s32 = run(32)
-    println(f"kernel scaling 8->32: speedup=${s8 / s32}%.2f efficiency=${s8 / s32 / 4}%.3f")
+    println(f"kernel scaling 8->32: speedup=${best(8) / best(32)}%.2f efficiency=${best(8) / best(32) / 4}%.3f")
   }
 }

@@ -78,19 +78,16 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  /** Interleaved min-of-iters at both levels: the sandbox VM shows bursty
-    * host-side contention, so alternating lo/hi passes and keeping the best
-    * of each approximates uncontended steady state. */
-  def measurePair(dir: String, iters: Int): (Run, Run) = {
-    var lo: Run = null
-    var hi: Run = null
-    for (_ <- 0 until iters) {
-      val l = timedPass(8, dir)
-      if (lo == null || l.secs < lo.secs) lo = l
-      val h = timedPass(32, dir)
-      if (hi == null || h.secs < hi.secs) hi = h
+  /** Interleaved min-of-iters at each level: the sandbox VM shows bursty
+    * host-side contention, so alternating passes and keeping the best of each
+    * approximates uncontended steady state. */
+  def measureLevels(dir: String, levels: Seq[Int], iters: Int): Map[Int, Run] = {
+    val best = scala.collection.mutable.Map.empty[Int, Run]
+    for (_ <- 0 until iters; c <- levels) {
+      val r = timedPass(c, dir)
+      if (!best.contains(c) || r.secs < best(c).secs) best(c) = r
     }
-    (lo, hi)
+    best.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -104,13 +101,15 @@ object ScalingBench {
     val w = session(32)
     try { pass(w, dir, 32); pass(w, dir, 32) } finally w.stop()
 
-    val (lo, hi) = measurePair(dir, iters)
-    val speedup = lo.secs / hi.secs
-    val efficiency = speedup / (hi.cores.toDouble / lo.cores)
+    // two N->4N pairs: 2->8 (away from the shared-box bandwidth wall) and
+    // 8->32 (the driver-suggested pair; the single-JVM box saturates ~300MB/s)
+    val r = measureLevels(dir, Seq(2, 8, 32), iters)
+    def runJson(x: Run): String =
+      f""""cores":${x.cores},"secs":${x.secs}%.2f,"pages_per_sec":${x.pagesPerSec}%.0f,"mb_per_sec":${x.mbPerSec}%.1f"""
+    def eff(lo: Run, hi: Run): Double = (lo.secs / hi.secs) / (hi.cores.toDouble / lo.cores)
     println(
-      f"""{"bench":"scaling","n_pages":$n,"html_mb":${lo.bytes / 1e6}%.1f,""" +
-      f""""cores_lo":${lo.cores},"secs_lo":${lo.secs}%.2f,"pages_per_sec_lo":${lo.pagesPerSec}%.0f,"mb_per_sec_lo":${lo.mbPerSec}%.1f,""" +
-      f""""cores_hi":${hi.cores},"secs_hi":${hi.secs}%.2f,"pages_per_sec_hi":${hi.pagesPerSec}%.0f,"mb_per_sec_hi":${hi.mbPerSec}%.1f,""" +
-      f""""speedup":$speedup%.2f,"efficiency":$efficiency%.3f}""")
+      f"""{"bench":"scaling","n_pages":$n,"html_mb":${r(8).bytes / 1e6}%.1f,""" +
+      s""""levels":[{${runJson(r(2))}},{${runJson(r(8))}},{${runJson(r(32))}}],""" +
+      f""""efficiency_2_to_8":${eff(r(2), r(8))}%.3f,"efficiency_8_to_32":${eff(r(8), r(32))}%.3f}""")
   }
 }
