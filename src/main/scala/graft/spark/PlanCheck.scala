@@ -1,0 +1,74 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit for the headline queries: asserts the plan shapes that
+  * matter at 100 TB — filter/projection pushdown into the parquet scan,
+  * broadcast join for the small dimension side, whole-stage codegen spans in
+  * the relational shell. Prints each plan and a PASS/FAIL per assertion.
+  * runMain graft.spark.PlanCheck <sfDir>
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = 0
+    def check(name: String, plan: String, mustContain: Seq[String], mustNot: Seq[String] = Nil): Unit = {
+      for (m <- mustContain)
+        if (plan.contains(m)) println(s"PASS $name: contains '$m'")
+        else { println(s"FAIL $name: missing '$m'"); failures += 1 }
+      for (m <- mustNot)
+        if (!plan.contains(m)) println(s"PASS $name: no '$m'")
+        else { println(s"FAIL $name: unexpected '$m'"); failures += 1 }
+    }
+    def planOf(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    }
+
+    // r01: aggregation must be partial (map-side combine, partial_ before the
+    // exchange) and the executed plan codegen'd (AQE hides codegen markers in
+    // SimpleMode until the plan is finalized, so run it and inspect)
+    val r01 = planOf("r01_agg")
+    check("r01_agg", r01, Seq("HashAggregate", "partial_count"))
+    val r01df = graft.SparkEntry.queries("r01_agg")(spark, sfDir)
+    r01df.collect()
+    // '*' prefix = WholeStageCodegen in Spark 4 formatted explain
+    val r01Formatted = r01df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    check("r01_agg executed (codegen)", r01Formatted,
+      Seq("* HashAggregate", "* ColumnarToRow"))
+
+    // r02: explicit broadcast of orders must become a BroadcastHashJoin
+    val r02 = planOf("r02_join_agg")
+    check("r02_join_agg", r02, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
+
+    // d01: projection pruning — scan must read only doc_id + text
+    val d01 = planOf("d01_text_stats")
+    check("d01_text_stats", d01, Seq("ReadSchema: struct<doc_id:bigint,text:string>"))
+
+    // filter pushdown reaches the parquet source
+    val filtered = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === 42)
+      .select("l_orderkey", "l_quantity")
+    val fp = filtered.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("pushdown", fp, Seq("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)"))
+
+    // d03: query side must broadcast; corpus side must NOT shuffle before join
+    val d03 = planOf("d03_ann_topk")
+    check("d03_ann_topk", d03, Seq("BroadcastNestedLoopJoin"))
+
+    if (args.contains("--print")) {
+      println(r01); println(r02); println(d01); println(fp); println(d03)
+    }
+    println(if (failures == 0) "ALL PLAN CHECKS PASSED" else s"$failures PLAN CHECKS FAILED")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}
