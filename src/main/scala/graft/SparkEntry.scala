@@ -205,6 +205,9 @@ object SparkEntry {
     "d10_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), 0L until 10L, dim = 64, k = 10)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))),
+    "d13_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), 0L until 10L, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))),
     "d11_token_bpe" -> ((s, d) =>
       docs(s, d).select(col("doc_id").cast("long").as("doc_id"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens")).orderBy("doc_id")),

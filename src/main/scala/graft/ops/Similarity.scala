@@ -93,6 +93,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer over a
+    * driver-side sample partitions the corpus into cells; queries probe the
+    * `nProbe` nearest centroids and score only those cells (Jégou et al.,
+    * PAMI'11). One narrow assignment map over the corpus, broadcast
+    * centroids + queries, no corpus shuffle — the second standard scale path
+    * next to multi-probe LSH. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4, sampleN: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // coarse quantizer: k-means (10 iters, k-means++-less seeded init) on a
+    // deterministic sample — small and driver-side by design, like any IVF
+    // training step
+    val sample = vecs.map(_._2).limit(sampleN).collect()
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample(0).length
+    val rnd = new java.util.Random(seed)
+    var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
+      sample(rnd.nextInt(sample.length)).map(_.toDouble))
+    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      for (v <- sample) {
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    // assign corpus rows to cells (narrow map; no shuffle)
+    val assigned = vecs.map { case (id, v) => (nearest(v, bcCentroids.value), id, v) }
+      .toDF("cell", "neighbor_id", "n_emb")
+    // queries probe their nProbe nearest cells
+    val queries = vecs.filter(r => queryIds.contains(r._1)).collect()
+    val probes = queries.flatMap { case (qid, qv) =>
+      val byDist = centroids.indices.sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = qv(i) - centroids(c)(i); d += t * t; i += 1 }
+        d
+      }
+      byDist.take(nProbe).map(c => (c, qid, qv))
+    }
+    val qDF = spark.createDataset(probes.toSeq).toDF("cell", "query_id", "q_emb")
+    val scored = assigned.join(broadcast(qDF), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine >= threshold, upper
     * triangle only.
     *

@@ -108,6 +108,16 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("IVF top-k recall vs brute force >= 0.8 on clustered data") {
+    val qs = Seq(0L, 30L, 60L)
+    val bf = Similarity.bruteForceTopK(embeddings, qs, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(embeddings, qs, k = 5, nCells = 8, nProbe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("near-dup pairs by cosine: same-cluster pairs only at 0.9") {
     val pairs = Similarity.nearDupPairs(embeddings, 0.9).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
