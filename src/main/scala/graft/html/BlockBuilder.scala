@@ -108,7 +108,9 @@ object BlockBuilder {
         blkKind =
           if (blkLevel > 0) "title"
           else if (tag == "li" || tag == "dt" || tag == "dd") "list_item"
+          else if (tag == "pre") "preformatted"
           else "paragraph"
+        buf.verbatim = tag == "pre"
         blkDropped = dropDepth > 0
       }
 
@@ -288,9 +290,14 @@ object BlockBuilder {
   private[html] final class CollapseBuf(cap: Int) {
     private val buf = new java.lang.StringBuilder(cap)
     private var pendingSpace = false
-    def reset(): Unit = { buf.setLength(0); pendingSpace = false }
+    /** verbatim mode (<pre>): whitespace preserved exactly — the reference
+      * keeps special-content blocks raw
+      * (/root/reference/src/domain/structure.rs:310-316). */
+    var verbatim = false
+    def reset(): Unit = { buf.setLength(0); pendingSpace = false; verbatim = false }
     @inline def put(c: Char): Unit =
-      if (isWs(c)) { if (buf.length() > 0) pendingSpace = true }
+      if (verbatim) buf.append(c)
+      else if (isWs(c)) { if (buf.length() > 0) pendingSpace = true }
       else {
         if (pendingSpace) { buf.append(' '); pendingSpace = false }
         buf.append(c)

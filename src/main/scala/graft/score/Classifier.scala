@@ -51,6 +51,7 @@ object Classifier {
         else if (b.chars == 0) false
         else b.kind match {
           case "table" => true // data tables kept verbatim (canonical HTML)
+          case "preformatted" => linkDensity <= profile.maxLinkDensity // code/pre kept raw
           case "title" => b.chars >= 2 && linkDensity < profile.titleMaxLinkDensity
           case _       => linkDensity <= profile.maxLinkDensity && words >= profile.minContentWords
         }

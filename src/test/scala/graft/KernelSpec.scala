@@ -99,6 +99,15 @@ class KernelSpec extends AnyFunSuite {
     assert(tbl.cellRuns.length == 4)
   }
 
+  test("pre blocks: whitespace preserved verbatim, entities still decoded") {
+    val bs = blocksOf("<p>before text here ok</p><pre>  if (a &lt; b) {\n    x\n  }</pre><p>after text here ok</p>")
+    val pre = bs.find(_.kind == "preformatted").get
+    assert(pre.text == "  if (a < b) {\n    x\n  }")
+    assert(bs.map(_.kind) == Vector("paragraph", "preformatted", "paragraph"))
+    val kept = Classifier.classify(bs).filter(_.keep)
+    assert(kept.exists(_.kind == "preformatted"))
+  }
+
   test("charset: meta sniff + cp1252 decode") {
     val s = "<html><head><meta charset=\"windows-1252\"></head><body><p>café große words here</p></body></html>"
     val bytes = s.getBytes("windows-1252")
