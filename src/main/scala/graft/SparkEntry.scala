@@ -27,10 +27,17 @@ object SparkEntry {
   private def ev(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
+  /** documents row count per (session, dir), cached — several queries scale
+    * their synthetic inputs by it and a count() is a full Spark job. */
+  private val docCountCache =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]
+  private def docCount(spark: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate((spark, dir), docs(spark, dir).count())
+
   /** Deterministic fixture pages, 4x the documents row count of the sf. */
   private def fixturePages(spark: SparkSession, dir: String): Dataset[Page] = {
     import spark.implicits._
-    val n = docs(spark, dir).count() * 4
+    val n = docCount(spark, dir) * 4
     spark.range(n).as[Long]
       .mapPartitions(_.map(i => fixtures.FixtureGen.fixture(i).page))
   }
@@ -143,13 +150,13 @@ object SparkEntry {
     // ---- multimodal binary columns (stubbed decode, real plumbing) ---------
     "m01_media_meta" -> ((s, d) => {
       import s.implicits._
-      val n = docs(s, d).count() * 2
+      val n = docCount(s, d) * 2
       s.range(n).as[Long].map(id => (id, fixtures.FixtureGen.media(id))).toDF("media_id", "payload")
         .transform(df => ops.Multimodal.mediaMetaDF(s, df))
     }),
     "m02_media_ann" -> ((s, d) => {
       import s.implicits._
-      val n = docs(s, d).count() * 2
+      val n = docCount(s, d) * 2
       val media = s.range(n).as[Long].map(id => (id, fixtures.FixtureGen.media(id))).toDF("media_id", "payload")
       val embedded = ops.Multimodal.embedDF(s, media)
       Similarity.bruteForceTopK(embedded, 0L until 5L, k = 5)
@@ -177,9 +184,17 @@ object SparkEntry {
     }),
     "d06_simhash" -> ((s, d) => {
       import s.implicits._
-      docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      // signature surface + the banded pair path (Manku tables) in one query
+      val sigs = docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
         .map { case (id, t) => (id, Dedup.simhash(t)) }
         .toDF("doc_id", "simhash_sig")
+      val pairs = Dedup.simhashPairs(s, docs(s, d), maxHamming = 3)
+      val perDoc = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_neardups"))
+      sigs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash_sig"),
+          coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
     }),
     "d07_ngram_jaccard" -> ((s, d) => {
       val pairs = Dedup.ngramJaccardPairs(s, docs(s, d), threshold = 0.5)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for web-scale corpora. Each returns a DataFrame
   * suitable for the driver's oracle compare; all are shuffle-conscious:
@@ -71,7 +72,10 @@ object Dedup {
   def minhashPairs(spark: SparkSession, docs: DataFrame,
       bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
-    val sigs = minhashSignatures(spark, docs)
+    // persisted: feeds the banding pass AND both sides of the signature
+    // verify join — without it the full shingle+64-permutation pass over
+    // every document runs three times
+    val sigs = minhashSignatures(spark, docs).persist(StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = 64 / bands
     val banded = sigs.flatMap { s =>
       (0 until bands).iterator.map { b =>
@@ -133,25 +137,50 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (<=3 uses the
-    * 4-chunk pigeonhole: any pair within distance 3 shares at least one exact
-    * 16-bit chunk). Returns (doc_a, doc_b, hamming). */
-  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via
+    * Manku-style combined-chunk banding (Manku/Jain/Sarma, WWW'07 §3): the
+    * 64-bit signature is split into 5 chunks (13/13/13/13/12 bits) and every
+    * pair of chunks forms one of C(5,2)=10 band tables keyed on the ~26-bit
+    * chunk concatenation. Any pair within Hamming distance 3 flips bits in at
+    * most 3 chunks, leaving >= 2 chunks untouched, so it collides in at least
+    * one table — the pigeonhole guarantee — while the 26-bit keys give ~6.7e7
+    * buckets per table (vs 65k for naive 16-bit chunks, whose buckets go
+    * quadratic past ~1e9 docs). Hot buckets are capped like minhash's
+    * (skew guard, mirrors the reference's max-candidates cap in
+    * /root/reference/src/processors/db_postprocess.rs:81).
+    * Returns (doc_a, doc_b, hamming), exact-Hamming verified. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 256): DataFrame = {
     import spark.implicits._
+    // 5 chunk widths summing to 64; offsets precomputed
+    val widths = Array(13, 13, 13, 13, 12)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def chunk(sig: Long, c: Int): Long =
+      (sig >>> offsets(c)) & ((1L << widths(c)) - 1)
+    val tables = for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
     val sigs = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simhash(t)) }
-      .toDF("doc_id", "sig")
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("chunk"), shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("ck"))
-      .select(col("doc_id"), col("sig"), col("ck.chunk"), col("ck.key"))
-    val a = chunked.toDF("doc_a", "sig_a", "chunk", "key")
-    val b = chunked.toDF("doc_b", "sig_b", "chunk", "key")
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val banded = sigs.flatMap { case (id, sig) =>
+      tables.iterator.zipWithIndex.map { case ((i, j), t) =>
+        (t, (chunk(sig, i) << 13) | chunk(sig, j), id, sig)
+      }
+    }
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val rows = it.take(maxBucket + 1).map(r => (r._3, r._4)).toArray
+        if (rows.length > maxBucket) Iterator.empty // degenerate bucket: skip
+        else {
+          val sorted = rows.sortBy(_._1)
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+            h = java.lang.Long.bitCount(sorted(i)._2 ^ sorted(j)._2)
+            if h <= maxHamming
+          } yield (sorted(i)._1, sorted(j)._1, h)
+        }
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .distinct()
   }
 
@@ -162,32 +191,49 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 32): DataFrame = {
     import spark.implicits._
-    val grams = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        TextOps.tokenNgramHashes(TextOps.tokenize(if (t == null) "" else t.toLowerCase), n)
-          .distinct.iterator.map(g => (id, g))
+    // per-doc sorted distinct gram-hash sets; everything downstream derives
+    // from this one narrow pass (persisted: feeds the df count, the blocking
+    // join, and the verify join)
+    val gsets = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val hs = TextOps.tokenNgramHashes(
+          TextOps.tokenize(if (t == null) "" else t.toLowerCase), n).distinct.sorted
+        (id, hs)
       }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grams = gsets.flatMap { case (id, hs) => hs.iterator.map(g => (id, g)) }
       .toDF("doc_id", "gram")
     val rare = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
+    // candidate generation ONLY over df-capped grams: each rare gram yields
+    // <= maxDf^2 pair rows, so no hot-shingle explosion
     val candidates = grams.join(rare, "gram")
       .select(col("gram"), col("doc_id"))
     val pairs = candidates.toDF("gram", "doc_a")
       .join(candidates.toDF("gram", "doc_b"), "gram")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val inter = grams.toDF("doc_a", "gram")
-      .join(grams.toDF("doc_b", "gram"), "gram")
-      .filter(col("doc_a") < col("doc_b"))
-      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
-      .withColumn("jaccard_pct",
-        (lit(100) * col("n_inter") / (col("n_a") + col("n_b") - col("n_inter"))).cast("int"))
+    // exact verify: join the (small) candidate pair set with the per-doc gram
+    // sets and sorted-merge the intersection — the full `grams` table is
+    // never self-joined, so a stopword shingle with df=1e6 costs nothing here
+    pairs
+      .join(gsets.toDF("doc_a", "set_a"), "doc_a")
+      .join(gsets.toDF("doc_b", "set_b"), "doc_b")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("set_a"), col("set_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) =>
+        var i = 0; var j = 0; var inter = 0
+        while (i < sa.length && j < sb.length) {
+          val c = java.lang.Long.compare(sa(i), sb(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        val pct = (100.0 * inter / (sa.length + sb.length - inter)).toInt
+        (a, b, pct)
+      }
+      .toDF("doc_a", "doc_b", "jaccard_pct")
       .filter(col("jaccard_pct") >= (threshold * 100).toInt)
-      .select("doc_a", "doc_b", "jaccard_pct")
   }
 }

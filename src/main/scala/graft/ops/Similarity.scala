@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (Array[Float]).
   *
@@ -31,19 +31,64 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-partition bounded-heap top-k per query over (query_id, neighbor_id,
+    * sim) rows, then a merge of the tiny per-partition candidate sets.
+    *
+    * This replaces `row_number() over (partition by query_id)`: the window
+    * form shuffles every scored (corpus × query) row into ONE partition per
+    * query — for brute force that is the whole corpus in a single task, a
+    * straggler/OOM at scale. Here no partition ever emits more than
+    * |queries|·k candidate rows, and only those shuffle. Ordering is exact on
+    * (sim desc, neighbor_id asc) — bit-identical double compares — so ranks
+    * match the window/oracle version row for row. */
+  private[ops] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worse-first ordering for the eviction heap: lower sim is worse; equal
+    // sim and higher neighbor_id is worse (the rank tie-break inverted)
+    val worseFirst: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val partial = scored
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Long, Double)]]
+        it.foreach { case (qid, nid, sim) =>
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worseFirst))
+          if (h.size < k) h.enqueue((nid, sim))
+          else if (worseFirst.compare((nid, sim), h.head) < 0) {
+            h.dequeue(); h.enqueue((nid, sim))
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map(c => (qid, c._1, c._2)) }
+      }
+    partial
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double)]) =>
+        // ascending by worseFirst = best candidates first
+        val best = it.map(c => (c._2, c._3)).toArray.sorted(worseFirst).take(k)
+        best.iterator.zipWithIndex.map { case ((nid, _), i) => (qid, nid, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
+  }
+
   /** Exact top-k cosine neighbors for the query rows (vec_id in queryIds).
-    * Query side broadcast; corpus side never shuffled. */
+    * Query side broadcast; corpus side never shuffled; top-k via bounded
+    * per-partition heaps (only |queries|·k rows per partition ever shuffle). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane LSH: `bits`-bit signature; rows sharing a signature
@@ -87,10 +132,7 @@ object Similarity {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer over a
@@ -108,8 +150,16 @@ object Similarity {
       .as[(Long, Array[Float])]
     // coarse quantizer: k-means (10 iters, k-means++-less seeded init) on a
     // deterministic sample — small and driver-side by design, like any IVF
-    // training step
-    val sample = vecs.map(_._2).limit(sampleN).collect()
+    // training step. Ordering by a seeded hash of vec_id makes the sample (a)
+    // identical at any parallelism level — same-job-same-result across N and
+    // 4N executors — and (b) spread across the id space; orderBy+limit
+    // compiles to TakeOrdered (per-partition top-k + driver merge, no sort
+    // shuffle of the corpus).
+    val sample = emb
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(sampleN)
+      .select(col("embedding")).as[Array[Float]].collect()
     require(sample.nonEmpty, "empty corpus")
     val dim = sample(0).length
     val rnd = new java.util.Random(seed)
@@ -158,58 +208,74 @@ object Similarity {
     val scored = assigned.join(broadcast(qDF), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Exact near-duplicate pairs by embedding cosine >= threshold, upper
     * triangle only.
     *
-    * Executed as a broadcast-side block product: vectors are L2-normalized
-    * once, one block is broadcast, and each distributed row dots against the
-    * block in a tight JVM loop — the expression-tree version (zip_with +
-    * aggregate per pair) recomputes two O(d) norms per pair and ran 40x
-    * slower. At 100 TB the same kernel runs per broadcast BLOCK of the
-    * corpus (outer loop over blocks); maxBroadcast guards the driver. */
+    * Executed as a blocked broadcast product: the corpus is split into
+    * deterministic hash blocks of <= maxBroadcast vectors; the outer loop
+    * broadcasts ONE block at a time and every distributed row dots against it
+    * in a tight JVM loop, so driver/executor memory is bounded by the block
+    * size, never the corpus — no full-corpus collect anywhere. Each unordered
+    * pair is emitted exactly once (by the block holding the larger id, upper
+    * triangle), so the union over blocks is duplicate-free.
+    *
+    * Scores are computed as dot(a,b)/(norm(a)*norm(b)) over the RAW values
+    * (floats widened to double, summed in index order) — the same fold the
+    * DuckDB oracle performs — rather than normalize-then-dot, whose different
+    * rounding could flip pairs sitting exactly at the threshold.
+    *
+    * The expression-tree version (zip_with + aggregate per pair) recomputes
+    * two O(d) norms per pair and ran 40x slower; the single-broadcast version
+    * collected the whole corpus to the driver. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       maxBroadcast: Int = 1 << 20): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    def mix(id: Long): Long = { // splitmix64 finalizer: deterministic block hash
+      var z = id + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
+        val out = new Array[Double](v.length)
         var s = 0.0
         var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-        val n = math.sqrt(s)
-        val out = new Array[Double](v.length)
-        i = 0
-        while (i < v.length) { out(i) = if (n == 0) 0.0 else v(i) / n; i += 1 }
-        (id, out)
+        while (i < v.length) { val x = v(i).toDouble; out(i) = x; s += x * x; i += 1 }
+        (id, out, math.sqrt(s))
       }
-    val block = vecs.collect().sortBy(_._1)
-    require(block.length <= maxBroadcast,
-      s"corpus ${block.length} exceeds one broadcast block; loop over blocks at this scale")
-    val bc = spark.sparkContext.broadcast(block)
-    vecs.mapPartitions { it =>
-      val blk = bc.value
-      it.flatMap { case (idA, va) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var j = 0
-        while (j < blk.length) {
-          val (idB, vb) = blk(j)
-          if (idB > idA) {
-            var s = 0.0
-            var i = 0
-            while (i < va.length) { s += va(i) * vb(i); i += 1 }
-            if (s >= threshold) out += ((idA, idB))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val total = vecs.count()
+    val nBlocks = math.max(1L, (total + maxBroadcast - 1) / maxBroadcast).toInt
+    val parts = (0 until nBlocks).map { b =>
+      val block = (if (nBlocks == 1) vecs
+        else vecs.filter(r => java.lang.Long.remainderUnsigned(mix(r._1), nBlocks) == b))
+        .collect().sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(block)
+      vecs.mapPartitions { it =>
+        val blk = bc.value
+        it.flatMap { case (idA, va, na) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var j = 0
+          while (j < blk.length) {
+            val (idB, vb, nb) = blk(j)
+            if (idB > idA) {
+              var s = 0.0
+              var i = 0
+              while (i < va.length) { s += va(i) * vb(i); i += 1 }
+              if (s / (na * nb) >= threshold) out += ((idA, idB))
+            }
+            j += 1
           }
-          j += 1
+          out.iterator
         }
-        out.iterator
       }
-    }.toDF("id_a", "id_b")
+    }
+    parts.reduce(_ union _).toDF("id_a", "id_b")
   }
 }

@@ -125,6 +125,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a / 30 == b / 30 })
   }
 
+  test("near-dup pairs: blocked broadcast (maxBroadcast=16) matches single-block result") {
+    val one = Similarity.nearDupPairs(embeddings, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // 90 vectors with maxBroadcast=16 → 6 hash blocks; union must be
+    // duplicate-free and identical to the single-block answer
+    val blockedRows = Similarity.nearDupPairs(embeddings, 0.9, maxBroadcast = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(blockedRows.length == blockedRows.toSet.size, "blocked path emitted duplicate pairs")
+    assert(blockedRows.toSet == one)
+  }
+
+  test("top-k rank ordering is deterministic: sim desc then neighbor_id asc") {
+    // duplicate vectors force exact sim ties; ranks must break on neighbor_id
+    import spark.implicits._
+    val v = Array.tabulate(8)(_.toFloat + 1f)
+    val df = (0L until 6L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(df, Seq(0L), k = 5).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(res.toSeq == Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5)))
+  }
+
   test("langId identifies scripts and latin stopword languages") {
     assert(TextOps.langId("the cat and the dog went to the market and it is fine") == "en")
     assert(TextOps.langId("der hund und die katze sind schön und das ist gut") == "de")
