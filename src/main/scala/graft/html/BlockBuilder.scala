@@ -191,6 +191,7 @@ object BlockBuilder {
           } else if (containerTags.contains(name)) {
             flushBlock()
             blkTag = name; blkKind = "paragraph"; blkLevel = 0
+            buf.verbatim = false
             blkDropped = dropDepth > 0
           } else if (name == "br" || name == "hr") {
             buf.wsHint()
@@ -226,6 +227,7 @@ object BlockBuilder {
           } else if (sb) {
             flushBlock()
             blkTag = "body"; blkKind = "paragraph"; blkLevel = 0
+            buf.verbatim = false
             blkDropped = dropDepth > 0
           } else if (containerTags.contains(nm)) {
             flushBlock()
@@ -294,7 +296,11 @@ object BlockBuilder {
       * keeps special-content blocks raw
       * (/root/reference/src/domain/structure.rs:310-316). */
     var verbatim = false
-    def reset(): Unit = { buf.setLength(0); pendingSpace = false; verbatim = false }
+    // verbatim survives reset(): the mode belongs to the CURRENT block tag,
+    // which outlives a mid-block flush (an <hr> or nested container inside
+    // <pre> must not flip the rest of the pre to collapsed whitespace);
+    // every blkTag (re)assignment site sets it explicitly
+    def reset(): Unit = { buf.setLength(0); pendingSpace = false }
     @inline def put(c: Char): Unit =
       if (verbatim) buf.append(c)
       else if (isWs(c)) { if (buf.length() > 0) pendingSpace = true }

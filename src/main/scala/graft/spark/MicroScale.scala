@@ -21,19 +21,19 @@ object MicroScale {
       val done = new CountDownLatch(threads)
       val pool = Executors.newFixedThreadPool(threads)
       val t0 = System.nanoTime()
-      var failures = 0
+      val failures = new AtomicInteger(0) // written from pool threads
       for (_ <- 0 until threads) pool.execute { () =>
         var i = idx.getAndIncrement()
         while (i < n) {
           val r = graft.Extractor.extract(pages(i))
-          if (r.error.nonEmpty) failures += 1
+          if (r.error.nonEmpty) failures.incrementAndGet()
           i = idx.getAndIncrement()
         }
         done.countDown()
       }
       done.await()
       pool.shutdown()
-      require(failures == 0)
+      require(failures.get() == 0)
       (System.nanoTime() - t0) / 1e9
     }
 

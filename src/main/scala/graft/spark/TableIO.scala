@@ -40,6 +40,13 @@ object TableIO {
       committedAtEpochMs: Long
   )
 
+  /** Files.list holds a directory fd until the stream is closed — long runs
+    * list thousands of unit dirs, so every listing goes through this. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val st = Files.list(dir)
+    try f(st.iterator().asScala) finally st.close()
+  }
+
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
@@ -52,21 +59,19 @@ object TableIO {
   def committedUnits(root: String): Set[Int] = {
     val md = manifestDir(root)
     if (!Files.isDirectory(md)) return Set.empty
-    Files.list(md).iterator().asScala
-      .map(_.getFileName.toString)
+    listDir(md)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("unit-") && s.endsWith(".json") =>
         s.stripPrefix("unit-").stripSuffix(".json").toInt
       }
-      .toSet
+      .toSet)
   }
 
   def readManifests(root: String): Seq[UnitManifest] = {
     val md = manifestDir(root)
     if (!Files.isDirectory(md)) return Seq.empty
-    Files.list(md).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("unit-"))
+    listDir(md)(_.filter(p => p.getFileName.toString.startsWith("unit-"))
       .map(p => parseManifest(Files.readString(p)))
-      .toSeq.sortBy(_.unitId)
+      .toSeq).sortBy(_.unitId)
   }
 
   /** Scratch dir for a run's pending unit output. */
@@ -94,9 +99,7 @@ object TableIO {
   def cullScratch(root: String): Unit = {
     val dd = dataDir(root)
     if (!Files.isDirectory(dd)) return
-    Files.list(dd).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".run-"))
-      .toList
+    listDir(dd)(_.filter(_.getFileName.toString.startsWith(".run-")).toList)
       .foreach(deleteRecursively)
   }
 
@@ -106,11 +109,11 @@ object TableIO {
       .filter(p => hasParquet(Paths.get(p)))
 
   private def hasParquet(p: Path): Boolean =
-    Files.isDirectory(p) && Files.list(p).iterator().asScala.exists(_.toString.endsWith(".parquet"))
+    Files.isDirectory(p) && listDir(p)(_.exists(_.toString.endsWith(".parquet")))
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+      listDir(p)(_.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

@@ -29,6 +29,13 @@ class KernelSpec extends AnyFunSuite {
     assert(bs.map(_.text) == Vector("real content words here now"))
   }
 
+  test("pre: verbatim mode survives a mid-block flush (hr inside pre)") {
+    val bs = blocksOf("<pre>line  one\n<hr>line  two\n   indented</pre>")
+    // both halves keep exact whitespace; the hr only splits the block
+    assert(bs.map(_.text) == Vector("line  one\n", "line  two\n   indented"))
+    assert(bs.forall(_.kind == "preformatted"))
+  }
+
   test("tokenizer: comments, doctype, PI skipped; literal < kept") {
     val bs = blocksOf("<!DOCTYPE html><!-- c --><p>a &lt; b and 1 < 2 ok</p>")
     assert(bs.map(_.text) == Vector("a < b and 1 < 2 ok"))
