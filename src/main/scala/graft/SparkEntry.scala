@@ -130,6 +130,13 @@ object SparkEntry {
           TextOps.wordSpans(t).iterator.zipWithIndex.map { case ((b, e), i) => (url, i, b, e) }
         }.toDF("url", "word_idx", "begin_char", "end_char")
     }),
+    "x11_figures" -> ((s, d) => {
+      import s.implicits._
+      // harvested figure/caption/formula blocks (markdown-parity surface)
+      blocks(s, d).filter(col("block.kind").isin("figure", "caption", "formula"))
+        .select(col("url"), col("block.idx").as("idx"), col("block.kind").as("kind"),
+          col("block.keep").as("keep"), col("block.text").as("text"))
+    }),
     "x10_profile_listing" -> ((s, d) => {
       import s.implicits._
       // alternate scoring profile (reference's per-class config switch):

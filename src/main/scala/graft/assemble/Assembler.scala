@@ -37,6 +37,9 @@ object TitleLevel {
   *   - title  -> "#"*level + " " + text
   *   - paragraph -> text
   *   - list_item -> "- " + text
+  *   - figure -> "![Figure](alt)"   (structure.rs:318-326 Image/Chart)
+  *   - caption -> "*text*"           (structure.rs:337-343 captions)
+  *   - formula -> "$$text$$"         (structure.rs:310-316 Formula)
   *   - table -> canonical single-line HTML (tables retain HTML,
   *     /root/reference/src/oarocr/stitching.rs:9-12)
   *   - blocks joined by "\n\n"
@@ -57,6 +60,9 @@ object Assembler {
           while (i < lvl) { sb.append('#'); i += 1 }
           sb.append(' ').append(b.text)
         case "list_item" => sb.append("- ").append(b.text)
+        case "figure"    => sb.append("![Figure](").append(b.text).append(')')
+        case "caption"   => sb.append('*').append(b.text).append('*')
+        case "formula"   => sb.append("$$").append(b.text).append("$$")
         case _           => sb.append(b.text)
       }
     }

@@ -187,6 +187,39 @@ object FixtureGen {
         html.append("</ul>")
       }
 
+      // optional figure: img alt harvested as ![Figure](alt), figcaption as *caption*
+      if (r.nextInt(10) < 3) {
+        var alt = (0 until 2 + r.nextInt(4)).map(i => wordFor(lang, pieceSeed + i * 19 + 3)).mkString(" ")
+        var altExp = alt
+        if (r.nextInt(3) == 0) { // entity inside the alt attribute value
+          var ei = r.nextInt(entityPairs.length)
+          if (cp1252 && ei == 2) ei = 0
+          val (h, e) = entityPairs(ei)
+          alt = alt + h; altExp = altExp + e
+        }
+        html.append("<figure><img src=\"/img").append(s).append(".png\" alt=\"").append(alt).append("\">")
+        pieces += s"![Figure]($altExp)"
+        spanCount += 1
+        if (r.nextInt(3) > 0) {
+          val cap = (0 until 3 + r.nextInt(4)).map(i => wordFor(lang, pieceSeed + i * 23 + 8)).mkString(" ")
+          html.append("<figcaption>").append(cap).append("</figcaption>")
+          pieces += s"*$cap*"
+          spanCount += 1
+        }
+        html.append("</figure>")
+        // decorative alt-less image: must NOT produce a block
+        if (r.nextInt(2) == 0) html.append("<img src=\"/spacer.gif\">")
+      }
+
+      // optional formula: math subtree rendered $$...$$
+      if (r.nextInt(10) < 2) {
+        val a = 1 + r.nextInt(9); val b2 = 1 + r.nextInt(9)
+        html.append("<math><mi>x</mi><mo>=</mo><mn>").append(a)
+          .append("</mn><mo>+</mo><mn>").append(b2).append("</mn></math>")
+        pieces += ("$$" + s"x=$a+$b2" + "$$")
+        spanCount += 1
+      }
+
       // optional data table (border => captured)
       if (r.nextInt(10) < 3) {
         val nRows = 2 + r.nextInt(3)
@@ -210,6 +243,32 @@ object FixtureGen {
             row += ((1, colSpan, hdr, txt))
             spanCount += 1
             ci += colSpan
+          }
+          html.append("</tr>")
+          rows += row.result()
+        }
+        html.append("</table>")
+        pieces += TableGrid.render(TableGrid.resolve(rows.result()))
+      }
+
+      // optional wireless data table: CSS-styled, NO border attr — captured
+      // via the structural probe (>=2 th, >=2 rows, no block content)
+      if (r.nextInt(10) < 2) {
+        val nRows = 2 + r.nextInt(3)
+        val nCols = 2 + r.nextInt(2)
+        val rows = Vector.newBuilder[Vector[(Int, Int, Boolean, String)]]
+        html.append("<table class=\"data-grid\">")
+        for (ri <- 0 until nRows) {
+          html.append("<tr>")
+          val row = Vector.newBuilder[(Int, Int, Boolean, String)]
+          for (ci <- 0 until nCols) {
+            val hdr = ri == 0
+            val txt = wordFor(lang, pieceSeed + ri * 61 + ci * 13 + 21)
+            val tag = if (hdr) "th" else "td"
+            html.append('<').append(tag).append('>').append(txt)
+              .append("</").append(tag).append('>')
+            row += ((1, 1, hdr, txt))
+            spanCount += 1
           }
           html.append("</tr>")
           rows += row.result()

@@ -1,6 +1,6 @@
 package graft.html
 
-import java.nio.charset.StandardCharsets
+import java.nio.charset.{Charset => JCharset, StandardCharsets}
 
 /** Minimal attribute scanner over the raw in-tag byte slice the tokenizer
   * hands out. Only called for tags whose attributes matter (meta, table,
@@ -9,9 +9,12 @@ import java.nio.charset.StandardCharsets
 object Attrs {
 
   /** Parse `name=value` pairs in html[from,until). Names lower-cased;
-    * values unquoted/entity-left-as-is. Valueless attrs map to "".
+    * values unquoted/entity-left-as-is, decoded with `cs` (attribute VALUES
+    * may carry page-charset text, e.g. img alt; tag/attr names are ASCII).
+    * Valueless attrs map to "".
     */
-  def parse(html: Array[Byte], from: Int, until: Int): Map[String, String] = {
+  def parse(html: Array[Byte], from: Int, until: Int,
+      cs: JCharset = StandardCharsets.UTF_8): Map[String, String] = {
     var i = from
     var out = Map.empty[String, String]
     @inline def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
@@ -29,12 +32,12 @@ object Attrs {
             val q = html(i); i += 1
             val vs = i
             while (i < until && html(i) != q) i += 1
-            out += name -> new String(html, vs, i - vs, StandardCharsets.UTF_8)
+            out += name -> new String(html, vs, i - vs, cs)
             if (i < until) i += 1
           } else {
             val vs = i
             while (i < until && !isSpace(html(i))) i += 1
-            out += name -> new String(html, vs, i - vs, StandardCharsets.UTF_8)
+            out += name -> new String(html, vs, i - vs, cs)
           }
         } else if (name.nonEmpty) {
           out += name -> ""

@@ -40,7 +40,8 @@ object BlockBuilder {
     "pagination|masthead)(?:$|[\\s_-])")
 
   private val blockTags = Set("p", "h1", "h2", "h3", "h4", "h5", "h6", "li",
-    "pre", "blockquote", "figcaption", "dt", "dd", "td", "th", "caption")
+    "pre", "blockquote", "figcaption", "dt", "dd", "td", "th", "caption",
+    "math")
 
   private val containerTags = Set("div", "section", "article", "main", "body",
     "html", "ul", "ol", "dl", "table", "thead", "tbody", "tfoot", "tr",
@@ -109,6 +110,8 @@ object BlockBuilder {
           if (blkLevel > 0) "title"
           else if (tag == "li" || tag == "dt" || tag == "dd") "list_item"
           else if (tag == "pre") "preformatted"
+          else if (tag == "figcaption") "caption"   // rendered *text* (structure.rs:337-343)
+          else if (tag == "math") "formula"         // rendered $$text$$ (structure.rs:310-316)
           else "paragraph"
         buf.verbatim = tag == "pre"
         blkDropped = dropDepth > 0
@@ -172,8 +175,14 @@ object BlockBuilder {
         if (!startedDrop) {
           if (name == "table") {
             val attrs = Attrs.parse(html, ab, ae)
+            // "wired" table: explicitly marked data (border attr / ARIA role);
+            // "wireless": CSS-styled data table detected structurally by the
+            // forward probe (th density + regular rows, no block content) —
+            // the analogue of the reference's wired/wireless/unknown
+            // classification (/root/reference/src/oarocr/table_analyzer.rs:177-198)
             val isData = attrs.contains("border") ||
-              attrs.get("role").exists(_.equalsIgnoreCase("table"))
+              attrs.get("role").exists(_.equalsIgnoreCase("table")) ||
+              probeDataTable(html, ae)
             if (isData) {
               flushBlock()
               tblDepth = 1
@@ -186,6 +195,23 @@ object BlockBuilder {
             }
           } else if (name == "a") {
             anchorDepth += 1; startedAnchor = true
+          } else if (name == "img") {
+            // figure harvesting: an <img> with non-empty alt is a standalone
+            // figure element whose caption is the alt text — the domain
+            // analogue of the reference's Image/Chart layout element rendered
+            // ![Figure](caption) (/root/reference/src/domain/structure.rs:318-326).
+            // Alt-less images carry no text and are ignored.
+            val attrs = Attrs.parse(html, ab, ae, cs)
+            val alt = attrs.getOrElse("alt", "")
+            if (alt.nonEmpty) {
+              val cb = new CollapseBuf(32)
+              val nonWs = cb.putRun(alt) // entity-decode + ws-collapse
+              if (nonWs > 0) {
+                flushBlock()
+                out += RawBlock("img", "figure", 0, cb.result(), ab.toLong,
+                  ae.toLong, nonWs, 0, dropDepth > 0, Array.empty)
+              }
+            }
           } else if (blockTags.contains(name)) {
             startBlock(name); startedBlock = true
           } else if (containerTags.contains(name)) {
@@ -279,6 +305,60 @@ object BlockBuilder {
     Tokenizer.tokenize(html, sink)
     sink.finish()
     out.result()
+  }
+
+  /** Forward probe from just past a `<table>` open tag: is this a CSS-styled
+    * DATA table (no border attr / role) rather than a layout table?
+    *
+    * Wireless criteria (mirroring the reference's wireless-table class,
+    * /root/reference/src/oarocr/table_analyzer.rs:177-198): at least 2 header
+    * cells and 2 rows, and the table's own level contains no nested table and
+    * no block-level content (div/p/ul/h*) — block content inside cells is the
+    * signature of page-layout tables. Scan is capped at 64 KB; a table bigger
+    * than that without resolving is treated as layout (safe default).
+    */
+  private val probeBlockTags = Set("div", "p", "ul", "ol", "dl", "section",
+    "article", "h1", "h2", "h3", "h4", "h5", "h6")
+  private[html] def probeDataTable(html: Array[Byte], from: Int): Boolean = {
+    val limit = math.min(html.length, from + 64 * 1024)
+    var i = from
+    var depth = 0 // nested-table depth relative to the probed table
+    var th = 0
+    var tr = 0
+    var nested = false
+    var block = false
+    @inline def lower(b: Byte): Char =
+      (if (b >= 'A' && b <= 'Z') b + 32 else b.toInt).toChar
+    while (i < limit) {
+      if (html(i) == '<') {
+        var j = i + 1
+        val closing = j < limit && html(j) == '/'
+        if (closing) j += 1
+        val ns = j
+        while (j < limit && ((html(j) >= 'a' && html(j) <= 'z') ||
+          (html(j) >= 'A' && html(j) <= 'Z') || (html(j) >= '0' && html(j) <= '9'))) j += 1
+        if (j > ns) {
+          val sb = new java.lang.StringBuilder(j - ns)
+          var k = ns
+          while (k < j) { sb.append(lower(html(k))); k += 1 }
+          val name = sb.toString
+          if (name == "table") {
+            if (closing) {
+              if (depth == 0)
+                return th >= 2 && tr >= 2 && !nested && !block
+              depth -= 1
+            } else { depth += 1; nested = true }
+            if (nested) return false // page-layout signature: stop scanning
+          } else if (depth == 0 && !closing) {
+            if (name == "th") th += 1
+            else if (name == "tr") tr += 1
+            else if (probeBlockTags.contains(name)) return false
+          }
+        }
+      }
+      i += 1
+    }
+    false // unterminated / oversized: layout (safe default)
   }
 
   @inline private[html] def isWs(c: Char): Boolean =

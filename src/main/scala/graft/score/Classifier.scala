@@ -53,6 +53,8 @@ object Classifier {
           case "table" => true // data tables kept verbatim (canonical HTML)
           case "preformatted" => linkDensity <= profile.maxLinkDensity // code/pre kept raw
           case "title" => b.chars >= 2 && linkDensity < profile.titleMaxLinkDensity
+          case "figure" | "formula" => true // harvested alt/math text IS content; no length gate
+          case "caption" => linkDensity <= profile.maxLinkDensity // captions are short by nature: no word minimum
           case _       => linkDensity <= profile.maxLinkDensity && words >= profile.minContentWords
         }
       Block(

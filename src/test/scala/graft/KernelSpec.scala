@@ -36,6 +36,34 @@ class KernelSpec extends AnyFunSuite {
     assert(bs.forall(_.kind == "preformatted"))
   }
 
+  test("figure harvesting: img alt becomes a figure block, entity-decoded; alt-less ignored") {
+    val bs = blocksOf("<p>before text here now</p><img src=\"/a.png\" alt=\"a fish &amp; chips shot\">" +
+      "<img src=\"/spacer.gif\"><figcaption>the caption words</figcaption>")
+    assert(bs.map(b => (b.kind, b.text)) == Vector(
+      ("paragraph", "before text here now"),
+      ("figure", "a fish & chips shot"),
+      ("caption", "the caption words")))
+  }
+
+  test("formula: math subtree collapses to a formula block") {
+    val bs = blocksOf("<math><mi>x</mi><mo>=</mo><mn>4</mn><mo>+</mo><mn>2</mn></math>")
+    assert(bs.map(b => (b.kind, b.text)) == Vector(("formula", "x=4+2")))
+  }
+
+  test("wireless table probe: th-density data table captured; layout tables not") {
+    // CSS-styled data table: 2 th + 2 rows, no border attr
+    val data = blocksOf("<table class=\"grid\"><tr><th>a</th><th>b</th></tr>" +
+      "<tr><td>1</td><td>2</td></tr></table>")
+    assert(data.exists(_.kind == "table"), "wireless data table not captured")
+    // layout table: td-only single row
+    val layout = blocksOf("<table><tr><td>left col words</td><td>right col words</td></tr></table>")
+    assert(!layout.exists(_.kind == "table"))
+    // block content inside => layout even with th
+    val pageLayout = blocksOf("<table><tr><th>x</th><th>y</th></tr>" +
+      "<tr><td><div>whole page content</div></td><td>z</td></tr></table>")
+    assert(!pageLayout.exists(_.kind == "table"))
+  }
+
   test("tokenizer: comments, doctype, PI skipped; literal < kept") {
     val bs = blocksOf("<!DOCTYPE html><!-- c --><p>a &lt; b and 1 < 2 ok</p>")
     assert(bs.map(_.text) == Vector("a < b and 1 < 2 ok"))
