@@ -318,62 +318,161 @@ object FixtureGen {
 
   // ---- synthetic PDF payload ----------------------------------------------
 
-  /** Pages of positioned text boxes in 1-3 columns; expected text derived
-    * from the known column/line structure (column-major, lines '\n'-joined,
-    * same-line fragments joined with space-after-ASCII-alpha). */
+  /** Synthetic PDF pages exercising the whole layout branch: multi-column
+    * body pages (region grouping + soft-wrap) and single-column "rich" pages
+    * (header/footer <small>, titles, figures, tables with cell reconcile).
+    * The oracle inlines every rule (soft-wrap right-gap, needs-space join,
+    * element order, grid render) over the KNOWN geometry rather than calling
+    * the engine — a real independent byte-identity check. */
   private def genPdf(r: java.util.Random, lang: String): (Array[Byte], String, Int) = {
     val sb = new java.lang.StringBuilder(2048)
-    sb.append("%PDF-GRAFT 1\n")
-    val nPages = 1 + r.nextInt(4)
+    sb.append("%PDF-GRAFT 2\n")
+    def d1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    @inline def needsSpace(acc: CharSequence): Boolean =
+      acc.length > 0 && {
+        val ch = acc.charAt(acc.length - 1)
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
+      }
+    def words(n: Int): String = (0 until n).map(_ => wordFor(lang, r.nextInt(4096))).mkString(" ")
+
+    val nPages = 1 + r.nextInt(3)
     val pageTexts = Vector.newBuilder[String]
     var nSpans = 0
     for (_ <- 0 until nPages) {
       sb.append("P 600 800\n")
-      val nCols = 1 + r.nextInt(3)
-      val colW = 600.0 / nCols
-      val lines = Vector.newBuilder[String]
-      // emit boxes in shuffled order to force the XY-cut to do real work
-      val emit = new scala.collection.mutable.ArrayBuffer[String]()
-      for (c <- 0 until nCols) {
-        val x0 = c * colW + 10
-        val nLines = 2 + r.nextInt(7)
-        for (l <- 0 until nLines) {
-          val y = 40 + l * 22
-          val nFrag = 1 + r.nextInt(3)
-          val frags = new scala.collection.mutable.ArrayBuffer[String]()
-          var x = x0
-          // total line width must stay inside the column so the X projection
-          // keeps a clean gap between columns
-          val fragBudget = (colW - 40.0) / nFrag - 1.0
-          for (f <- 0 until nFrag) {
-            val t = (0 until 1 + r.nextInt(3)).map(i => wordFor(lang, r.nextInt(4096))).mkString(" ")
-            val w = math.max(8.0, math.min(t.length * 3.0, fragBudget))
-            // locale-independent number formatting (the parser expects '.')
-            def d1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-            emit += s"T ${d1(x)} ${d1(y)} ${d1(w)} 12.0 $t"
-            frags += t
-            x += w + 0.5
+      val pieces = Vector.newBuilder[String]
+      val bodyEmit = new scala.collection.mutable.ArrayBuffer[String]() // T lines, shuffled
+      val fixedEmit = new scala.collection.mutable.ArrayBuffer[String]() // H/F/L/G/R/C/D, ordered
+
+      /** One text region at [x0, colRight]: nParas paragraphs of 2-4 lines
+        * each, lines 22 apart (same region), full lines ending exactly at
+        * colRight (soft wrap), each paragraph's last line short (right gap
+        * 50% > 30% => hard break). Appends T lines + expected pieces. */
+      def emitRegion(x0: Double, colRight: Double, yStart: Double, nParas: Int): Double = {
+        val wTot = colRight - x0
+        var y = yStart
+        val region = new java.lang.StringBuilder(256)
+        var prevHard = false
+        for (_ <- 0 until nParas) {
+          val nLines = 2 + r.nextInt(3)
+          for (l <- 0 until nLines) {
+            val isLast = l == nLines - 1
+            val lineEnd = if (isLast) x0 + wTot * 0.45 else colRight
+            val span = lineEnd - x0
+            val nFrag = 1 + r.nextInt(3)
+            val fw = (span - 0.5 * (nFrag - 1)) / nFrag
+            val line = new java.lang.StringBuilder(64)
+            for (f <- 0 until nFrag) {
+              val t = words(1 + r.nextInt(3))
+              val x = x0 + f * (fw + 0.5)
+              bodyEmit += s"T ${d1(x)} ${d1(y)} ${d1(fw)} 12.0 $t"
+              nSpans += 1
+              if (needsSpace(line)) line.append(' ')
+              line.append(t)
+            }
+            if (region.length() > 0) {
+              if (prevHard) region.append('\n')
+              else if (needsSpace(region)) region.append(' ')
+            }
+            region.append(line)
+            prevHard = isLast
+            y += 22.0
+          }
+        }
+        region.toString.split('\n').filter(_.nonEmpty).foreach(pieces += _)
+        y
+      }
+
+      val rich = r.nextInt(10) < 5
+      if (!rich) {
+        // multi-column body page: regions read column-major
+        val nCols = 1 + r.nextInt(3)
+        val colW = 600.0 / nCols
+        for (c <- 0 until nCols) {
+          val x0 = c * colW + 10
+          emitRegion(x0, x0 + colW - 40, 40.0, 1 + r.nextInt(2))
+        }
+      } else {
+        // single-column rich page: header, titles, figures, table, footer —
+        // all full-width and vertically stacked so the enhanced sort's
+        // expected order is the construction (y) order
+        val x0 = 10.0; val colRight = 590.0
+        if (r.nextInt(10) < 6) {
+          val t = words(2 + r.nextInt(2))
+          fixedEmit += s"H ${d1(x0)} 8.0 580.0 10.0 $t"
+          pieces += s"<small>$t</small>"
+          nSpans += 1
+        }
+        var y = 40.0
+        if (r.nextInt(2) == 0) {
+          val t = words(2 + r.nextInt(3))
+          fixedEmit += s"L ${d1(x0)} ${d1(y)} 580.0 16.0 1 $t"
+          pieces += "# " + t
+          nSpans += 1
+          y += 46.0
+        }
+        val nSections = 1 + r.nextInt(2)
+        for (_ <- 0 until nSections) {
+          if (r.nextInt(10) < 7) {
+            val t = words(2 + r.nextInt(3))
+            fixedEmit += s"L ${d1(x0)} ${d1(y)} 580.0 14.0 2 $t"
+            pieces += "## " + t
             nSpans += 1
+            y += 44.0
           }
-          // same-line join: space only after ASCII alphabetic (oracle inlines
-          // the rule rather than calling the engine's JoinRules)
-          val line = frags.foldLeft("") { (acc, f) =>
-            if (acc.nonEmpty && {
-              val ch = acc.charAt(acc.length - 1)
-              (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z')
-            }) acc + " " + f
-            else acc + f
+          y = emitRegion(x0, colRight, y, 1 + r.nextInt(3))
+          y += 30.0 // region gap
+          if (r.nextInt(10) < 4) {
+            val cap = words(2 + r.nextInt(3))
+            fixedEmit += s"G ${d1(x0)} ${d1(y)} 580.0 60.0 $cap"
+            pieces += s"![Figure]($cap)"
+            nSpans += 1
+            y += 90.0
           }
-          lines += line
+          if (r.nextInt(10) < 4) {
+            // table: rows x cols grid at (10, y), cell 100x24
+            val nRows = 2 + r.nextInt(2)
+            val nCols = 2 + r.nextInt(2)
+            val cw = 100.0; val ch = 24.0
+            fixedEmit += s"R ${d1(x0)} ${d1(y)} ${d1(cw * nCols)} ${d1(ch * nRows)} $nRows $nCols"
+            val variant = r.nextInt(4) // 0,1: C cells; 2: C + jittered D; 3: no cells (kmeans)
+            val gridRows = Vector.newBuilder[Vector[(Int, Int, Boolean, String)]]
+            for (ri <- 0 until nRows) {
+              val row = Vector.newBuilder[(Int, Int, Boolean, String)]
+              for (ci <- 0 until nCols) {
+                val cx = x0 + ci * cw; val cy = y + ri * ch
+                if (variant <= 2) fixedEmit += s"C ${d1(cx)} ${d1(cy)} ${d1(cw)} ${d1(ch)}"
+                if (variant == 2) {
+                  val jx = (r.nextInt(5) - 2) * 0.5; val jy = (r.nextInt(5) - 2) * 0.5
+                  fixedEmit += s"D ${d1(cx + jx)} ${d1(cy + jy)} ${d1(cw)} ${d1(ch)}"
+                }
+                val t = words(1 + r.nextInt(2))
+                bodyEmit += s"T ${d1(cx + 2)} ${d1(cy + 6)} ${d1(math.min(cw - 6, 4.0 + t.length * 3.0))} 12.0 $t"
+                nSpans += 1
+                row += ((1, 1, false, t))
+              }
+              gridRows += row.result()
+            }
+            pieces += TableGrid.render(TableGrid.resolve(gridRows.result()))
+            y += ch * nRows + 30.0
+          }
+        }
+        if (r.nextInt(10) < 6) {
+          val t = words(2 + r.nextInt(2))
+          fixedEmit += s"F ${d1(x0)} 780.0 580.0 12.0 $t"
+          pieces += s"<small>$t</small>"
+          nSpans += 1
         }
       }
-      // shuffle emission order deterministically
-      val order = emit.indices.toArray
+
+      // shuffle T-line emission deterministically (layout must re-derive order)
+      val order = bodyEmit.indices.toArray
       var i = order.length - 1
       while (i > 0) { val j = r.nextInt(i + 1); val t = order(i); order(i) = order(j); order(j) = t; i -= 1 }
-      for (k <- order) sb.append(emit(k)).append('\n')
+      for (line <- fixedEmit) sb.append(line).append('\n')
+      for (k <- order) sb.append(bodyEmit(k)).append('\n')
       sb.append("E\n")
-      pageTexts += lines.result().mkString("\n")
+      pageTexts += pieces.result().mkString("\n\n")
     }
     val expected = pageTexts.result().mkString("\n\n--- Page Break ---\n\n")
     (sb.toString.getBytes(StandardCharsets.UTF_8), expected, nSpans)

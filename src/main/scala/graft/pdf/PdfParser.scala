@@ -1,24 +1,35 @@
 package graft.pdf
 
-import graft.geom.{Box, XYCut}
-import graft.assemble.JoinRules
+import graft.geom.{Box, Cells, Geom, LayoutSort}
+import graft.assemble.{JoinRules, TitleLevel}
+import graft.html.TableGrid
 import graft.model.Span
 
 /** Embedded-PDF payload branch: magic-byte sniff + columnar page-segmentation
   * parse, the analogue of the reference's PDF render path
   * (/root/reference/src/bin/server/pdf.rs:69-152, sniff :167-169) feeding the
-  * XY-cut reading-order sort
-  * (/root/reference/src/processors/sorting.rs:161-493).
+  * layout pipeline: region grouping, enhanced reading-order sort
+  * (/root/reference/src/processors/layout_sorting.rs:125-471), table cell
+  * reconciliation (/root/reference/src/processors/layout_utils.rs:255-534),
+  * and the smart-join soft-wrap rule
+  * (/root/reference/src/oarocr/stitching.rs:603-697).
   *
   * The container libraries for real PDF decoding are not available here, so
   * the payload is a deterministic synthetic dialect (FIXTURES.md §2) carrying
-  * exactly what the layout branch consumes — positioned text boxes:
+  * exactly what the layout branch consumes — positioned element boxes:
   *
   * {{{
-  * %PDF-GRAFT 1\n
-  * P <w> <h>\n                 -- page start
-  * T <x> <y> <w> <h> <text>\n  -- one positioned text box (text = rest of line)
-  * E\n                         -- page end
+  * %PDF-GRAFT 2\n
+  * P <w> <h>\n                  -- page start
+  * T <x> <y> <w> <h> <text>\n   -- body text box (text = rest of line)
+  * H <x> <y> <w> <h> <text>\n   -- page header box  -> <small>text</small>
+  * F <x> <y> <w> <h> <text>\n   -- page footer box  -> <small>text</small>
+  * L <x> <y> <w> <h> <lvl> <text>\n -- title box    -> "#"*lvl + " " + text
+  * G <x> <y> <w> <h> <caption>\n -- figure box      -> ![Figure](caption)
+  * R <x> <y> <w> <h> <rows> <cols>\n -- table region (T boxes inside belong to it)
+  * C <x> <y> <w> <h>\n          -- structure cell of the last R
+  * D <x> <y> <w> <h>\n          -- detected cell of the last R
+  * E\n                          -- page end
   * }}}
   *
   * The Spark-side plumbing (sniff, per-page flatten, geometric ordering,
@@ -28,11 +39,29 @@ import graft.model.Span
 object PdfParser {
 
   final case class TextBox(box: Box, text: String, beginByte: Long, endByte: Long)
-  final case class PdfPage(width: Double, height: Double, boxes: Vector[TextBox])
+  final case class TitleBox(level: Int, tb: TextBox)
+  final case class TableSpec(box: Box, rows: Int, cols: Int,
+      structCells: Vector[Box], detCells: Vector[Box])
+  final case class PdfPage(width: Double, height: Double,
+      boxes: Vector[TextBox],
+      headers: Vector[TextBox], footers: Vector[TextBox],
+      titles: Vector[TitleBox], figures: Vector[TextBox],
+      tables: Vector[TableSpec])
 
   /** Matches the reference's page-join in multi-page responses
     * (/root/reference/src/bin/server/ocr.rs:190-240). */
   val PageBreak = "\n\n--- Page Break ---\n\n"
+
+  /** same-visual-line center-y tolerance (stitching.rs same_line_y_tolerance) */
+  val SameLineYTol = 10.0
+  /** hard paragraph break when the previous line ends this fraction of the
+    * container width from the right edge (stitching.rs:655-662) */
+  val HardBreakGapFrac = 0.3
+  /** column split: x-interval gap threshold (projection-profile gap) */
+  val ColGapMin = 1.0
+  /** text-region split within a column: y-interval gap threshold — a gap this
+    * large means another element (figure, title, table) sits between */
+  val RegionGapMin = 20.0
 
   def isPdf(html: Array[Byte]): Boolean =
     html.length >= 4 && html(0) == '%' && html(1) == 'P' &&
@@ -42,6 +71,11 @@ object PdfParser {
   def parsePayload(bytes: Array[Byte]): Vector[PdfPage] = {
     val pages = Vector.newBuilder[PdfPage]
     var boxes = Vector.newBuilder[TextBox]
+    var headers = Vector.newBuilder[TextBox]
+    var footers = Vector.newBuilder[TextBox]
+    var titles = Vector.newBuilder[TitleBox]
+    var figures = Vector.newBuilder[TextBox]
+    var tables = Vector.newBuilder[TableSpec]
     var pw = 0.0; var ph = 0.0; var inPage = false
     val n = bytes.length
     var i = 0
@@ -50,79 +84,309 @@ object PdfParser {
       while (j < n && bytes(j) != '\n') j += 1
       j
     }
+    def flushPage(): Unit = {
+      pages += PdfPage(pw, ph, boxes.result(), headers.result(), footers.result(),
+        titles.result(), figures.result(), tables.result())
+      boxes = Vector.newBuilder; headers = Vector.newBuilder; footers = Vector.newBuilder
+      titles = Vector.newBuilder; figures = Vector.newBuilder; tables = Vector.newBuilder
+    }
+    // parse `k` doubles starting at p; returns (values, posAfter) or null
+    def parseNums(from: Int, e: Int, k: Int): (Array[Double], Int) = {
+      var p = from
+      val nums = new Array[Double](k)
+      var got = 0
+      while (got < k) {
+        var q = p
+        while (q < e && bytes(q) != ' ') q += 1
+        val s = new String(bytes, p, q - p, java.nio.charset.StandardCharsets.US_ASCII)
+        s.toDoubleOption match {
+          case Some(d) => nums(got) = d; p = q + 1; got += 1
+          case None    => return null
+        }
+      }
+      (nums, p)
+    }
+    def textBox(from: Int, e: Int): TextBox = {
+      parseNums(from, e, 4) match {
+        case null => null
+        case (nums, p) if p <= e =>
+          val text = new String(bytes, p, e - p, java.nio.charset.StandardCharsets.UTF_8)
+          TextBox(Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3)), text, p.toLong, e.toLong)
+        case _ => null
+      }
+    }
     while (i < n) {
       val e = lineEnd(i)
-      if (e > i) {
+      if (e > i + 1 && bytes(i + 1) == ' ') {
         bytes(i) match {
-          case 'P' if e > i + 1 && bytes(i + 1) == ' ' =>
-            if (inPage) { pages += PdfPage(pw, ph, boxes.result()); boxes = Vector.newBuilder }
+          case 'P' =>
+            if (inPage) flushPage()
             val parts = new String(bytes, i + 2, e - i - 2, java.nio.charset.StandardCharsets.US_ASCII).split(' ')
-            pw = parts.headOption.flatMap(p => p.toDoubleOption).getOrElse(0.0)
+            pw = parts.headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
             ph = if (parts.length > 1) parts(1).toDoubleOption.getOrElse(0.0) else 0.0
             inPage = true
-          case 'T' if e > i + 1 && bytes(i + 1) == ' ' =>
-            // T x y w h text...
-            var p = i + 2
-            val nums = new Array[Double](4)
-            var k = 0
-            var ok = true
-            while (k < 4 && ok) {
-              var q = p
-              while (q < e && bytes(q) != ' ') q += 1
-              val s = new String(bytes, p, q - p, java.nio.charset.StandardCharsets.US_ASCII)
-              s.toDoubleOption match {
-                case Some(d) => nums(k) = d; p = q + 1; k += 1
-                case None    => ok = false
-              }
+          case 'T' => val tb = textBox(i + 2, e); if (tb != null) boxes += tb
+          case 'H' => val tb = textBox(i + 2, e); if (tb != null) headers += tb
+          case 'F' => val tb = textBox(i + 2, e); if (tb != null) footers += tb
+          case 'G' => val tb = textBox(i + 2, e); if (tb != null) figures += tb
+          case 'L' =>
+            parseNums(i + 2, e, 5) match {
+              case null => ()
+              case (nums, p) if p <= e =>
+                val text = new String(bytes, p, e - p, java.nio.charset.StandardCharsets.UTF_8)
+                val lvl = math.max(1, math.min(6, nums(4).toInt))
+                titles += TitleBox(lvl,
+                  TextBox(Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3)), text, p.toLong, e.toLong))
+              case _ => ()
             }
-            if (ok && p <= e) {
-              val text = new String(bytes, p, e - p, java.nio.charset.StandardCharsets.UTF_8)
-              val b = Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3))
-              boxes += TextBox(b, text, p.toLong, e.toLong)
+          case 'R' =>
+            parseNums(i + 2, e, 6) match {
+              case null => ()
+              case (nums, _) =>
+                tables += TableSpec(Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3)),
+                  math.max(1, nums(4).toInt), math.max(1, nums(5).toInt), Vector.empty, Vector.empty)
             }
-          case 'E' =>
-            if (inPage) { pages += PdfPage(pw, ph, boxes.result()); boxes = Vector.newBuilder; inPage = false }
+          case 'C' | 'D' =>
+            parseNums(i + 2, e, 4) match {
+              case null => ()
+              case (nums, _) =>
+                val tb = tables.result()
+                if (tb.nonEmpty) {
+                  val last = tb.last
+                  val box = Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3))
+                  val updated =
+                    if (bytes(i) == 'C') last.copy(structCells = last.structCells :+ box)
+                    else last.copy(detCells = last.detCells :+ box)
+                  tables = Vector.newBuilder
+                  tables ++= tb.init :+ updated
+                }
+            }
           case _ => () // header / unknown line: skip
         }
+      } else if (e > i && bytes(i) == 'E') {
+        if (inPage) { flushPage(); inPage = false }
       }
       i = e + 1
     }
-    if (inPage) pages += PdfPage(pw, ph, boxes.result())
+    if (inPage) flushPage()
     pages.result()
   }
 
-  /** One page: XY-cut reading order, same-line fragments joined per the
-    * space-after-ASCII-alpha rule, lines joined with '\n'. */
-  def renderPage(page: PdfPage): (String, Vector[(Long, Long)]) = {
-    if (page.boxes.isEmpty) return ("", Vector.empty)
-    val order = XYCut.readingOrder(page.boxes.map(_.box).toArray)
-    val ordered = order.toVector.map(page.boxes)
+  // ---- text-region grouping ------------------------------------------------
+
+  /** Group body text boxes into reading-order regions: columns by x-interval
+    * gap (left to right), then each column split at y-interval gaps larger
+    * than RegionGapMin (top to bottom) — the projection-profile region
+    * detection feeding the enhanced sort. */
+  def textRegions(boxes: Vector[TextBox]): Vector[Vector[TextBox]] = {
+    if (boxes.isEmpty) return Vector.empty
+    def splitByGaps(bs: Vector[TextBox], xAxis: Boolean, minGap: Double): Vector[Vector[TextBox]] = {
+      val sorted = bs.sortBy(b => if (xAxis) b.box.x1 else b.box.y1)
+      val groups = Vector.newBuilder[Vector[TextBox]]
+      var cur = Vector.newBuilder[TextBox]
+      var hi = Double.NegativeInfinity
+      var empty = true
+      for (b <- sorted) {
+        val lo = if (xAxis) b.box.x1 else b.box.y1
+        val h = if (xAxis) b.box.x2 else b.box.y2
+        if (empty || lo < hi + minGap) { cur += b; hi = math.max(hi, h); empty = false }
+        else { groups += cur.result(); cur = Vector.newBuilder; cur += b; hi = h }
+      }
+      groups += cur.result()
+      groups.result()
+    }
+    splitByGaps(boxes, xAxis = true, ColGapMin)
+      .flatMap(col => splitByGaps(col, xAxis = false, RegionGapMin))
+  }
+
+  private def union(bs: Vector[TextBox]): Box =
+    bs.map(_.box).reduce((a, b) => Box(math.min(a.x1, b.x1), math.min(a.y1, b.y1),
+      math.max(a.x2, b.x2), math.max(a.y2, b.y2)))
+
+  // ---- smart join (soft-wrap) ----------------------------------------------
+
+  /** Spatial sort + smart join of one region's fragments — port of
+    * `sort_and_join_texts` (stitching.rs:603-697): center-based (y, x) sort
+    * with same-line tolerance; on a new visual line, a hard '\n' only when
+    * the previous line ended more than 30% of the container width from the
+    * right edge (paragraph break), else a soft wrap (space after ASCII
+    * alphabetic, direct join otherwise). Returns the joined text and the
+    * fragments in consumption order. */
+  def sortAndJoin(boxes: Vector[TextBox], container: Box): (String, Vector[TextBox]) = {
+    val sorted = boxes.sorted(new Ordering[TextBox] {
+      def compare(a: TextBox, b: TextBox): Int =
+        if (math.abs(a.box.cy - b.box.cy) < SameLineYTol)
+          java.lang.Double.compare(a.box.cx, b.box.cx)
+        else java.lang.Double.compare(a.box.cy, b.box.cy)
+    })
     val sb = new java.lang.StringBuilder(256)
-    val offs = Vector.newBuilder[(Long, Long)]
-    val lineTol = 10.0
     var prevY = Double.NaN
-    var lineStartIdx = true
-    var currentLine = new java.lang.StringBuilder(128)
-    def flushLine(): Unit = {
-      if (currentLine.length() > 0) {
-        if (sb.length() > 0) sb.append('\n')
-        sb.append(currentLine)
-        currentLine = new java.lang.StringBuilder(128)
+    var prevBox: Box = null
+    val used = Vector.newBuilder[TextBox]
+    for (tb <- sorted if tb.text.nonEmpty) {
+      used += tb
+      val cy = tb.box.cy
+      if (prevBox != null) {
+        if (math.abs(cy - prevY) > SameLineYTol) {
+          val rightGap = container.x2 - prevBox.x2
+          if (rightGap > container.w * HardBreakGapFrac) {
+            if (sb.length() == 0 || sb.charAt(sb.length() - 1) != '\n') sb.append('\n')
+          } else if (sb.length() > 0 && sb.charAt(sb.length() - 1) != '\n' &&
+            JoinRules.needsSpaceAfter(sb.toString)) sb.append(' ')
+        } else if (sb.length() > 0 && sb.charAt(sb.length() - 1) != '\n' &&
+          JoinRules.needsSpaceAfter(sb.toString)) sb.append(' ')
+      }
+      sb.append(tb.text)
+      prevY = cy
+      prevBox = tb.box
+    }
+    // trim trailing whitespace (stitching.rs trim_end)
+    var end = sb.length()
+    while (end > 0 && Character.isWhitespace(sb.charAt(end - 1))) end -= 1
+    (sb.substring(0, end), used.result())
+  }
+
+  // ---- table assembly ------------------------------------------------------
+
+  /** Assemble one table: reconcile structure/detected cells (k-means cluster
+    * of the text boxes stands in for structure when no cells are given),
+    * assign text boxes to cells by best IoU (center containment fallback),
+    * group cells into rows by center-y, render canonical HTML. Returns
+    * (html, consumed text boxes in cell order). */
+  def assembleTable(spec: TableSpec, tBoxes: Vector[TextBox]): (String, Vector[TextBox]) = {
+    if (tBoxes.isEmpty) return ("", Vector.empty)
+    val targetN = spec.rows * spec.cols
+    val struct: Vector[Box] =
+      if (spec.structCells.nonEmpty) spec.structCells
+      else Cells.combineRectanglesKmeans(tBoxes.map(_.box), targetN)
+    val cells = Cells.reconcile(struct, spec.detCells)
+    // assign text boxes to cells
+    val byCell = Array.fill(cells.length)(Vector.newBuilder[TextBox])
+    for (tb <- tBoxes) {
+      var best = -1
+      var bestIou = 0.0
+      for (ci <- cells.indices) {
+        val v = Geom.iou(tb.box, cells(ci))
+        if (v > bestIou) { bestIou = v; best = ci }
+      }
+      if (best < 0) {
+        // fallback: center containment, then nearest center
+        val cx = tb.box.cx; val cy = tb.box.cy
+        best = cells.indexWhere(c => cx >= c.x1 && cx <= c.x2 && cy >= c.y1 && cy <= c.y2)
+        if (best < 0) {
+          var bd = Double.MaxValue
+          for (ci <- cells.indices) {
+            val dx = cells(ci).cx - cx; val dy = cells(ci).cy - cy
+            val d = dx * dx + dy * dy
+            if (d < bd) { bd = d; best = ci }
+          }
+        }
+      }
+      if (best >= 0) byCell(best) += tb
+    }
+    // row grouping by cell center-y (tolerance = half median cell height)
+    val order = cells.indices.sortBy(ci => (cells(ci).cy, cells(ci).cx))
+    val heights = cells.map(_.h).sorted
+    val rowTol = math.max(1.0, heights(heights.length / 2) / 2)
+    val rows = Vector.newBuilder[Vector[Int]]
+    var cur = Vector.newBuilder[Int]
+    var rowY = Double.NaN
+    for (ci <- order) {
+      val cy = cells(ci).cy
+      if (rowY.isNaN || math.abs(cy - rowY) <= rowTol) {
+        if (rowY.isNaN) rowY = cy
+        cur += ci
+      } else { rows += cur.result(); cur = Vector.newBuilder; cur += ci; rowY = cy }
+    }
+    rows += cur.result()
+    val consumed = Vector.newBuilder[TextBox]
+    val gridRows = rows.result().map { rowCells =>
+      rowCells.sortBy(ci => cells(ci).cx).map { ci =>
+        val (txt, used) = sortAndJoin(byCell(ci).result(), cells(ci))
+        consumed ++= used
+        (1, 1, false, txt)
+      }.toVector
+    }
+    (TableGrid.render(TableGrid.resolve(gridRows)), consumed.result())
+  }
+
+  // ---- page render ---------------------------------------------------------
+
+  /** One page: enhanced layout order over headers/titles/figures/tables/text
+    * regions, each element rendered by its markdown rule, elements joined by
+    * "\n\n" (hard breaks inside a region become paragraph separators, the
+    * reference's default-text rule structure.rs:382-389). */
+  def renderPage(page: PdfPage): (String, Vector[(Long, Long)]) = {
+    val tableBoxes = Array.fill(page.tables.length)(Vector.newBuilder[TextBox])
+    val bodyBoxes = Vector.newBuilder[TextBox]
+    for (tb <- page.boxes) {
+      val ti = page.tables.indexWhere(t =>
+        tb.box.cx >= t.box.x1 && tb.box.cx <= t.box.x2 &&
+        tb.box.cy >= t.box.y1 && tb.box.cy <= t.box.y2)
+      if (ti >= 0) tableBoxes(ti) += tb else bodyBoxes += tb
+    }
+    val regions = textRegions(bodyBoxes.result())
+
+    // element table: payload indexes into the per-kind vectors
+    // labels: text regions NormalText; titles level1 DocTitle else ParaTitle;
+    // figures + tables Vision
+    val regionEls = regions.zipWithIndex.map { case (r, i) =>
+      LayoutSort.Sortable(union(r), LayoutSort.NormalText, i)
+    }
+    val floating =
+      page.titles.zipWithIndex.map { case (t, i) =>
+        LayoutSort.Sortable(t.tb.box,
+          if (t.level == 1) LayoutSort.DocTitle else LayoutSort.ParaTitle, 1000 + i)
+      } ++
+      page.figures.zipWithIndex.map { case (f, i) =>
+        LayoutSort.Sortable(f.box, LayoutSort.Vision, 2000 + i)
+      } ++
+      page.tables.zipWithIndex.map { case (t, i) =>
+        LayoutSort.Sortable(t.box, LayoutSort.Vision, 3000 + i)
+      }
+    val headerEls = page.headers.zipWithIndex.map { case (h, i) =>
+      LayoutSort.Sortable(h.box, LayoutSort.NormalText, 4000 + i)
+    }
+    val footerEls = page.footers.zipWithIndex.map { case (f, i) =>
+      LayoutSort.Sortable(f.box, LayoutSort.NormalText, 5000 + i)
+    }
+    val ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionEls, floating.toVector)
+
+    val pieces = Vector.newBuilder[String]
+    val offs = Vector.newBuilder[(Long, Long)]
+    for (el <- ordered) {
+      val p = el.payload
+      if (p < 1000) {
+        val (txt, used) = sortAndJoin(regions(p), union(regions(p)))
+        for (tb <- used) offs += ((tb.beginByte, tb.endByte))
+        // hard breaks become paragraph separators (structure.rs:382-389)
+        txt.split('\n').filter(_.nonEmpty).foreach(pieces += _)
+      } else if (p < 2000) {
+        val t = page.titles(p - 1000)
+        val lvl = TitleLevel.resolve(t.tb.text, t.level)
+        pieces += ("#" * lvl) + " " + t.tb.text
+        offs += ((t.tb.beginByte, t.tb.endByte))
+      } else if (p < 3000) {
+        val f = page.figures(p - 2000)
+        pieces += s"![Figure](${f.text})"
+        offs += ((f.beginByte, f.endByte))
+      } else if (p < 4000) {
+        val (html, used) = assembleTable(page.tables(p - 3000), tableBoxes(p - 3000).result())
+        if (html.nonEmpty) {
+          pieces += html
+          for (tb <- used) offs += ((tb.beginByte, tb.endByte))
+        }
+      } else if (p < 5000) {
+        val h = page.headers(p - 4000)
+        pieces += s"<small>${h.text}</small>"
+        offs += ((h.beginByte, h.endByte))
+      } else {
+        val f = page.footers(p - 5000)
+        pieces += s"<small>${f.text}</small>"
+        offs += ((f.beginByte, f.endByte))
       }
     }
-    for (tb <- ordered) {
-      offs += ((tb.beginByte, tb.endByte))
-      if (!prevY.isNaN && math.abs(tb.box.y1 - prevY) >= lineTol) flushLine()
-      if (currentLine.length() > 0) {
-        val c = currentLine.charAt(currentLine.length() - 1)
-        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) currentLine.append(' ')
-      }
-      currentLine.append(tb.text)
-      prevY = tb.box.y1
-      lineStartIdx = false
-    }
-    flushLine()
-    (sb.toString, offs.result())
+    (pieces.result().mkString("\n\n"), offs.result())
   }
 
   /** Full payload: pages joined by the page break; spans carry kind

@@ -64,6 +64,86 @@ class KernelSpec extends AnyFunSuite {
     assert(!pageLayout.exists(_.kind == "table"))
   }
 
+  test("cell reconcile: fill, exact match, and compress merge") {
+    import graft.geom.{Box, Cells}
+    val struct = Vector(Box(0, 0, 10, 10), Box(10, 0, 20, 10), Box(20, 0, 30, 10))
+    // no detections: fill keeps structure boxes
+    assert(Cells.reconcile(struct, Vector.empty) == struct)
+    // one precise detection per structure cell: detected geometry wins
+    val det = Vector(Box(0.5, 0.2, 9.5, 9.8), Box(10.5, 0.1, 19.5, 9.9))
+    val rec = Cells.reconcile(struct, det)
+    assert(rec(0) == det(0) && rec(1) == det(1) && rec(2) == struct(2))
+    // two detections inside one structure cell: union merge (compress)
+    val det2 = Vector(Box(1, 1, 5, 9), Box(6, 1, 9, 9))
+    val rec2 = Cells.reconcile(Vector(Box(0, 0, 10, 10)), det2)
+    assert(rec2 == Vector(Box(1, 1, 9, 9)))
+  }
+
+  test("kmeans rectangle combine: clusters well-separated boxes; identity when target >= n") {
+    import graft.geom.{Box, Cells}
+    val rects = Vector(Box(0, 0, 4, 4), Box(5, 0, 9, 4), Box(100, 0, 104, 4), Box(105, 0, 109, 4))
+    assert(Cells.combineRectanglesKmeans(rects, 4) == rects)
+    val two = Cells.combineRectanglesKmeans(rects, 2)
+    assert(two.toSet == Set(Box(0, 0, 9, 4), Box(100, 0, 109, 4)))
+  }
+
+  test("sort-and-join: same-line tolerance joins with space (reference test vector)") {
+    import graft.geom.Box
+    import graft.pdf.PdfParser.{TextBox, sortAndJoin}
+    // mirror of /root/reference/src/oarocr/stitching.rs test_sort_and_join_texts_tolerance
+    val a = TextBox(Box(0, 0, 10, 10), "A", 0, 1)
+    val b = TextBox(Box(12, 1, 20, 11), "B", 1, 2)
+    val (txt, _) = sortAndJoin(Vector(b, a), Box(0, 0, 20, 11))
+    assert(txt == "A B")
+  }
+
+  test("sort-and-join: soft wrap vs hard break by 30% right gap") {
+    import graft.geom.Box
+    import graft.pdf.PdfParser.{TextBox, sortAndJoin}
+    val container = Box(0, 0, 100, 60)
+    // line 1 fills to the right edge -> soft wrap; line 2 ends at 40% -> hard break
+    val l1 = TextBox(Box(0, 0, 100, 12), "alpha", 0, 1)
+    val l2 = TextBox(Box(0, 22, 40, 34), "beta", 1, 2)
+    val l3 = TextBox(Box(0, 44, 100, 56), "gamma", 2, 3)
+    val (txt, used) = sortAndJoin(Vector(l3, l1, l2), container)
+    assert(txt == "alpha beta\ngamma")
+    assert(used.map(_.text) == Vector("alpha", "beta", "gamma"))
+    // CJK ending: no space on soft wrap
+    val c1 = TextBox(Box(0, 0, 100, 12), "中文", 0, 1)
+    val c2 = TextBox(Box(0, 22, 100, 34), "后续", 1, 2)
+    assert(sortAndJoin(Vector(c1, c2), container)._1 == "中文后续")
+  }
+
+  test("enhanced layout order: titles and figures insert at their y position") {
+    import graft.geom.{Box, LayoutSort}
+    import graft.geom.LayoutSort._
+    val r1 = Sortable(Box(10, 100, 590, 180), NormalText, 0)
+    val r2 = Sortable(Box(10, 300, 590, 380), NormalText, 1)
+    val doc = Sortable(Box(10, 40, 590, 56), DocTitle, 2)
+    val fig = Sortable(Box(10, 210, 590, 270), Vision, 3)
+    val hdr = Sortable(Box(10, 8, 590, 18), NormalText, 4)
+    val ftr = Sortable(Box(10, 780, 590, 792), NormalText, 5)
+    val out = LayoutSort.enhancedOrder(Vector(hdr), Vector(ftr), Vector(r1, r2), Vector(doc, fig))
+    assert(out.map(_.payload) == Vector(4, 2, 0, 3, 1, 5))
+  }
+
+  test("polygon kernels: convex hull, min-area rect, douglas-peucker") {
+    import graft.geom.Poly
+    val square = Vector((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (5.0, 5.0))
+    val hull = Poly.convexHull(square)
+    assert(hull.toSet == Set((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)))
+    val (cx, cy, w, h, _) = Poly.minAreaRect(square)
+    assert(math.abs(cx - 5) < 1e-9 && math.abs(cy - 5) < 1e-9)
+    assert(math.abs(w * h - 100) < 1e-6)
+    // rotated rectangle: min-area rect recovers the tilted extent, area < aabb area
+    val rot = Vector((0.0, 0.0), (8.0, 6.0), (5.0, 10.0), (-3.0, 4.0))
+    val (_, _, rw, rh, ang) = Poly.minAreaRect(rot)
+    assert(math.abs(rw * rh - 50.0) < 1e-6, s"area ${rw * rh}")
+    assert(ang > 0 && ang < 90)
+    val line = Vector((0.0, 0.0), (1.0, 0.05), (2.0, -0.04), (3.0, 0.0), (4.0, 5.0))
+    assert(Poly.douglasPeucker(line, 0.5) == Vector((0.0, 0.0), (3.0, 0.0), (4.0, 5.0)))
+  }
+
   test("tokenizer: comments, doctype, PI skipped; literal < kept") {
     val bs = blocksOf("<!DOCTYPE html><!-- c --><p>a &lt; b and 1 < 2 ok</p>")
     assert(bs.map(_.text) == Vector("a < b and 1 < 2 ok"))
