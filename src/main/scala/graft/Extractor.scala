@@ -66,6 +66,21 @@ object Extractor {
     } catch { case _: Throwable => Vector.empty }
   }
 
+  /** Alternate output renders (semantic HTML + JSON with span coordinates)
+    * for a non-PDF page — the reference's to_html / to_json surfaces. */
+  def renders(p: Page): Option[(String, String)] = {
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    try {
+      if (PdfParser.isPdf(raw)) None
+      else {
+        val cs = Charset.sniff(raw).charset
+        val raws = BlockBuilder.build(raw, cs)
+        val blocks = Classifier.classify(raws)
+        Some((Assembler.renderHtml(blocks), Assembler.renderJson(blocks, Assembler.spans(raws, blocks))))
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** Debug surface: captured data tables as (blockIdx, nCells, canonicalHtml). */
   def debugTables(p: Page): Vector[(Int, Int, String)] = {
     val raw = if (p.html == null) Array.emptyByteArray else p.html

@@ -137,6 +137,15 @@ object SparkEntry {
         .select(col("url"), col("block.idx").as("idx"), col("block.kind").as("kind"),
           col("block.keep").as("keep"), col("block.text").as("text"))
     }),
+    "x12_renders" -> ((s, d) => {
+      import s.implicits._
+      // semantic-HTML + JSON output surfaces (reference to_html/to_json)
+      fixturePages(s, d).flatMap { p =>
+        Extractor.renders(p).map { case (h, j) => (p.url, h.length, j.length) }.iterator
+      }.toDF("url", "html_len", "json_len")
+        .withColumn("html_len", col("html_len").cast("long"))
+        .withColumn("json_len", col("json_len").cast("long"))
+    }),
     "x10_profile_listing" -> ((s, d) => {
       import s.implicits._
       // alternate scoring profile (reference's per-class config switch):

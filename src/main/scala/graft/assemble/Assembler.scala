@@ -69,6 +69,104 @@ object Assembler {
     sb.toString
   }
 
+  /** Semantic-HTML render of the kept blocks — the analogue of the
+    * reference's `to_html` (/root/reference/src/domain/structure.rs:397-533):
+    * titles -> h1..h6, consecutive list items -> one <ul>, tables embedded
+    * with border styling, formulas -> <p class="formula">$$..$$</p>, figures
+    * -> <figure><img/><figcaption>, text escaped with the same 5-entity rule.
+    */
+  def renderHtml(blocks: Vector[Block]): String = {
+    import graft.html.TableGrid.escape
+    val sb = new java.lang.StringBuilder(1024)
+    sb.append("<!DOCTYPE html>\n<html>\n<head>\n<meta charset=\"UTF-8\">\n</head>\n<body>\n")
+    var inList = false
+    def closeList(): Unit = if (inList) { sb.append("</ul>\n"); inList = false }
+    for (b <- blocks if b.keep) {
+      b.kind match {
+        case "list_item" =>
+          if (!inList) { sb.append("<ul>\n"); inList = true }
+          sb.append("<li>").append(escape(b.text)).append("</li>\n")
+        case other =>
+          closeList()
+          other match {
+            case "title" =>
+              val lvl = TitleLevel.resolve(b.text, b.level)
+              sb.append("<h").append(lvl).append('>').append(escape(b.text))
+                .append("</h").append(lvl).append(">\n")
+            case "table" =>
+              sb.append(b.text.replace("<table>",
+                "<table border=\"1\" style=\"border-collapse: collapse;\">")).append('\n')
+            case "formula" =>
+              sb.append("<p class=\"formula\">$$").append(escape(b.text)).append("$$</p>\n")
+            case "figure" =>
+              sb.append("<figure>\n<img alt=\"Figure\" />\n<figcaption>")
+                .append(escape(b.text)).append("</figcaption>\n</figure>\n")
+            case "caption" =>
+              sb.append("<figcaption>").append(escape(b.text)).append("</figcaption>\n")
+            case "preformatted" =>
+              sb.append("<pre>").append(escape(b.text)).append("</pre>\n")
+            case _ =>
+              sb.append("<p>").append(escape(b.text)).append("</p>\n")
+          }
+      }
+    }
+    closeList()
+    sb.append("</body>\n</html>")
+    sb.toString
+  }
+
+  /** JSON render carrying block metadata + span byte coordinates — the
+    * analogue of the reference's serialized result
+    * (/root/reference/src/domain/structure.rs:544-581). Hand-rolled writer:
+    * stable field order, full control-char escaping. */
+  def renderJson(blocks: Vector[Block], spans: Array[Span]): String = {
+    val sb = new java.lang.StringBuilder(2048)
+    def str(s: String): Unit = {
+      sb.append('"')
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '"'  => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.append('"')
+    }
+    sb.append("{\"blocks\":[")
+    var first = true
+    for (b <- blocks) {
+      if (!first) sb.append(',')
+      first = false
+      sb.append("{\"idx\":").append(b.idx)
+        .append(",\"kind\":"); str(b.kind)
+      sb.append(",\"level\":").append(b.level)
+        .append(",\"chars\":").append(b.chars)
+        .append(",\"anchor_chars\":").append(b.anchorChars)
+        .append(",\"keep\":").append(b.keep)
+        .append(",\"text\":"); str(b.text)
+      sb.append('}')
+    }
+    sb.append("],\"spans\":[")
+    first = true
+    for (s <- spans) {
+      if (!first) sb.append(',')
+      first = false
+      sb.append("{\"block_idx\":").append(s.blockIdx)
+        .append(",\"begin_byte\":").append(s.beginByte)
+        .append(",\"end_byte\":").append(s.endByte)
+        .append(",\"kind\":"); str(s.kind)
+      sb.append('}')
+    }
+    sb.append("]}")
+    sb.toString
+  }
+
   /** Span table for kept blocks: table blocks expand to one span per cell;
     * offsets are byte positions into the RAW html (assembly order = the
     * 1-based order_index semantics,

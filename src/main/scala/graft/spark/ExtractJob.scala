@@ -26,7 +26,7 @@ object ExtractJob {
   /** Number of url buckets used for output partitioning + resume lineage. */
   val UrlBuckets = 64
 
-  def run(pages: Dataset[Page], salt: Int = 0): Dataset[ExtractedPage] = {
+  def run(pages: Dataset[Page], salt: Int = 0, sizeSort: Boolean = false): Dataset[ExtractedPage] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val input =
@@ -40,10 +40,17 @@ object ExtractJob {
           .drop("__salt")
           .as[Page]
       } else pages
+    // intra-partition size ordering — the reference's aspect-ratio sort
+    // before batching (/root/reference/src/oarocr/ocr.rs:733-746): similar-
+    // sized pages run consecutively (allocator/JIT locality), no shuffle
+    // (sortWithinPartitions is a narrow, spillable per-partition sort)
+    val batched =
+      if (sizeSort) input.sortWithinPartitions(length(col("html")))
+      else input
     val okRows = spark.sparkContext.longAccumulator("graft.pages.ok")
     val errRows = spark.sparkContext.longAccumulator("graft.pages.err")
     val bytesIn = spark.sparkContext.longAccumulator("graft.bytes.in")
-    input.mapPartitions { iter =>
+    batched.mapPartitions { iter =>
       iter.map { p =>
         val r = Extractor.extract(p)
         if (r.error.isEmpty) okRows.add(1) else errRows.add(1)
@@ -51,6 +58,43 @@ object ExtractJob {
         r
       }
     }
+  }
+
+  /** Histogram-budget batching — the analogue of the reference's aspect
+    * buckets with per-bucket batch budgets
+    * (/root/reference/src/core/batch/dynamic/config.rs:61-84): pages group
+    * into log2(size) classes, each class gets ceil(classBytes/target)
+    * partitions, so every partition holds similar-sized pages AND a bounded
+    * byte budget (a partition of 2 MB pages gets far fewer rows than one of
+    * 2 KB pages — no mixed-size stragglers).
+    *
+    * The histogram pass re-reads the size column; at 100 TB persist a
+    * byte-length metadata column at ingest and aggregate that instead of
+    * length(html). */
+  def runBucketed(pages: Dataset[Page],
+      targetBytesPerPartition: Long = 256L << 20): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val cls = ceil(log2(greatest(length(col("html")).cast("long"), lit(2L)))).cast("int")
+    val hist = pages
+      .select(cls.as("cls"), length(col("html")).cast("long").as("len"))
+      .groupBy("cls").agg(sum("len").as("bytes"))
+      .collect() // <= ~40 rows: one per size class
+      .map(r => r.getInt(0) -> math.max(1L,
+        (r.getLong(1) + targetBytesPerPartition - 1) / targetBytesPerPartition))
+      .sortBy(_._1)
+    val offsets = hist.scanLeft(0L)(_ + _._2).init
+    val budget = hist.zip(offsets).map { case ((c, b), off) => c -> (off, b) }.toMap
+    val total = math.max(1L, hist.map(_._2).sum).toInt
+    val partExpr = hist.foldLeft(lit(0L)) { case (acc, (c, _)) =>
+      val (off, b) = budget(c)
+      when(cls === c, lit(off) + pmod(xxhash64(col("url")), lit(b))).otherwise(acc)
+    }
+    run(pages
+      .withColumn("__p", partExpr)
+      .repartition(total, col("__p"))
+      .drop("__p")
+      .as[Page], salt = 0, sizeSort = true)
   }
 
   /** Output projection for writing: drops nothing we need, keeps columns
@@ -104,7 +148,9 @@ object ExtractDemo {
         .mapPartitions(_.map(i => graft.fixtures.FixtureGen.fixture(i).page))
 
     val t0 = System.nanoTime()
-    val out = ExtractJob.run(pages, salt = 16)
+    val out =
+      if (args.contains("--bucketed")) ExtractJob.runBucketed(pages)
+      else ExtractJob.run(pages, salt = 16, sizeSort = args.contains("--sort"))
     val agg = out.agg(
       count(lit(1)).as("rows"),
       sum(when(col("error") =!= "", 1).otherwise(0)).as("errors"),

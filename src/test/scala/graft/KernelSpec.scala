@@ -64,6 +64,23 @@ class KernelSpec extends AnyFunSuite {
     assert(!pageLayout.exists(_.kind == "table"))
   }
 
+  test("renderHtml/renderJson: semantic tags, grouped lists, escaped text, span coords") {
+    import graft.score.Classifier
+    import graft.assemble.Assembler
+    val raws = blocksOf("<h1>The Title</h1><p>body words here with \"quotes\" & more</p>" +
+      "<ul><li>item one here</li><li>item two here</li></ul>")
+    val blocks = Classifier.classify(raws)
+    val html = Assembler.renderHtml(blocks)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<h1>The Title</h1>"))
+    assert(html.contains("<p>body words here with &quot;quotes&quot; &amp; more</p>"))
+    assert(html.contains("<ul>\n<li>item one here</li>\n<li>item two here</li>\n</ul>"))
+    val json = Assembler.renderJson(blocks, Assembler.spans(raws, blocks))
+    assert(json.contains("\"kind\":\"title\"") && json.contains("\"begin_byte\":"))
+    // the JSON must parse: balanced quotes/braces via a naive scan
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+  }
+
   test("cell reconcile: fill, exact match, and compress merge") {
     import graft.geom.{Box, Cells}
     val struct = Vector(Box(0, 0, 10, 10), Box(10, 0, 20, 10), Box(20, 0, 30, 10))
