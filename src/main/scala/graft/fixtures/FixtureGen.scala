@@ -294,11 +294,27 @@ object FixtureGen {
     }
 
     if (giant) {
-      // skew tail: repeat a long paragraph until >= 2 MB of html
+      // skew tail: >= 2 MB of html from a long paragraph, VARIED per
+      // repetition (a leading rep-word) — identical repeats would now be
+      // duplicate-suppressed, which is the intended behavior for real spam
+      // but would empty this page's output
       val base = pieceSeed + 31337
       val para = (0 until 400).map(i => word(base + i)).mkString(" ")
       val reps = math.max(1, (2 * 1024 * 1024) / (para.length + 7) + 1)
-      for (_ <- 0 until reps) { html.append("<p>").append(para).append("</p>"); pieces += para; spanCount += 1 }
+      for (rep <- 0 until reps) {
+        val varied = "rep" + rep + " " + para // literal counter: repetitions stay unique
+        html.append("<p>").append(varied).append("</p>"); pieces += varied; spanCount += 1
+      }
+    }
+
+    // duplicated-content tail: the SAME long paragraph twice — the
+    // duplicate-suppression pass must keep only the first occurrence
+    if (!giant && rowId % 6 == 2) {
+      val dupWords = (0 until 15).map(i => wordFor(lang, pieceSeed + i * 3 + 41)).mkString(" ")
+      html.append("<p>").append(dupWords).append("</p>")
+      html.append("<div><p>").append(dupWords).append("</p></div>")
+      pieces += dupWords // once
+      spanCount += 1
     }
 
     html.append("</article></main>")
@@ -361,12 +377,20 @@ object FixtureGen {
             val span = lineEnd - x0
             val nFrag = 1 + r.nextInt(3)
             val fw = (span - 0.5 * (nFrag - 1)) / nFrag
-            val line = new java.lang.StringBuilder(64)
+            val fragTexts = new scala.collection.mutable.ArrayBuffer[String](nFrag)
             for (f <- 0 until nFrag) {
               val t = words(1 + r.nextInt(3))
               val x = x0 + f * (fw + 0.5)
               bodyEmit += s"T ${d1(x)} ${d1(y)} ${d1(fw)} 12.0 $t"
               nSpans += 1
+              fragTexts += t
+            }
+            // reading order within the line: Arabic pages are majority-RTL,
+            // so fragments read right-to-left (the engine's line-orientation
+            // fix); needs-space join never fires on Arabic (non-ASCII tail)
+            val ordered = if (lang == "ar") fragTexts.reverse else fragTexts
+            val line = new java.lang.StringBuilder(64)
+            for (t <- ordered) {
               if (needsSpace(line)) line.append(' ')
               line.append(t)
             }

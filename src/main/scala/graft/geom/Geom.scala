@@ -37,6 +37,17 @@ object Geom {
     val s = math.min(a.area, b.area)
     if (s <= 0) 0.0 else i / s
   }
+
+  /** Scale a box's width/height around its center by per-class ratios — the
+    * reference's unclip_boxes
+    * (/root/reference/src/processors/layout_postprocess.rs:496-542). Used to
+    * widen element boundaries (e.g. a table region grows slightly so
+    * boundary-straddling text still assigns to it). */
+  def unclip(b: Box, ratioW: Double, ratioH: Double): Box = {
+    val hw = b.w * ratioW / 2
+    val hh = b.h * ratioH / 2
+    Box(b.cx - hw, b.cy - hh, b.cx + hw, b.cy + hh)
+  }
 }
 
 /** Recursive XY-cut reading-order sort for positioned text boxes (the PDF

@@ -212,6 +212,29 @@ object LayoutSort {
     sorted.insert(math.min(nearest, sorted.length), block)
   }
 
+  /** Overlap removal — the reference's duplicate-element suppression
+    * (/root/reference/src/domain/structure.rs:1013-1046,
+    * layout_utils.rs:618,716): when two elements overlap with
+    * IoA(smaller) above the threshold, drop the Vision element against text
+    * (text priority, threshold 0.5), otherwise drop the smaller element
+    * (threshold 0.65). Earlier elements win ties. */
+  def removeOverlaps(els: Vector[Sortable]): Vector[Sortable] = {
+    val dropped = scala.collection.mutable.BitSet.empty
+    for (i <- els.indices; j <- (i + 1) until els.length
+         if !dropped(i) && !dropped(j)) {
+      val a = els(i); val b = els(j)
+      val ioa = Geom.ioa(a.box, b.box)
+      (a.label, b.label) match {
+        case (Vision, lb) if lb != Vision && ioa > 0.5 => dropped += i
+        case (la, Vision) if la != Vision && ioa > 0.5 => dropped += j
+        case _ if ioa > 0.65 =>
+          dropped += (if (a.box.area < b.box.area) i else j)
+        case _ => ()
+      }
+    }
+    els.zipWithIndex.collect { case (e, i) if !dropped(i) => e }
+  }
+
   /** Full enhanced order: headers (by y) ++ main ++ footers (by y), where
     * main = XY-cut-ordered NormalText with DocTitle, then Vision, then
     * ParaTitle blocks weighted-inserted (each class pre-sorted by y). */

@@ -205,40 +205,82 @@ object PdfParser {
 
   // ---- smart join (soft-wrap) ----------------------------------------------
 
-  /** Spatial sort + smart join of one region's fragments — port of
-    * `sort_and_join_texts` (stitching.rs:603-697): center-based (y, x) sort
-    * with same-line tolerance; on a new visual line, a hard '\n' only when
-    * the previous line ended more than 30% of the container width from the
-    * right edge (paragraph break), else a soft wrap (space after ASCII
-    * alphabetic, direct join otherwise). Returns the joined text and the
-    * fragments in consumption order. */
-  def sortAndJoin(boxes: Vector[TextBox], container: Box): (String, Vector[TextBox]) = {
-    val sorted = boxes.sorted(new Ordering[TextBox] {
-      def compare(a: TextBox, b: TextBox): Int =
-        if (math.abs(a.box.cy - b.box.cy) < SameLineYTol)
-          java.lang.Double.compare(a.box.cx, b.box.cx)
-        else java.lang.Double.compare(a.box.cy, b.box.cy)
-    })
-    val sb = new java.lang.StringBuilder(256)
-    var prevY = Double.NaN
-    var prevBox: Box = null
-    val used = Vector.newBuilder[TextBox]
-    for (tb <- sorted if tb.text.nonEmpty) {
-      used += tb
-      val cy = tb.box.cy
-      if (prevBox != null) {
-        if (math.abs(cy - prevY) > SameLineYTol) {
-          val rightGap = container.x2 - prevBox.x2
-          if (rightGap > container.w * HardBreakGapFrac) {
-            if (sb.length() == 0 || sb.charAt(sb.length() - 1) != '\n') sb.append('\n')
-          } else if (sb.length() > 0 && sb.charAt(sb.length() - 1) != '\n' &&
-            JoinRules.needsSpaceAfter(sb.toString)) sb.append(' ')
-        } else if (sb.length() > 0 && sb.charAt(sb.length() - 1) != '\n' &&
-          JoinRules.needsSpaceAfter(sb.toString)) sb.append(' ')
+  /** Majority strong-directionality test over a visual line's fragments —
+    * the analogue of the reference's text-line orientation classifier
+    * (/root/reference/src/oarocr/ocr.rs:679-719: a reversed line is detected
+    * and flipped before recognition). */
+  private def isRtlLine(line: Seq[TextBox]): Boolean = {
+    var rtl = 0; var ltr = 0
+    for (tb <- line) {
+      val t = tb.text
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if ((c >= 0x0590 && c <= 0x08FF) || (c >= 0xFB1D && c <= 0xFDFF) ||
+          (c >= 0xFE70 && c <= 0xFEFF)) rtl += 1
+        else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) ltr += 1
+        i += 1
       }
-      sb.append(tb.text)
-      prevY = cy
-      prevBox = tb.box
+    }
+    rtl > ltr
+  }
+
+  /** Spatial sort + smart join of one region's fragments — port of
+    * `sort_and_join_texts` (stitching.rs:603-697): fragments group into
+    * visual lines by center-y tolerance; within a line, LTR lines read left
+    * to right and majority-RTL lines right to left (the text-line
+    * orientation fix); between lines, a hard '\n' only when the previous
+    * line's visual right edge sits more than 30% of the container width from
+    * the container's right edge (paragraph break), else a soft wrap (space
+    * after ASCII alphabetic, direct join otherwise — CJK/RTL join bare).
+    *
+    * Deviation from the reference, documented: the gap test uses the
+    * previous LINE's max x2 rather than the last consumed fragment's — the
+    * reference's own comment flags its version as an LTR assumption, and the
+    * line edge is what the heuristic means; for LTR input the two are
+    * identical (the last consumed fragment IS the rightmost).
+    * Returns the joined text and the fragments in consumption order. */
+  def sortAndJoin(boxes: Vector[TextBox], container: Box): (String, Vector[TextBox]) = {
+    val present = boxes.filter(_.text.nonEmpty)
+    if (present.isEmpty) return ("", Vector.empty)
+    val byY = present.sortBy(b => (b.box.cy, b.box.cx))
+    // group into visual lines by anchor tolerance
+    val lines = Vector.newBuilder[Vector[TextBox]]
+    var cur = Vector.newBuilder[TextBox]
+    var anchor = Double.NaN
+    for (tb <- byY) {
+      if (anchor.isNaN || math.abs(tb.box.cy - anchor) < SameLineYTol) {
+        if (anchor.isNaN) anchor = tb.box.cy
+        cur += tb
+      } else { lines += cur.result(); cur = Vector.newBuilder; cur += tb; anchor = tb.box.cy }
+    }
+    lines += cur.result()
+    val sb = new java.lang.StringBuilder(256)
+    val used = Vector.newBuilder[TextBox]
+    @inline def needsSpace(): Boolean =
+      sb.length() > 0 && sb.charAt(sb.length() - 1) != '\n' && {
+        val c = sb.charAt(sb.length() - 1)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      }
+    var prevLineRight = Double.NaN
+    for (line <- lines.result()) {
+      val ordered =
+        if (isRtlLine(line)) line.sortBy(tb => -tb.box.cx)
+        else line.sortBy(_.box.cx)
+      if (!prevLineRight.isNaN) {
+        val rightGap = container.x2 - prevLineRight
+        if (rightGap > container.w * HardBreakGapFrac) {
+          if (sb.length() == 0 || sb.charAt(sb.length() - 1) != '\n') sb.append('\n')
+        } else if (needsSpace()) sb.append(' ')
+      }
+      var fi = 0
+      for (tb <- ordered) {
+        if (fi > 0 && needsSpace()) sb.append(' ')
+        sb.append(tb.text)
+        used += tb
+        fi += 1
+      }
+      prevLineRight = line.iterator.map(_.box.x2).max
     }
     // trim trailing whitespace (stitching.rs trim_end)
     var end = sb.length()
@@ -316,13 +358,19 @@ object PdfParser {
     * regions, each element rendered by its markdown rule, elements joined by
     * "\n\n" (hard breaks inside a region become paragraph separators, the
     * reference's default-text rule structure.rs:382-389). */
+  /** per-class unclip ratio: table regions widen slightly so text straddling
+    * the region boundary still assigns to the table (layout_postprocess.rs
+    * unclip_boxes analogue; ratio order-of-magnitude per its defaults). */
+  val TableUnclipRatio = 1.05
+
   def renderPage(page: PdfPage): (String, Vector[(Long, Long)]) = {
     val tableBoxes = Array.fill(page.tables.length)(Vector.newBuilder[TextBox])
     val bodyBoxes = Vector.newBuilder[TextBox]
+    val unclipped = page.tables.map(t => Geom.unclip(t.box, TableUnclipRatio, TableUnclipRatio))
     for (tb <- page.boxes) {
-      val ti = page.tables.indexWhere(t =>
-        tb.box.cx >= t.box.x1 && tb.box.cx <= t.box.x2 &&
-        tb.box.cy >= t.box.y1 && tb.box.cy <= t.box.y2)
+      val ti = unclipped.indexWhere(t =>
+        tb.box.cx >= t.x1 && tb.box.cx <= t.x2 &&
+        tb.box.cy >= t.y1 && tb.box.cy <= t.y2)
       if (ti >= 0) tableBoxes(ti) += tb else bodyBoxes += tb
     }
     val regions = textRegions(bodyBoxes.result())
@@ -350,7 +398,10 @@ object PdfParser {
     val footerEls = page.footers.zipWithIndex.map { case (f, i) =>
       LayoutSort.Sortable(f.box, LayoutSort.NormalText, 5000 + i)
     }
-    val ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionEls, floating.toVector)
+    // duplicate-element suppression before ordering (text beats vision)
+    val surviving = LayoutSort.removeOverlaps(regionEls ++ floating.toVector)
+    val (regionsKept, floatingKept) = surviving.partition(_.payload < 1000)
+    val ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionsKept, floatingKept)
 
     val pieces = Vector.newBuilder[String]
     val offs = Vector.newBuilder[(Long, Long)]

@@ -39,7 +39,25 @@ object Classifier {
   /** line width used for the text-density line-equivalent */
   val LineWidth = 80.0
 
-  def classify(raw: Vector[RawBlock], profile: Profile = Article): Vector[Block] =
+  /** minimum visible chars for the duplicate-content pass: short repeats
+    * (list bullets, one-word cells) are legitimate */
+  val DupMinChars = 40
+
+  def classify(raw: Vector[RawBlock], profile: Profile = Article): Vector[Block] = {
+    val scored = classifyScores(raw, profile)
+    // overlap-removal analogue (/root/reference/src/domain/structure.rs:1013-1046
+    // via SURVEY §2.6): the same long text appearing twice in the tree
+    // (duplicated desktop/mobile markup, reflowed clones) keeps only its
+    // first occurrence. Tables are exempt (cell spans are positional).
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    scored.map { b =>
+      if (b.keep && b.kind != "table" && b.chars >= DupMinChars && !seen.add(b.text))
+        b.copy(keep = false)
+      else b
+    }
+  }
+
+  private def classifyScores(raw: Vector[RawBlock], profile: Profile): Vector[Block] =
     raw.zipWithIndex.map { case (b, i) =>
       val linkDensity =
         if (b.chars == 0) 0.0 else b.anchorChars.toDouble / b.chars

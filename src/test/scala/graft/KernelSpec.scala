@@ -131,6 +131,42 @@ class KernelSpec extends AnyFunSuite {
     assert(sortAndJoin(Vector(c1, c2), container)._1 == "中文后续")
   }
 
+  test("RTL lines read right-to-left; duplicate long text suppressed once") {
+    import graft.geom.Box
+    import graft.pdf.PdfParser.{TextBox, sortAndJoin}
+    // two Arabic fragments on one line: reading order is right box first
+    val left = TextBox(Box(0, 0, 40, 12), "لمن", 0, 1)
+    val right = TextBox(Box(50, 0, 90, 12), "ابت", 1, 2)
+    val (txt, used) = sortAndJoin(Vector(left, right), Box(0, 0, 90, 12))
+    assert(txt == "ابتلمن")
+    assert(used.map(_.beginByte) == Vector(1L, 0L))
+    // latin fragments on one line stay left-to-right
+    val a = TextBox(Box(0, 0, 40, 12), "first", 0, 1)
+    val b = TextBox(Box(50, 0, 90, 12), "second", 1, 2)
+    assert(sortAndJoin(Vector(b, a), Box(0, 0, 90, 12))._1 == "first second")
+    // duplicate-content suppression in the HTML classifier
+    import graft.score.Classifier
+    val para = "these fifteen content words repeat verbatim later in the very same document body tree"
+    val blocks = Classifier.classify(blocksOf(s"<p>$para</p><div><p>$para</p></div>"))
+    assert(blocks.count(_.keep) == 1)
+    // short repeats are untouched
+    val short = Classifier.classify(blocksOf("<ul><li>yes ok fine</li><li>yes ok fine</li></ul>"))
+    assert(short.count(_.keep) == 2)
+  }
+
+  test("unclip widens around center; overlap removal drops vision vs text and smaller vs bigger") {
+    import graft.geom.{Box, Geom, LayoutSort}
+    import graft.geom.LayoutSort._
+    assert(Geom.unclip(Box(10, 10, 30, 20), 1.5, 2.0) == Box(5, 5, 35, 25))
+    val text = Sortable(Box(0, 0, 100, 50), NormalText, 0)
+    val fig = Sortable(Box(10, 5, 90, 45), Vision, 1)     // inside text: dropped (text priority)
+    val small = Sortable(Box(0, 60, 20, 70), NormalText, 2)
+    val big = Sortable(Box(0, 58, 80, 74), NormalText, 3) // contains small: small dropped
+    val far = Sortable(Box(0, 200, 50, 220), Vision, 4)
+    val out = LayoutSort.removeOverlaps(Vector(text, fig, small, big, far)).map(_.payload)
+    assert(out == Vector(0, 3, 4))
+  }
+
   test("enhanced layout order: titles and figures insert at their y position") {
     import graft.geom.{Box, LayoutSort}
     import graft.geom.LayoutSort._
