@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + whole-stage-codegen + parquet reader init, so the
+    // timed loop measures the engine's steady state rather than JVM startup
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -250,7 +250,9 @@ object Similarity {
         (id, out, math.sqrt(s))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val total = vecs.count()
+    // block count from the UNMAPPED input: a parquet source answers this from
+    // footer metadata without running the normalize map
+    val total = emb.count()
     val nBlocks = math.max(1L, (total + maxBroadcast - 1) / maxBroadcast).toInt
     val parts = (0 until nBlocks).map { b =>
       val block = (if (nBlocks == 1) vecs
@@ -261,15 +263,21 @@ object Similarity {
         val blk = bc.value
         it.flatMap { case (idA, va, na) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var j = 0
+          // the block is id-sorted: binary-search the first idB > idA so the
+          // inner loop touches only the upper triangle
+          var lo = 0
+          var hi = blk.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (blk(mid)._1 <= idA) lo = mid + 1 else hi = mid
+          }
+          var j = lo
           while (j < blk.length) {
             val (idB, vb, nb) = blk(j)
-            if (idB > idA) {
-              var s = 0.0
-              var i = 0
-              while (i < va.length) { s += va(i) * vb(i); i += 1 }
-              if (s / (na * nb) >= threshold) out += ((idA, idB))
-            }
+            var s = 0.0
+            var i = 0
+            while (i < va.length) { s += va(i) * vb(i); i += 1 }
+            if (s / (na * nb) >= threshold) out += ((idA, idB))
             j += 1
           }
           out.iterator

@@ -60,9 +60,16 @@ object PlanCheck {
     val fp = filtered.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("pushdown", fp, Seq("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)"))
 
-    // d03: query side must broadcast; corpus side must NOT shuffle before join
+    // d03: query side must broadcast; corpus side must NOT shuffle before
+    // join; top-k must be the bounded-heap mapPartitions, NOT a window rank
+    // (a window would put the whole scored corpus in one partition per query)
     val d03 = planOf("d03_ann_topk")
-    check("d03_ann_topk", d03, Seq("BroadcastNestedLoopJoin"))
+    check("d03_ann_topk", d03, Seq("BroadcastNestedLoopJoin"), Seq("Window"))
+
+    // d05: minhash signatures must come from the persisted relation (one
+    // shingle+permutation pass feeding banding AND both verify sides)
+    val d05 = planOf("d05_minhash")
+    check("d05_minhash", d05, Seq("InMemoryTableScan"))
 
     if (args.contains("--print")) {
       println(r01); println(r02); println(d01); println(fp); println(d03)
