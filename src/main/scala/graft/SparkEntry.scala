@@ -16,6 +16,8 @@ import graft.ops.{Dedup, Similarity, TextOps}
   */
 object SparkEntry {
 
+  private val x13Counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
@@ -26,6 +28,8 @@ object SparkEntry {
     spark.read.parquet(s"$dir/orders.parquet")
   private def ev(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
+  private def cust(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
 
   /** documents row count per (session, dir), cached — several queries scale
     * their synthetic inputs by it and a count() is a full Spark job. */
@@ -244,6 +248,28 @@ object SparkEntry {
         TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens")).orderBy("doc_id")),
     "d12_quality" -> ((s, d) =>
       TextOps.qualityScore(docs(s, d), col("text")).orderBy("doc_id")),
+    "d14_quality_filter" -> ((s, d) =>
+      TextOps.qualityFilter(docs(s, d), col("text")).orderBy("doc_id")),
+    "x13_stream_extract" -> ((s, d) => {
+      // the streaming surface through the driver gate: a bounded MemoryStream
+      // of fixture pages runs the SAME kernel via extractStream into a memory
+      // sink; results must match the batch extraction bytes
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Page]
+      val n = math.min(docCount(s, d), 500L)
+      stream.addData((0L until n).map(i => fixtures.FixtureGen.fixture(i).page))
+      val sink = "x13_sink_" + x13Counter.incrementAndGet()
+      val q = graft.streaming.StreamExtract.extractStream(stream.toDS())
+        .select(col("url"), length(col("text")).as("text_len"),
+          sha2(to_binary(col("text"), lit("utf-8")), 256).as("text_sha256"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).orderBy("url")
+    }),
 
     // ---- relational shell (DuckDB-oracle'd) --------------------------------
     "r01_agg" -> ((s, d) =>
@@ -266,6 +292,26 @@ object SparkEntry {
         .filter(col("rn") <= 2)
         .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("int").as("rn"))
     }),
+    "r05_rollup" -> ((s, d) =>
+      // hierarchical aggregation (rollup): subtotal rows use 'ALL' sentinels
+      // instead of NULL group keys so the oracle hash is representation-stable
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+    "r06_anti_join" -> ((s, d) =>
+      // customers with no URGENT orders: broadcast left-anti (the small side
+      // is the filtered key projection; the filter pushes into the scan)
+      cust(s, d).join(
+          broadcast(ord(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey"))),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")),
     "r04_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       ev(s, d)
@@ -328,6 +374,27 @@ object SparkEntry {
         |  CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word_runs,
         |  CAST(length(regexp_extract_all(text, '[^ \t\n\r]')) AS INTEGER) AS n_nonspace
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d14_quality_filter" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(regexp_extract_all(text, '[A-Za-z]+')) >= 10
+        |    AND length(regexp_extract_all(lower(text),
+        |      '\b(?:the|a|and|of|to|is|in|that|it|for)\b')) >= 2
+        |    AND length(regexp_extract_all(text, '[0-9]')) * 2 <=
+        |      length(regexp_extract_all(text, '[^ \t\n\r]'))
+        |  THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "r05_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "r06_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "r01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -53,6 +53,20 @@ object TextOps {
       size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).as("n_word_runs"),
       size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0))).as("n_nonspace"))
 
+  /** Gopher-style quality gate as a single integer-arithmetic verdict per
+    * document (keep=1/0): enough word runs, some stopwords (English-ish
+    * running text), digits bounded to half the visible characters. Integer
+    * comparisons only — the oracle compares exactly, no float drift. */
+  def qualityFilter(df: DataFrame, text: Column): DataFrame =
+    df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      (size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))) >= 10 &&
+        size(regexp_extract_all(lower(text),
+          lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b"), lit(0))) >= 2 &&
+        coalesce(regexp_count(text, lit("[0-9]")), lit(0)) * 2 <=
+          size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0)))
+      ).cast("int").as("keep_flag"))
+
   // --- imperative kernels (row-level) ---------------------------------------
 
   /** Cheap n-gram/char-class language ID heuristic (the reference's
