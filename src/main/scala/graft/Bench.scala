@@ -14,14 +14,15 @@ object Bench {
     // timed loop measures the engine's steady state rather than JVM startup
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: run-to-run comparable per-query attribution
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

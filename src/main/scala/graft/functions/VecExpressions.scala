@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+
+/** Native Catalyst expression for the similarity hot path: the dot product
+  * of two float vectors, each element widened to double and summed in index
+  * order — the exact fold of the DuckDB oracle and of the previous
+  * `aggregate(zip_with(...))` formulation, but WITHOUT materializing the
+  * zipped intermediate array per pair (the higher-order-function version
+  * allocates an array<double> for every scored pair; at top-k scale that is
+  * one allocation per corpus row per query).
+  *
+  * Codegen'd (`doGenCode`): the generated loop reads both `ArrayData`
+  * buffers in place, so the whole score expression stays inside whole-stage
+  * codegen. This is the preference order the project mandates: a native
+  * Expression with codegen beats a Scala UDF
+  * (SURVEY.md §6 "Functions, not UDFs").
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot requires (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecFunctions {
+  import org.apache.spark.sql.graft.Shims
+  /** Column-level entry point used by ops.Similarity. */
+  def dotF(a: Column, b: Column): Column =
+    Shims.column(FloatVecDot(Shims.expression(a), Shims.expression(b)))
+}
+
+/** SparkSessionExtensions hook: registers `graft_dot` so SQL users (and
+  * `spark.sql(...)` pipelines) can call the native expression directly —
+  * enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        FloatVecDot(children(0), children(1))
+      }))
+  }
+}

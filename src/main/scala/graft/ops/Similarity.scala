@@ -21,7 +21,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
-  /** sum(a[i]*b[i]) as double, left fold in index order. */
+  /** sum(a[i]*b[i]) as double, left fold in index order — higher-order-
+    * function form, kept for mixed-type operands (e.g. float emb × double
+    * hyperplane literals in signatureExpr). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -29,7 +31,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over float vectors via the native codegen'd graft_dot expression
+    * (same double fold, no per-pair zipped-array allocation —
+    * graft.functions.FloatVecDot). */
+  def cosine(a: Column, b: Column): Column = {
+    import graft.functions.VecFunctions.dotF
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
 
   /** Per-partition bounded-heap top-k per query over (query_id, neighbor_id,
     * sim) rows, then a merge of the tiny per-partition candidate sets.

@@ -15,6 +15,7 @@ class OpsSpec extends AnyFunSuite {
     .appName("graft-ops-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -145,6 +146,40 @@ class OpsSpec extends AnyFunSuite {
       .sortBy(_.getAs[Int]("rank"))
       .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
     assert(res.toSeq == Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5)))
+  }
+
+  test("native graft_dot matches the higher-order-function fold bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.VecFunctions.dotF
+    val df = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(embeddings.select(col("embedding").as("other")).limit(3))
+    val both = df.select(
+      dotF(col("embedding"), col("other")).as("native"),
+      Similarity.dot(col("embedding"), col("other")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    for (r <- both)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    // and it is SQL-callable through the session extension: build a fresh
+    // session (shared context) so the extension applies regardless of which
+    // suite created the JVM's first session
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .getOrCreate()
+      val v = s2.sql(
+        "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").collect()(0).getDouble(0)
+      assert(v == 4.0)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
   }
 
   test("langId identifies scripts and latin stopword languages") {
