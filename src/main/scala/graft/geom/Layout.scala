@@ -74,6 +74,34 @@ object Cells {
     if (res.isEmpty) rects.toVector else res
   }
 
+  /** NMS-with-merge — the reference's same-class variant
+    * (/root/reference/src/processors/layout_postprocess.rs apply_nms_with_
+    * merge): overlapping boxes of one class are UNIONED rather than
+    * suppressed (a detector double-firing on one cell yields one box).
+    * Greedy transitive clustering on IoU > threshold, earlier boxes seed
+    * clusters; output order follows first member. */
+  def nmsWithMerge(boxes: IndexedSeq[Box], iouThresh: Double = 0.5): Vector[Box] = {
+    val n = boxes.length
+    if (n <= 1) return boxes.toVector
+    val cluster = Array.tabulate(n)(identity)
+    def root(i: Int): Int = { var r = i; while (cluster(r) != r) r = cluster(r); r }
+    for (i <- 0 until n; j <- (i + 1) until n)
+      if (Geom.iou(boxes(i), boxes(j)) > iouThresh) {
+        val (ri, rj) = (root(i), root(j))
+        if (ri != rj) cluster(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val seen = scala.collection.mutable.LinkedHashMap.empty[Int, Box]
+    for (i <- 0 until n) {
+      val r = root(i)
+      seen.get(r) match {
+        case None => seen(r) = boxes(i)
+        case Some(b) => seen(r) = Box(math.min(b.x1, boxes(i).x1), math.min(b.y1, boxes(i).y1),
+          math.max(b.x2, boxes(i).x2), math.max(b.y2, boxes(i).y2))
+      }
+    }
+    seen.values.toVector
+  }
+
   /** Reconcile structure cells (logical grid, length N) with detected cells
     * (precise geometry): detected cells are k-means-reduced to N if there are
     * more, then each is assigned to its best-IoU structure cell (min IoU

@@ -290,18 +290,56 @@ object PdfParser {
 
   // ---- table assembly ------------------------------------------------------
 
-  /** Assemble one table: reconcile structure/detected cells (k-means cluster
-    * of the text boxes stands in for structure when no cells are given),
-    * assign text boxes to cells by best IoU (center containment fallback),
-    * group cells into rows by center-y, render canonical HTML. Returns
-    * (html, consumed text boxes in cell order). */
-  def assembleTable(spec: TableSpec, tBoxes: Vector[TextBox]): (String, Vector[TextBox]) = {
-    if (tBoxes.isEmpty) return ("", Vector.empty)
+  /** Split a text box that straddles several cells into per-cell fragments,
+    * dividing the text proportionally to the horizontal overlap with each
+    * cell — the reference's OCR-box-splitting-by-cells. A box whose best
+    * cell covers >= 0.6 of it (the reference's IoA coverage threshold) is
+    * NOT split. Fragment byte offsets are the UTF-8 prefix lengths inside
+    * the original box's byte range, so spans stay exact. */
+  def splitAcrossCells(tb: TextBox, cells: Vector[Box]): Vector[TextBox] = {
+    if (tb.text.isEmpty) return Vector(tb)
+    val hits = cells.filter(c => Geom.intersectionArea(tb.box, c) > 0)
+    if (hits.length < 2) return Vector(tb)
+    val bestIoa = hits.map(c => Geom.intersectionArea(tb.box, c) / math.max(tb.box.area, 1e-9)).max
+    if (bestIoa >= 0.6) return Vector(tb)
+    val ordered = hits.sortBy(_.x1)
+    val widths = ordered.map(c => math.max(0.0, math.min(tb.box.x2, c.x2) - math.max(tb.box.x1, c.x1)))
+    val total = widths.sum
+    if (total <= 0) return Vector(tb)
+    val n = tb.text.length
+    val bounds = widths.scanLeft(0.0)(_ + _).map(w => math.round(n * w / total).toInt)
+    val out = Vector.newBuilder[TextBox]
+    var byteOff = 0L
+    for (k <- ordered.indices) {
+      val (lo, hi) = (bounds(k), bounds(k + 1))
+      if (hi > lo) {
+        val frag = tb.text.substring(lo, hi)
+        val fragBytes = frag.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        val fx1 = math.max(tb.box.x1, ordered(k).x1)
+        val fx2 = math.min(tb.box.x2, ordered(k).x2)
+        out += TextBox(Box(fx1, tb.box.y1, fx2, tb.box.y2), frag,
+          tb.beginByte + byteOff, tb.beginByte + byteOff + fragBytes)
+        byteOff += fragBytes
+      }
+    }
+    val res = out.result()
+    if (res.isEmpty) Vector(tb) else res
+  }
+
+  /** Assemble one table: merge double-fired detections (NMS-with-merge),
+    * reconcile structure/detected cells (k-means cluster of the text boxes
+    * stands in for structure when no cells are given), split text boxes that
+    * straddle cell boundaries, assign to cells by best IoU (center
+    * containment fallback), group cells into rows by center-y, render
+    * canonical HTML. Returns (html, consumed text boxes in cell order). */
+  def assembleTable(spec: TableSpec, tBoxes0: Vector[TextBox]): (String, Vector[TextBox]) = {
+    if (tBoxes0.isEmpty) return ("", Vector.empty)
     val targetN = spec.rows * spec.cols
     val struct: Vector[Box] =
       if (spec.structCells.nonEmpty) spec.structCells
-      else Cells.combineRectanglesKmeans(tBoxes.map(_.box), targetN)
-    val cells = Cells.reconcile(struct, spec.detCells)
+      else Cells.combineRectanglesKmeans(tBoxes0.map(_.box), targetN)
+    val cells = Cells.reconcile(struct, Cells.nmsWithMerge(spec.detCells))
+    val tBoxes = tBoxes0.flatMap(tb => splitAcrossCells(tb, cells))
     // assign text boxes to cells
     val byCell = Array.fill(cells.length)(Vector.newBuilder[TextBox])
     for (tb <- tBoxes) {

@@ -167,6 +167,25 @@ class KernelSpec extends AnyFunSuite {
     assert(out == Vector(0, 3, 4))
   }
 
+  test("nms-with-merge unions double-fired detections; cross-cell boxes split proportionally") {
+    import graft.geom.{Box, Cells}
+    import graft.pdf.PdfParser.{TextBox, splitAcrossCells}
+    // two detections on one cell merge; the distinct cell survives alone
+    val merged = Cells.nmsWithMerge(Vector(
+      Box(0, 0, 10, 10), Box(1, 1, 11, 10), Box(50, 0, 60, 10)))
+    assert(merged == Vector(Box(0, 0, 11, 10), Box(50, 0, 60, 10)))
+    // a box spanning two cells evenly splits its text at the midpoint, with
+    // exact per-fragment byte offsets
+    val cells = Vector(Box(0, 0, 50, 20), Box(50, 0, 100, 20))
+    val tb = TextBox(Box(10, 5, 90, 15), "abcdefgh", 100, 108)
+    val frags = splitAcrossCells(tb, cells)
+    assert(frags.map(_.text) == Vector("abcd", "efgh"))
+    assert(frags.map(f => (f.beginByte, f.endByte)) == Vector((100L, 104L), (104L, 108L)))
+    // a box 90% inside one cell is NOT split
+    val inside = TextBox(Box(2, 5, 48, 15), "kept", 0, 4)
+    assert(splitAcrossCells(inside, cells).map(_.text) == Vector("kept"))
+  }
+
   test("enhanced layout order: titles and figures insert at their y position") {
     import graft.geom.{Box, LayoutSort}
     import graft.geom.LayoutSort._
