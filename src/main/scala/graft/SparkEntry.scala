@@ -250,6 +250,17 @@ object SparkEntry {
       TextOps.qualityScore(docs(s, d), col("text")).orderBy("doc_id")),
     "d14_quality_filter" -> ((s, d) =>
       TextOps.qualityFilter(docs(s, d), col("text")).orderBy("doc_id")),
+    "d15_neardup_lsh" -> ((s, d) => {
+      // the 1e12-row near-dup path: LSH OR-construction candidates + exact
+      // cosine verify (no O(n^2) product anywhere)
+      val pairs = Similarity.nearDupPairsLsh(emb(s, d), 0.45, dim = 64)
+      val perVec = pairs.select(col("id_a").as("vec_id"))
+        .union(pairs.select(col("id_b").as("vec_id")))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_neardups"))
+      emb(s, d).select(col("vec_id").cast("long").as("vec_id"))
+        .join(perVec, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
+    }),
     "x13_stream_extract" -> ((s, d) => {
       // the streaming surface through the driver gate: a bounded MemoryStream
       // of fixture pages runs the SAME kernel via extractStream into a memory

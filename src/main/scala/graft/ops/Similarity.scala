@@ -219,6 +219,53 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Near-duplicate pairs via LSH-prefilter + exact verify — the 10^12-row
+    * path: the blocked product below is exact but O(n²) work however it is
+    * partitioned; this variant generates candidates only from rows sharing a
+    * random-hyperplane signature bucket (narrow map + ONE shuffle on the
+    * short bucket key, hot buckets capped like minhash), then verifies each
+    * candidate with the exact cosine (native graft_dot). Recall < 1 by
+    * construction (LSH misses some borderline pairs) — measured against the
+    * exact product in OpsSpec; raise `bits` as the corpus grows so bucket
+    * occupancy stays bounded. */
+  def nearDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
+      bits: Int = 8, nTables: Int = 6, seed: Long = 42L,
+      maxBucket: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // OR-construction: nTables independent hyperplane tables; a pair is a
+    // candidate if it shares a bucket in ANY table (recall 1-(1-p^bits)^T).
+    // The explode keys on (table, bucket) so all tables ride one shuffle.
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs.select(col("vec_id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("tbl"),
+          signatureExpr(col("embedding"), dim, bits, seed + t * 1000003L).as("bucket"))): _*)).as("tb"))
+      .select(col("tb.tbl"), col("tb.bucket"), col("vec_id"))
+    val candidates = banded
+      .groupByKey(r => (r.getInt(0), r.getLong(1)))
+      .flatMapGroups { (_: (Int, Long), it: Iterator[org.apache.spark.sql.Row]) =>
+        val ids = it.map(_.getLong(2)).take(maxBucket + 1).toArray
+        if (ids.length > maxBucket) Iterator.empty // degenerate bucket: skip
+        else {
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1) until ids.length
+          } yield (ids(i), ids(j))
+        }
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+    val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    candidates
+      .join(va, "id_a").join(vb, "id_b")
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine >= threshold, upper
     * triangle only.
     *

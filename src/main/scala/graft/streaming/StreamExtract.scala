@@ -39,6 +39,41 @@ object StreamExtract {
         sum(col("htmlBytes")).as("bytes_in"),
         sum(when(col("error") =!= "", 1L).otherwise(0L)).as("errors"))
 
+  /** Streaming exact-dedup with custom keyed state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): the first page per
+    * content hash passes, later arrivals are dropped — the always-on
+    * pipeline's dedup stage. State per key is one boolean, keyed on the md5
+    * of the extracted text. Pass `stateTtl = Some("1 hour")` for a
+    * processing-time TTL that bounds state at scale (tune to the crawl
+    * revisit horizon); None keeps state for the query lifetime. */
+  def dedupStream(extracted: Dataset[ExtractedPage],
+      stateTtl: Option[String] = None): Dataset[ExtractedPage] = {
+    import extracted.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    extracted
+      .groupByKey { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val d = md.digest((if (p.text == null) "" else p.text)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.util.Base64.getEncoder.encodeToString(d) // collision-safe content key
+      }
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: String, rows: Iterator[ExtractedPage], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out =
+              if (state.exists) Iterator.empty[ExtractedPage]
+              else rows.take(1) // first arrival for this content wins
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out
+          }
+        })
+  }
+
   /** File-stream main: watch `inDir` for Page parquet, extract, append to
     * `outDir` with exactly-once checkpointing.
     * runMain graft.streaming.StreamExtract <inDir> <outDir> <checkpointDir>

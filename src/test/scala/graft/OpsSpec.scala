@@ -126,6 +126,17 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a / 30 == b / 30 })
   }
 
+  test("LSH-prefiltered near-dup: no false positives, recall >= 0.7 vs exact at 0.9") {
+    val exact = Similarity.nearDupPairs(embeddings, 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Similarity.nearDupPairsLsh(embeddings, 0.9, dim = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exact verify ⇒ every emitted pair is a true near-dup
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH near-dup recall $recall too low")
+  }
+
   test("near-dup pairs: blocked broadcast (maxBroadcast=16) matches single-block result") {
     val one = Similarity.nearDupPairs(embeddings, 0.9).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -44,6 +44,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming dedup passes first content occurrence, drops repeats across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = FixtureGen.corpus(30).toVector.map(_.page)
+    // repeats: same html under different urls => identical extracted text
+    val dupes = base.take(10).map(p => p.copy(url = p.url + "#mirror"))
+    val stream = MemoryStream[graft.model.Page]
+    val q = StreamExtract.dedupStream(StreamExtract.extractStream(stream.toDS()))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    stream.addData(base)
+    q.processAllAvailable()
+    stream.addData(dupes) // second batch: all duplicates of already-seen content
+    q.processAllAvailable()
+    q.stop()
+
+    val urls = spark.table("dedup_out").select("url").collect().map(_.getString(0)).toSet
+    assert(urls.size == 30, s"expected 30 unique-content rows, got ${urls.size}")
+    assert(!urls.exists(_.endsWith("#mirror")), "a duplicate slipped through")
+  }
+
   test("watermarked ingest metrics aggregate per window and lang") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
