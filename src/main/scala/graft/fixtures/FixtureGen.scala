@@ -460,20 +460,52 @@ object FixtureGen {
             val cw = 100.0; val ch = 24.0
             fixedEmit += s"R ${d1(x0)} ${d1(y)} ${d1(cw * nCols)} ${d1(ch * nRows)} $nRows $nCols"
             val variant = r.nextInt(4) // 0,1: C cells; 2: C + jittered D; 3: no cells (kmeans)
+            // one row may carry a single text box straddling cells 0 and 1 —
+            // the engine must split it at the overlap-proportional midpoint
+            val straddleRow = if (variant <= 1 && r.nextInt(3) == 0) 1 else -1
             val gridRows = Vector.newBuilder[Vector[(Int, Int, Boolean, String)]]
             for (ri <- 0 until nRows) {
               val row = Vector.newBuilder[(Int, Int, Boolean, String)]
-              for (ci <- 0 until nCols) {
-                val cx = x0 + ci * cw; val cy = y + ri * ch
-                if (variant <= 2) fixedEmit += s"C ${d1(cx)} ${d1(cy)} ${d1(cw)} ${d1(ch)}"
-                if (variant == 2) {
-                  val jx = (r.nextInt(5) - 2) * 0.5; val jy = (r.nextInt(5) - 2) * 0.5
-                  fixedEmit += s"D ${d1(cx + jx)} ${d1(cy + jy)} ${d1(cw)} ${d1(ch)}"
+              if (ri == straddleRow) {
+                for (ci <- 0 until nCols) {
+                  val cx = x0 + ci * cw; val cy = y + ri * ch
+                  fixedEmit += s"C ${d1(cx)} ${d1(cy)} ${d1(cw)} ${d1(ch)}"
                 }
-                val t = words(1 + r.nextInt(2))
-                bodyEmit += s"T ${d1(cx + 2)} ${d1(cy + 6)} ${d1(math.min(cw - 6, 4.0 + t.length * 3.0))} 12.0 $t"
-                nSpans += 1
-                row += ((1, 1, false, t))
+                // wide box from cell0+2 to cell1-2: equal overlap with both
+                val t = words(2 + r.nextInt(2))
+                bodyEmit += s"T ${d1(x0 + 2.0)} ${d1(y + ri * ch + 6)} ${d1(2 * cw - 4.0)} 12.0 $t"
+                nSpans += 2 // engine emits one span per split fragment
+                // oracle replicates the proportional split (equal widths →
+                // bounds at round(n/2)) and the per-cell join's trailing-ws
+                // trim (stitching trim_end)
+                val mid = math.round(t.length / 2.0).toInt
+                def trimEnd(x: String): String = {
+                  var e = x.length
+                  while (e > 0 && Character.isWhitespace(x.charAt(e - 1))) e -= 1
+                  x.substring(0, e)
+                }
+                row += ((1, 1, false, trimEnd(t.substring(0, mid))))
+                row += ((1, 1, false, trimEnd(t.substring(mid))))
+                for (ci <- 2 until nCols) {
+                  val cx = x0 + ci * cw; val cy = y + ri * ch
+                  val tc = words(1)
+                  bodyEmit += s"T ${d1(cx + 2)} ${d1(cy + 6)} ${d1(math.min(cw - 6, 4.0 + tc.length * 3.0))} 12.0 $tc"
+                  nSpans += 1
+                  row += ((1, 1, false, tc))
+                }
+              } else {
+                for (ci <- 0 until nCols) {
+                  val cx = x0 + ci * cw; val cy = y + ri * ch
+                  if (variant <= 2) fixedEmit += s"C ${d1(cx)} ${d1(cy)} ${d1(cw)} ${d1(ch)}"
+                  if (variant == 2) {
+                    val jx = (r.nextInt(5) - 2) * 0.5; val jy = (r.nextInt(5) - 2) * 0.5
+                    fixedEmit += s"D ${d1(cx + jx)} ${d1(cy + jy)} ${d1(cw)} ${d1(ch)}"
+                  }
+                  val t = words(1 + r.nextInt(2))
+                  bodyEmit += s"T ${d1(cx + 2)} ${d1(cy + 6)} ${d1(math.min(cw - 6, 4.0 + t.length * 3.0))} 12.0 $t"
+                  nSpans += 1
+                  row += ((1, 1, false, t))
+                }
               }
               gridRows += row.result()
             }
