@@ -21,6 +21,11 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
   * codegen. This is the preference order the project mandates: a native
   * Expression with codegen beats a Scala UDF
   * (SURVEY.md §6 "Functions, not UDFs").
+  *
+  * Element-null semantics: embedding arrays carry no null elements by
+  * contract; unlike the HOF fold (which would return NULL on a null
+  * element), this expression reads the raw buffer. Do not use it on columns
+  * whose arrays may contain nulls.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -76,15 +81,21 @@ object VecFunctions {
 /** SparkSessionExtensions hook: registers `graft_dot` so SQL users (and
   * `spark.sql(...)` pipelines) can call the native expression directly —
   * enable with
-  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (a STATIC conf: it must be present when the SparkContext is created). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_dot takes exactly 2 arguments")
-        FloatVecDot(children(0), children(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.GraftDot)
+}
+
+object GraftExtensions {
+  /** The (identifier, info, builder) triple — shared by the extensions hook
+    * and by direct FunctionRegistry registration on an existing session. */
+  val GraftDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_dot takes exactly 2 arguments")
+      FloatVecDot(children(0), children(1))
+    })
 }

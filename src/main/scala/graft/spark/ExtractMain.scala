@@ -11,7 +11,7 @@ import graft.model.Page
   * spark-submit --class graft.spark.ExtractMain graft.jar \
   *   --in  <parquet dir of Page rows | fixture:<nRows>> \
   *   --out <output table root> \
-  *   [--units 64] [--group-size 8] [--salt 0] [--fail-after-groups -1]
+  *   [--units 64] [--group-size 8] [--salt 0] [--size-sort] [--fail-after-groups -1]
   * }}}
   *
   * Execution model (scale design for 10^12 rows):
@@ -42,6 +42,7 @@ object ExtractMain {
       units: Int = 64,
       groupSize: Int = 8,
       salt: Int = 0,
+      sizeSort: Boolean = false,
       failAfterGroups: Int = -1,
       master: Option[String] = None)
 
@@ -55,6 +56,7 @@ object ExtractMain {
         case "--units" => a = a.copy(units = argv(i + 1).toInt); i += 2
         case "--group-size" => a = a.copy(groupSize = argv(i + 1).toInt); i += 2
         case "--salt" => a = a.copy(salt = argv(i + 1).toInt); i += 2
+        case "--size-sort" => a = a.copy(sizeSort = true); i += 1
         case "--fail-after-groups" => a = a.copy(failAfterGroups = argv(i + 1).toInt); i += 2
         case "--master" => a = a.copy(master = Some(argv(i + 1))); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg $other")
@@ -102,7 +104,7 @@ object ExtractMain {
       // parallelism levels — the resume key
       val unitOf = pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int")
       val slice = pages.filter(unitOf.isin(groupSet.toSeq: _*)).as[Page]
-      val extracted = ExtractJob.run(slice, a.salt)
+      val extracted = ExtractJob.run(slice, a.salt, a.sizeSort)
       extracted
         .withColumn("unit", pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int"))
         .withColumn("crawl_date", to_date(col("warc_ts")))

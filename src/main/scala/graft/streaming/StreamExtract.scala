@@ -64,12 +64,14 @@ object StreamExtract {
         (_: String, rows: Iterator[ExtractedPage], state: GroupState[Boolean]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // materialized: the input iterator is only valid during this
+            // call, the returned one is consumed after it
             val out =
-              if (state.exists) Iterator.empty[ExtractedPage]
-              else rows.take(1) // first arrival for this content wins
+              if (state.exists) Vector.empty[ExtractedPage]
+              else rows.take(1).toVector // first arrival for this content wins
             state.update(true)
             stateTtl.foreach(state.setTimeoutDuration)
-            out
+            out.iterator
           }
         })
   }
