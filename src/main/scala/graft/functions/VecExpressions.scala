@@ -25,7 +25,9 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
   * Element-null semantics: embedding arrays carry no null elements by
   * contract; unlike the HOF fold (which would return NULL on a null
   * element), this expression reads the raw buffer. Do not use it on columns
-  * whose arrays may contain nulls.
+  * whose arrays may contain nulls. Mismatched lengths return NULL — the same
+  * surfacing the HOF fold gives (zip_with pads with nulls), so a wrong-dim
+  * query vector cannot yield a silently-truncated plausible score.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -41,10 +43,13 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -57,12 +62,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -215,10 +215,17 @@ object BlockBuilder {
           } else if (blockTags.contains(name)) {
             startBlock(name); startedBlock = true
           } else if (containerTags.contains(name)) {
-            flushBlock()
-            blkTag = name; blkKind = "paragraph"; blkLevel = 0
-            buf.verbatim = false
-            blkDropped = dropDepth > 0
+            if (blkKind == "preformatted") {
+              // block content inside <pre> is invalid HTML that browsers
+              // render as part of the pre: keep verbatim mode and the
+              // preformatted kind; the container's text flows through
+              flushBlock()
+            } else {
+              flushBlock()
+              blkTag = name; blkKind = "paragraph"; blkLevel = 0
+              buf.verbatim = false
+              blkDropped = dropDepth > 0
+            }
           } else if (name == "br" || name == "hr") {
             buf.wsHint()
             if (name == "hr") flushBlock()
@@ -331,6 +338,13 @@ object BlockBuilder {
       (if (b >= 'A' && b <= 'Z') b + 32 else b.toInt).toChar
     while (i < limit) {
       if (html(i) == '<') {
+        // masked constructs the real tokenizer skips must not fool the probe:
+        // comments and raw-text elements (script/style) are skipped wholesale
+        if (i + 3 < limit && html(i + 1) == '!' && html(i + 2) == '-' && html(i + 3) == '-') {
+          var j = i + 4
+          while (j + 2 < limit && !(html(j) == '-' && html(j + 1) == '-' && html(j + 2) == '>')) j += 1
+          i = if (j + 2 < limit) j + 2 else limit
+        } else {
         var j = i + 1
         val closing = j < limit && html(j) == '/'
         if (closing) j += 1
@@ -349,11 +363,29 @@ object BlockBuilder {
               depth -= 1
             } else { depth += 1; nested = true }
             if (nested) return false // page-layout signature: stop scanning
+          } else if (!closing && (name == "script" || name == "style")) {
+            // raw-text element: skip to its close tag (case-insensitive)
+            var k = j
+            var done = false
+            while (!done && k + name.length + 2 < limit) {
+              if (html(k) == '<' && html(k + 1) == '/' && {
+                var m = 0
+                var eq = true
+                while (eq && m < name.length) {
+                  if (lower(html(k + 2 + m)) != name.charAt(m)) eq = false
+                  m += 1
+                }
+                eq
+              }) done = true
+              else k += 1
+            }
+            i = if (done) k else limit
           } else if (depth == 0 && !closing) {
             if (name == "th") th += 1
             else if (name == "tr") tr += 1
             else if (probeBlockTags.contains(name)) return false
           }
+        }
         }
       }
       i += 1

@@ -269,76 +269,39 @@ object Similarity {
   /** Exact near-duplicate pairs by embedding cosine >= threshold, upper
     * triangle only.
     *
-    * Executed as a blocked broadcast product: the corpus is split into
-    * deterministic hash blocks of <= maxBroadcast vectors; the outer loop
-    * broadcasts ONE block at a time and every distributed row dots against it
-    * in a tight JVM loop, so driver/executor memory is bounded by the block
-    * size, never the corpus — no full-corpus collect anywhere. Each unordered
-    * pair is emitted exactly once (by the block holding the larger id, upper
-    * triangle), so the union over blocks is duplicate-free.
-    *
-    * Scores are computed as dot(a,b)/(norm(a)*norm(b)) over the RAW values
-    * (floats widened to double, summed in index order) — the same fold the
-    * DuckDB oracle performs — rather than normalize-then-dot, whose different
-    * rounding could flip pairs sitting exactly at the threshold.
-    *
-    * The expression-tree version (zip_with + aggregate per pair) recomputes
-    * two O(d) norms per pair and ran 40x slower; the single-broadcast version
-    * collected the whole corpus to the driver. */
+    * Executed as a blocked broadcast JOIN: the corpus is split into
+    * deterministic hash blocks of <= maxBroadcast vectors and each block is
+    * the broadcast side of one BroadcastNestedLoopJoin branch, with the
+    * score — graft_dot(a,b)/(norm_a*norm_b), the oracle's exact fold —
+    * evaluated inside the codegen'd join condition. Nothing is ever
+    * collected to the driver: broadcast relations materialize on executors
+    * at execution time, so memory is bounded by the block size plus the
+    * scan. Each unordered pair is emitted exactly once (by the block
+    * holding the larger id, upper triangle), so the union over blocks is
+    * duplicate-free. For 1e9+ corpora prefer nearDupPairsLsh — any exact
+    * all-pairs method is O(n²) work however it is partitioned. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       maxBroadcast: Int = 1 << 20): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    def mix(id: Long): Long = { // splitmix64 finalizer: deterministic block hash
-      var z = id + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val out = new Array[Double](v.length)
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { val x = v(i).toDouble; out(i) = x; s += x * x; i += 1 }
-        (id, out, math.sqrt(s))
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // block count from the UNMAPPED input: a parquet source answers this from
-    // footer metadata without running the normalize map
+    import graft.functions.VecFunctions.dotF
+    // norms precomputed once per side; the join condition then costs ONE dot
+    // per pair (the HOF formulation recomputed two norms per pair, 40x cost)
+    val nd = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"), sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+    // parquet sources answer count() from footer metadata — no compute pass
     val total = emb.count()
     val nBlocks = math.max(1L, (total + maxBroadcast - 1) / maxBroadcast).toInt
+    val blockOf = pmod(xxhash64(col("vec_id")), lit(nBlocks.toLong))
+    val a = nd.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
     val parts = (0 until nBlocks).map { b =>
-      val block = (if (nBlocks == 1) vecs
-        else vecs.filter(r => java.lang.Long.remainderUnsigned(mix(r._1), nBlocks) == b))
-        .collect().sortBy(_._1)
-      val bc = spark.sparkContext.broadcast(block)
-      vecs.mapPartitions { it =>
-        val blk = bc.value
-        it.flatMap { case (idA, va, na) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          // the block is id-sorted: binary-search the first idB > idA so the
-          // inner loop touches only the upper triangle
-          var lo = 0
-          var hi = blk.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (blk(mid)._1 <= idA) lo = mid + 1 else hi = mid
-          }
-          var j = lo
-          while (j < blk.length) {
-            val (idB, vb, nb) = blk(j)
-            var s = 0.0
-            var i = 0
-            while (i < va.length) { s += va(i) * vb(i); i += 1 }
-            if (s / (na * nb) >= threshold) out += ((idA, idB))
-            j += 1
-          }
-          out.iterator
-        }
-      }
+      val block = (if (nBlocks == 1) nd else nd.filter(blockOf === b.toLong))
+        .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("nrm").as("nrm_b"))
+      a.join(broadcast(block),
+          col("id_b") > col("id_a") &&
+            dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+        .select(col("id_a"), col("id_b"))
     }
-    parts.reduce(_ union _).toDF("id_a", "id_b")
+    parts.reduce(_ union _)
   }
 }

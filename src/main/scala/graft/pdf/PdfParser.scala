@@ -307,7 +307,13 @@ object PdfParser {
     val total = widths.sum
     if (total <= 0) return Vector(tb)
     val n = tb.text.length
-    val bounds = widths.scanLeft(0.0)(_ + _).map(w => math.round(n * w / total).toInt)
+    // never cut a surrogate pair: a bound landing on a low surrogate moves
+    // one char right (the pair stays whole in the left fragment)
+    val bounds = widths.scanLeft(0.0)(_ + _).map { w =>
+      var b = math.round(n * w / total).toInt
+      if (b > 0 && b < n && Character.isLowSurrogate(tb.text.charAt(b))) b += 1
+      b
+    }
     val out = Vector.newBuilder[TextBox]
     var byteOff = 0L
     for (k <- ordered.indices) {

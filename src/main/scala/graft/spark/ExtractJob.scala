@@ -86,12 +86,28 @@ object ExtractJob {
     val offsets = hist.scanLeft(0L)(_ + _._2).init
     val budget = hist.zip(offsets).map { case ((c, b), off) => c -> (off, b) }.toMap
     val total = math.max(1L, hist.map(_._2).sum).toInt
+    // repartition(n, col) HASH-partitions the column value, which would remap
+    // our dense indices through murmur3 and collide different size classes
+    // into one partition. Probe, per dense index k, a long whose murmur3
+    // lands exactly on k (coupon-collector over incrementing candidates;
+    // HashPartitioning = pmod(murmur3(value, seed=42), n)) — rows then land
+    // in EXACTLY the budgeted partition: no empties, no cross-class mixing.
+    val probes = new Array[Long](total)
+    val found = new Array[Boolean](total)
+    var filled = 0
+    var cand = 0L
+    while (filled < total) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(cand, 42)
+      val slot = ((h % total) + total) % total
+      if (!found(slot)) { found(slot) = true; probes(slot) = cand; filled += 1 }
+      cand += 1
+    }
     val partExpr = hist.foldLeft(lit(0L)) { case (acc, (c, _)) =>
       val (off, b) = budget(c)
       when(cls === c, lit(off) + pmod(xxhash64(col("url")), lit(b))).otherwise(acc)
     }
     run(pages
-      .withColumn("__p", partExpr)
+      .withColumn("__p", element_at(lit(probes), partExpr.cast("int") + 1))
       .repartition(total, col("__p"))
       .drop("__p")
       .as[Page], salt = 0, sizeSort = true)

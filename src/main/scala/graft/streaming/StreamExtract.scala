@@ -55,10 +55,15 @@ object StreamExtract {
       else GroupStateTimeout.NoTimeout()
     extracted
       .groupByKey { p =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val d = md.digest((if (p.text == null) "" else p.text)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.util.Base64.getEncoder.encodeToString(d) // collision-safe content key
+        // error rows and empty extractions are NOT content duplicates of each
+        // other — key them by url so each passes through exactly once;
+        // real content keys on the md5 of the text (collision-safe)
+        if (p.error.nonEmpty || p.text == null || p.text.isEmpty) "u:" + p.url
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          "t:" + java.util.Base64.getEncoder.encodeToString(
+            md.digest(p.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
       }
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (_: String, rows: Iterator[ExtractedPage], state: GroupState[Boolean]) => {

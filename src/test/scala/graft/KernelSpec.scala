@@ -50,6 +50,24 @@ class KernelSpec extends AnyFunSuite {
     assert(bs.map(b => (b.kind, b.text)) == Vector(("formula", "x=4+2")))
   }
 
+  test("pre: nested container does not clear verbatim; kind stays preformatted") {
+    val bs = blocksOf("<pre>line  one\n<div>note</div>  indented\n  code</pre>")
+    assert(bs.forall(_.kind == "preformatted"), bs.map(b => (b.kind, b.text)).toString)
+    // whitespace after the div close is preserved exactly
+    assert(bs.last.text == "  indented\n  code")
+  }
+
+  test("probe ignores comments and script content when classifying tables") {
+    // th markup inside a comment must not promote a layout table to data
+    val commented = blocksOf("<table><!-- <th>a</th><th>b</th><tr></tr> -->" +
+      "<tr><td>left col words</td><td>right col words</td></tr></table>")
+    assert(!commented.exists(_.kind == "table"))
+    // block markup inside script must not demote a real data table
+    val scripted = blocksOf("<table class=\"g\"><script>var x = '<div>';</script>" +
+      "<tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>")
+    assert(scripted.exists(_.kind == "table"))
+  }
+
   test("wireless table probe: th-density data table captured; layout tables not") {
     // CSS-styled data table: 2 th + 2 rows, no border attr
     val data = blocksOf("<table class=\"grid\"><tr><th>a</th><th>b</th></tr>" +

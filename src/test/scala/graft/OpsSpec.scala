@@ -185,6 +185,12 @@ class OpsSpec extends AnyFunSuite {
       "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").collect()(0).getDouble(0)
     assert(v == 4.0)
+    // mismatched lengths surface as NULL (same as the HOF fold), never a
+    // silently truncated score
+    val nullRow = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").collect()(0)
+    assert(nullRow.isNullAt(0))
   }
 
   test("langId identifies scripts and latin stopword languages") {

@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(!urls.exists(_.endsWith("#mirror")), "a duplicate slipped through")
   }
 
+  test("stateful dedup passes every error/empty row (keyed by url, not the empty text)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = new java.sql.Timestamp(0L)
+    // three distinct failed/empty pages share text="" but must all pass
+    val broken = Seq(
+      graft.model.Page("probe://e1", ts, null, "", "en"),
+      graft.model.Page("probe://e2", ts, Array.emptyByteArray, "", "en"),
+      graft.model.Page("probe://e3", ts,
+        "<nav><a href='/'>x</a></nav>".getBytes, "", "en"))
+    val stream = MemoryStream[graft.model.Page]
+    val q = StreamExtract.dedupStream(StreamExtract.extractStream(stream.toDS()))
+      .writeStream.format("memory").queryName("dedup_err_out")
+      .outputMode("append").start()
+    stream.addData(broken)
+    q.processAllAvailable()
+    q.stop()
+    val urls = spark.table("dedup_err_out").select("url").collect().map(_.getString(0)).toSet
+    assert(urls == Set("probe://e1", "probe://e2", "probe://e3"))
+  }
+
   test("watermarked ingest metrics aggregate per window and lang") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
