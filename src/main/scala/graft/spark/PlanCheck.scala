@@ -66,6 +66,11 @@ object PlanCheck {
     val d03 = planOf("d03_ann_topk")
     check("d03_ann_topk", d03, Seq("BroadcastNestedLoopJoin"), Seq("Window"))
 
+    // d04: the near-dup product is a blocked broadcast JOIN — the block is
+    // built by the executors at execution time, never collected to the driver
+    val d04 = planOf("d04_embed_neardup")
+    check("d04_embed_neardup", d04, Seq("BroadcastNestedLoopJoin"), Seq("Window"))
+
     // d05: minhash signatures must come from the persisted relation (one
     // shingle+permutation pass feeding banding AND both verify sides)
     val d05 = planOf("d05_minhash")
