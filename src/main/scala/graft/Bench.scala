@@ -1,9 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * Records MIN-OF-N interleaved rounds (default 3, SPARK_GRAFT_BENCH_ROUNDS):
+  * the full query list runs N times in the same deterministic order and each
+  * query keeps its fastest round — min-of-N under interleaving is the
+  * standard defense against host noise (this box shows hypervisor CPU steal
+  * bursts of 18-49%, see BENCH.md), because a steal burst must cover ALL N
+  * spaced-out runs of a query to pollute its recorded time. /proc/stat steal
+  * is sampled around every round and recorded inline so the artifact is
+  * self-describing about host conditions.
+  *
+  * A query that throws records "err" (and its exception class) instead of a
+  * bogus fast wall-time — a broken query must be visible in the artifact.
+  */
 object Bench {
+
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat. */
+  private def cpuJiffies(): (Long, Long) = {
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      val steal = if (f.length > 7) f(7) else 0L
+      (steal, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,16 +43,43 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     catch { case _: Throwable => () }
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    // deterministic name order: run-to-run comparable per-query attribution
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.MaxValue): _*)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val roundTotals = Vector.newBuilder[Double]
+    val stealPcts = Vector.newBuilder[Double]
+    for (_ <- 0 until rounds) {
+      val (s0, t0j) = cpuJiffies()
+      var roundTotal = 0.0
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          roundTotal += dt
+          if (dt < best(name)) best(name) = dt
+        } catch {
+          case e: Throwable =>
+            roundTotal += (System.nanoTime() - t0) / 1e9
+            errors(name) = e.getClass.getSimpleName
+        }
+      }
+      roundTotals += roundTotal
+      val (s1, t1j) = cpuJiffies()
+      stealPcts += (if (t1j > t0j) 100.0 * (s1 - s0) / (t1j - t0j) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = best.map { case (k, v) =>
+      "\"" + k + "\":" + (if (errors.contains(k)) "\"err\"" else v.toString)
+    }.mkString("{", ",", "}")
+    val okMins = best.collect { case (k, v) if !errors.contains(k) => v }
+    val total = okMins.sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val rt = roundTotals.result().map(v => f"$v%.2f").mkString("[", ",", "]")
+    val sp = stealPcts.result().map(v => f"$v%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"round_totals_sec":$rt,"steal_pct_per_round":$sp,"errors":$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

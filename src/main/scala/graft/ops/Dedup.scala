@@ -68,7 +68,12 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs: band signatures, bucket-join, then exact
     * Jaccard estimate from the full signatures. Returns (doc_a, doc_b,
-    * est_jaccard_pct) with doc_a < doc_b, est >= threshold. */
+    * est_jaccard_pct) with doc_a < doc_b, est >= threshold.
+    *
+    * The returned pair set is MATERIALIZED (persisted MEMORY_AND_DISK and
+    * already computed) and the signature cache is released before returning,
+    * so repeated calls in a long-lived session don't accumulate corpus-sized
+    * cache entries; caller may `unpersist()` the (small) result. */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
       bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
@@ -107,13 +112,17 @@ object Dedup {
     // verify: estimated jaccard = fraction of matching signature positions
     val s1 = sigs.toDF("doc_a", "sig_a")
     val s2 = sigs.toDF("doc_b", "sig_b")
-    candidates
+    val out = candidates
       .join(s1, "doc_a").join(s2, "doc_b")
       .withColumn("est_jaccard_pct",
         (lit(100) * size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           x => x)) / lit(64)).cast("int"))
       .filter(col("est_jaccard_pct") >= (threshold * 100).toInt)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_pct"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so the signature cache can be released now
+    sigs.unpersist()
+    out
   }
 
   /** SimHash 64-bit signature of token features. */
@@ -137,7 +146,8 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, GUARANTEED
+    * complete only for maxHamming <= 3 (enforced), via
     * Manku-style combined-chunk banding (Manku/Jain/Sarma, WWW'07 §3): the
     * 64-bit signature is split into 5 chunks (13/13/13/13/12 bits) and every
     * pair of chunks forms one of C(5,2)=10 band tables keyed on the ~26-bit
@@ -152,6 +162,11 @@ object Dedup {
   def simhashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
     import spark.implicits._
+    // the C(5,2) construction pigeonholes only d <= 3 (>= 2 untouched
+    // chunks); a larger maxHamming would silently lose recall — refuse it
+    // rather than under-deliver (Manku's general construction would derive
+    // the chunk count from maxHamming)
+    require(maxHamming <= 3, s"simhashPairs guarantees recall only for maxHamming <= 3 (got $maxHamming)")
     // 5 chunk widths summing to 64; offsets precomputed
     val widths = Array(13, 13, 13, 13, 12)
     val offsets = widths.scanLeft(0)(_ + _).init
@@ -187,7 +202,9 @@ object Dedup {
   /** Token-3-gram Jaccard near-dups via rare-shingle inverted-index blocking:
     * only shingles with document frequency <= maxDf generate candidates (the
     * common-shingle tail would explode quadratically), then exact Jaccard on
-    * the pair. Returns (doc_a, doc_b, jaccard_pct). */
+    * the pair. Returns (doc_a, doc_b, jaccard_pct), MATERIALIZED (persisted
+    * MEMORY_AND_DISK, already computed) with the per-doc gram-set cache
+    * released before returning; caller may `unpersist()` the result. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 32): DataFrame = {
     import spark.implicits._
@@ -216,7 +233,7 @@ object Dedup {
     // exact verify: join the (small) candidate pair set with the per-doc gram
     // sets and sorted-merge the intersection — the full `grams` table is
     // never self-joined, so a stopword shingle with df=1e6 costs nothing here
-    pairs
+    val out = pairs
       .join(gsets.toDF("doc_a", "set_a"), "doc_a")
       .join(gsets.toDF("doc_b", "set_b"), "doc_b")
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
@@ -235,5 +252,9 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b", "jaccard_pct")
       .filter(col("jaccard_pct") >= (threshold * 100).toInt)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so the gram-set cache can be released now
+    gsets.unpersist()
+    out
   }
 }

@@ -122,16 +122,29 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Signature width scaled to the corpus: bits ≈ log2(n / targetBucket),
+    * clamped to [4, 24] — expected bucket occupancy stays ~targetBucket as
+    * the corpus grows, so probe cost is flat from sf0.001 to 10^12 rows
+    * instead of buckets going quadratic at a fixed width. `n` comes from
+    * `count()` on the source, which parquet answers from footer metadata. */
+  def autoBits(n: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(4, math.min(24, raw))
+  }
+
   /** Multi-probe LSH approximate top-k: each query probes its own bucket plus
     * every bucket at Hamming distance 1 (bit flips) — the standard recall
     * boost that costs `bits` extra broadcast rows per query instead of a
     * second hash table (Lv et al., VLDB'07). The corpus side stays bucketed
-    * once and is never shuffled; only the tiny query set explodes. */
+    * once and is never shuffled; only the tiny query set explodes.
+    * `bits <= 0` (the default) derives the signature width from the corpus
+    * count via [[autoBits]]. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], dim: Int,
-      k: Int = 10, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val sig = signatureExpr(col("embedding"), dim, bits, seed)
+      k: Int = 10, bits: Int = 0, seed: Long = 42L): DataFrame = {
+    val nBits = if (bits > 0) bits else autoBits(emb.count())
+    val sig = signatureExpr(col("embedding"), dim, nBits, seed)
     val bucketed = emb.withColumn("bucket", sig)
-    val flips = array((0 until bits).map(b => lit(1L << b)) :+ lit(0L): _*)
+    val flips = array((0 until nBits).map(b => lit(1L << b)) :+ lit(0L): _*)
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(transform(flips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
@@ -226,13 +239,20 @@ object Similarity {
     * short bucket key, hot buckets capped like minhash), then verifies each
     * candidate with the exact cosine (native graft_dot). Recall < 1 by
     * construction (LSH misses some borderline pairs) — measured against the
-    * exact product in OpsSpec; raise `bits` as the corpus grows so bucket
-    * occupancy stays bounded. */
+    * exact product in OpsSpec. `bits <= 0` (the default) scales the signature
+    * width with the corpus count ([[autoBits]]) so bucket occupancy stays
+    * bounded as the corpus grows.
+    *
+    * Returns the MATERIALIZED pair set (persisted MEMORY_AND_DISK, already
+    * computed); the corpus-side cache used during candidate generation is
+    * released before returning, so repeated invocations in a long session
+    * don't pin the corpus. Caller may `unpersist()` the (small) result. */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
-      bits: Int = 8, nTables: Int = 6, seed: Long = 42L,
+      bits: Int = 0, nTables: Int = 6, seed: Long = 42L,
       maxBucket: Int = 1024): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val nBits = if (bits > 0) bits else autoBits(emb.count())
     // OR-construction: nTables independent hyperplane tables; a pair is a
     // candidate if it shares a bucket in ANY table (recall 1-(1-p^bits)^T).
     // The explode keys on (table, bucket) so all tables ride one shuffle.
@@ -241,7 +261,7 @@ object Similarity {
     val banded = vecs.select(col("vec_id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("tbl"),
-          signatureExpr(col("embedding"), dim, bits, seed + t * 1000003L).as("bucket"))): _*)).as("tb"))
+          signatureExpr(col("embedding"), dim, nBits, seed + t * 1000003L).as("bucket"))): _*)).as("tb"))
       .select(col("tb.tbl"), col("tb.bucket"), col("vec_id"))
     val candidates = banded
       .groupByKey(r => (r.getInt(0), r.getLong(1)))
@@ -260,10 +280,14 @@ object Similarity {
       .distinct()
     val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    candidates
+    val out = candidates
       .join(va, "id_a").join(vb, "id_b")
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so the corpus cache can be released now
+    vecs.unpersist()
+    out
   }
 
   /** Exact near-duplicate pairs by embedding cosine >= threshold, upper
@@ -279,29 +303,54 @@ object Similarity {
     * scan. Each unordered pair is emitted exactly once (by the block
     * holding the larger id, upper triangle), so the union over blocks is
     * duplicate-free. For 1e9+ corpora prefer nearDupPairsLsh — any exact
-    * all-pairs method is O(n²) work however it is partitioned. */
+    * all-pairs method is O(n²) work however it is partitioned.
+    *
+    * Block sizes are `maxBroadcast` IN EXPECTATION (hash-assigned): at the
+    * default 2^20 the relative deviation concentrates within ~±0.5%
+    * (Chernoff), so the broadcast budget holds without the global sort a
+    * row_number-exact split would cost. Zero-norm vectors have DEFINED
+    * similarity 0.0 (never NaN). The (vec_id, embedding, nrm) projection is
+    * persisted so the B union branches scan the corpus once, then released
+    * after the (small) pair set is materialized — the returned DF is
+    * persisted and already computed; caller may `unpersist()` it. */
   def nearDupPairs(emb: DataFrame, threshold: Double,
       maxBroadcast: Int = 1 << 20): DataFrame = {
+    val (union, nd) = nearDupPairsPlan(emb, threshold, maxBroadcast)
+    val out = union.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize so the corpus-projection cache can be released
+    nd.unpersist()
+    out
+  }
+
+  /** The unmaterialized (pairUnion, cachedProjection) pair behind
+    * nearDupPairs — exposed so plan audits can assert the branch shape
+    * (BroadcastNestedLoopJoin over InMemoryTableScan) before execution. */
+  private[graft] def nearDupPairsPlan(emb: DataFrame, threshold: Double,
+      maxBroadcast: Int): (DataFrame, DataFrame) = {
     import graft.functions.VecFunctions.dotF
     // norms precomputed once per side; the join condition then costs ONE dot
     // per pair (the HOF formulation recomputed two norms per pair, 40x cost)
     val nd = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"), sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // parquet sources answer count() from footer metadata — no compute pass
     val total = emb.count()
     val nBlocks = math.max(1L, (total + maxBroadcast - 1) / maxBroadcast).toInt
     val blockOf = pmod(xxhash64(col("vec_id")), lit(nBlocks.toLong))
     val a = nd.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"))
+    // guarded cosine: zero-norm product → sim 0.0, not NaN (NaN >= t is
+    // false for any t, so thresholds > 0 were unaffected, but t <= 0 was
+    // undefined; the kernel's sim is 0.0 for zero vectors)
+    val prod = col("nrm_a") * col("nrm_b")
+    val sim = when(prod > 0.0, dotF(col("emb_a"), col("emb_b")) / prod).otherwise(lit(0.0))
     val parts = (0 until nBlocks).map { b =>
       val block = (if (nBlocks == 1) nd else nd.filter(blockOf === b.toLong))
         .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
           col("nrm").as("nrm_b"))
-      a.join(broadcast(block),
-          col("id_b") > col("id_a") &&
-            dotF(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")) >= threshold)
+      a.join(broadcast(block), col("id_b") > col("id_a") && sim >= threshold)
         .select(col("id_a"), col("id_b"))
     }
-    parts.reduce(_ union _)
+    (parts.reduce(_ union _), nd)
   }
 }

@@ -68,8 +68,16 @@ object PlanCheck {
 
     // d04: the near-dup product is a blocked broadcast JOIN — the block is
     // built by the executors at execution time, never collected to the driver
+    // — fed from the persisted (vec_id, embedding, nrm) projection so the
+    // B block branches scan the corpus once (InMemoryTableScan), not 2B times
     val d04 = planOf("d04_embed_neardup")
     check("d04_embed_neardup", d04, Seq("BroadcastNestedLoopJoin"), Seq("Window"))
+    val (d04Union, d04Nd) = graft.ops.Similarity.nearDupPairsPlan(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), 0.45, maxBroadcast = 64)
+    val d04Blocked = d04Union.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d04 blocked branches read cache", d04Blocked, Seq("InMemoryTableScan"))
+    d04Nd.unpersist()
 
     // d05: minhash signatures must come from the persisted relation (one
     // shingle+permutation pass feeding banding AND both verify sides)

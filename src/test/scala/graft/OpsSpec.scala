@@ -148,6 +148,35 @@ class OpsSpec extends AnyFunSuite {
     assert(blockedRows.toSet == one)
   }
 
+  test("autoBits keeps expected bucket occupancy <= target as the corpus grows") {
+    // analytic bound: bits >= log2(n/target) ⇒ n / 2^bits <= target, until
+    // the 24-bit clamp (~1e9 rows at target 64)
+    for (n <- Seq(100L, 1000L, 100000L, 10000000L, 1000000000L)) {
+      val bits = Similarity.autoBits(n)
+      assert(bits >= 4 && bits <= 24)
+      if (n <= 64L * (1L << 24))
+        assert(n.toDouble / (1L << bits) <= 64.0, s"n=$n bits=$bits")
+    }
+    assert(Similarity.autoBits(90) == 4)          // small corpora clamp low
+    assert(Similarity.autoBits(1L << 40) == 24)   // huge corpora clamp high
+  }
+
+  test("auto-scaled LSH: 10x corpus keeps max bucket occupancy bounded") {
+    import spark.implicits._
+    // 900 seeded-random vectors (10x the clustered fixture): random
+    // hyperplane signatures over random data stay near-balanced, so max
+    // occupancy should be within a small factor of n / 2^bits
+    val r = new java.util.Random(11)
+    val rows = (0L until 900L).map { id =>
+      (id, Array.fill(16)((r.nextFloat() - 0.5f) * 2f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bits = Similarity.autoBits(df.count())
+    val occ = df.select(Similarity.signatureExpr(col("embedding"), 16, bits, 42L).as("b"))
+      .groupBy("b").count().agg(max("count")).collect()(0).getLong(0)
+    assert(occ <= 64L * 8, s"max bucket occupancy $occ with bits=$bits")
+  }
+
   test("top-k rank ordering is deterministic: sim desc then neighbor_id asc") {
     // duplicate vectors force exact sim ties; ranks must break on neighbor_id
     import spark.implicits._
