@@ -225,12 +225,12 @@ object SparkEntry {
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
     }),
-    "d08_lang_id" -> ((s, d) => {
-      import s.implicits._
-      docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-        .map { case (id, t) => (id, TextOps.langId(t)) }
-        .toDF("doc_id", "detected_lang")
-    }),
+    "d08_lang_id" -> ((s, d) =>
+      // column-expression variant of the langId heuristic: integer-exact
+      // script/stopword counts + a CASE decision, codegen'd and DuckDB-
+      // reproducible (the row kernel TextOps.langId stays for typed/stream
+      // paths; OpsSpec asserts the two agree on the reference vectors)
+      TextOps.langIdDF(docs(s, d), col("text")).orderBy("doc_id")),
     "d09_fingerprint" -> ((s, d) => {
       import s.implicits._
       docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
@@ -263,22 +263,52 @@ object SparkEntry {
     }),
     "x13_stream_extract" -> ((s, d) => {
       // the streaming surface through the driver gate: a bounded MemoryStream
-      // of fixture pages runs the SAME kernel via extractStream into a memory
-      // sink; results must match the batch extraction bytes
+      // runs the SAME kernel via extractStream into a memory sink; results
+      // must match the batch extraction bytes. The stream carries ROW IDS
+      // only — pages are generated inside the stream map on executors, so the
+      // task binary stays small (the page-valued stream shipped ~8.6 MiB of
+      // corpus in every task binary).
       import s.implicits._
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val stream =
-        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Page]
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
       val n = math.min(docCount(s, d), 500L)
-      stream.addData((0L until n).map(i => fixtures.FixtureGen.fixture(i).page))
+      stream.addData(0L until n)
       val sink = "x13_sink_" + x13Counter.incrementAndGet()
-      val q = graft.streaming.StreamExtract.extractStream(stream.toDS())
+      val pages = stream.toDS().map(i => fixtures.FixtureGen.fixture(i).page)
+      val q = graft.streaming.StreamExtract.extractStream(pages)
         .select(col("url"), length(col("text")).as("text_len"),
           sha2(to_binary(col("text"), lit("utf-8")), 256).as("text_sha256"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable()
+      finally q.stop() // never leak a running StreamingQuery on failure
+      s.table(sink).orderBy("url")
+    }),
+    "x14_stream_dedup" -> ((s, d) => {
+      // streaming stateful dedup (flatMapGroupsWithState) through the driver
+      // gate: batch 1 delivers n distinct pages, batch 2 redelivers ALL of
+      // them (cross-batch duplicates — state must survive the batch
+      // boundary) plus 50 new ones; the sink must hold exactly one row per
+      // distinct content key
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val n = math.min(docCount(s, d), 300L)
+      val sink = "x14_sink_" + x13Counter.incrementAndGet()
+      val pages = stream.toDS().map(i => fixtures.FixtureGen.fixture(i).page)
+      val q = graft.streaming.StreamExtract
+        .dedupStream(graft.streaming.StreamExtract.extractStream(pages))
+        .select(col("url"), length(col("text")).as("text_len"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        stream.addData(0L until n)
+        q.processAllAvailable()
+        stream.addData((0L until n) ++ (n until n + 50L)) // dups + fresh
+        q.processAllAvailable()
+      } finally q.stop()
       s.table(sink).orderBy("url")
     }),
 
@@ -372,6 +402,37 @@ object SparkEntry {
         |FROM n a, n b WHERE a.vec_id < b.vec_id AND
         |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45""".stripMargin,
+    "d08_lang_id" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 4000) AS s FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(regexp_extract_all(s, '[\x{4E00}-\x{9FFF}]')) AS INTEGER) AS cjk,
+        |  CAST(length(regexp_extract_all(s, '[\x{3040}-\x{30FF}]')) AS INTEGER) AS kana,
+        |  CAST(length(regexp_extract_all(s, '[\x{AC00}-\x{D7AF}]')) AS INTEGER) AS hangul,
+        |  CAST(length(regexp_extract_all(s, '[\x{0600}-\x{06FF}]')) AS INTEGER) AS arab,
+        |  CAST(length(regexp_extract_all(s, '[\x{0400}-\x{04FF}]')) AS INTEGER) AS cyr,
+        |  CAST(length(regexp_extract_all(s, '[A-Za-z\x{00C0}-\x{017F}]')) AS INTEGER) AS latin,
+        |  CAST(length(regexp_extract_all(lower(s), '\b(?:the|and|of|to|is)\b')) AS INTEGER) AS w_en,
+        |  CAST(length(regexp_extract_all(lower(s), '\b(?:der|und|die|das|ist)\b'))
+        |    + length(regexp_extract_all(s, '[äöüß]')) AS INTEGER) AS w_de,
+        |  CAST(length(regexp_extract_all(lower(s), '\b(?:le|la|les|et|est)\b')) AS INTEGER) AS w_fr,
+        |  CAST(length(regexp_extract_all(lower(s), '\b(?:el|los|las|y|es)\b')) AS INTEGER) AS w_es
+        |FROM t)
+        |SELECT doc_id, latin AS n_latin, cjk AS n_cjk,
+        |  CASE WHEN total = 0 THEN 'und'
+        |       WHEN kana * 5 >= total THEN 'ja'
+        |       WHEN hangul * 2 >= total THEN 'ko'
+        |       WHEN cjk * 2 >= total THEN 'zh'
+        |       WHEN arab * 2 >= total THEN 'ar'
+        |       WHEN cyr * 2 >= total THEN 'ru'
+        |       WHEN latin * 2 >= total THEN (
+        |         CASE WHEN greatest(w_en, w_de, w_fr, w_es) = 0 THEN 'en'
+        |              WHEN w_en >= w_de AND w_en >= w_fr AND w_en >= w_es THEN 'en'
+        |              WHEN w_de >= w_fr AND w_de >= w_es THEN 'de'
+        |              WHEN w_fr >= w_es THEN 'fr'
+        |              ELSE 'es' END)
+        |       ELSE 'und' END AS detected_lang
+        |FROM (SELECT *, cjk + kana + hangul + arab + cyr + latin AS total FROM c)
+        |ORDER BY doc_id""".stripMargin,
     "d11_token_bpe" ->
       """SELECT doc_id,
         |  CAST(length(regexp_extract_all(text,

@@ -67,6 +67,47 @@ object TextOps {
           size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0)))
       ).cast("int").as("keep_flag"))
 
+  /** Column-expression language ID — the same script-range/stopword heuristic
+    * as [[langId]] but as integer-exact codegen'd Catalyst expressions, so a
+    * third-party SQL engine can reproduce the decision bit-for-bit (every
+    * count is an integer; the language string is a pure CASE over them).
+    * Examines the first 4000 characters like the row kernel. Returns
+    * (doc_id, n_latin, n_cjk, detected_lang). */
+  def langIdDF(df: DataFrame, text: Column): DataFrame = {
+    val s = substring(text, 1, 4000)
+    def cnt(c: Column, pattern: String): Column =
+      coalesce(regexp_count(c, lit(pattern)), lit(0))
+    val cjk = cnt(s, "[\\x{4E00}-\\x{9FFF}]")
+    val kana = cnt(s, "[\\x{3040}-\\x{30FF}]")
+    val hangul = cnt(s, "[\\x{AC00}-\\x{D7AF}]")
+    val arab = cnt(s, "[\\x{0600}-\\x{06FF}]")
+    val cyr = cnt(s, "[\\x{0400}-\\x{04FF}]")
+    val latin = cnt(s, "[A-Za-z\\x{00C0}-\\x{017F}]")
+    val total = cjk + kana + hangul + arab + cyr + latin
+    val wEn = cnt(lower(s), "\\b(?:the|and|of|to|is)\\b")
+    val wDe = cnt(lower(s), "\\b(?:der|und|die|das|ist)\\b") + cnt(s, "[äöüß]")
+    val wFr = cnt(lower(s), "\\b(?:le|la|les|et|est)\\b")
+    val wEs = cnt(lower(s), "\\b(?:el|los|las|y|es)\\b")
+    val latinLang =
+      when(greatest(wEn, wDe, wFr, wEs) === 0, lit("en"))
+        .when(wEn >= wDe && wEn >= wFr && wEn >= wEs, lit("en"))
+        .when(wDe >= wFr && wDe >= wEs, lit("de"))
+        .when(wFr >= wEs, lit("fr"))
+        .otherwise(lit("es"))
+    df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      latin.as("n_latin"),
+      cjk.as("n_cjk"),
+      when(total === 0, lit("und"))
+        .when(kana * 5 >= total, lit("ja"))
+        .when(hangul * 2 >= total, lit("ko"))
+        .when(cjk * 2 >= total, lit("zh"))
+        .when(arab * 2 >= total, lit("ar"))
+        .when(cyr * 2 >= total, lit("ru"))
+        .when(latin * 2 >= total, latinLang)
+        .otherwise(lit("und")).as("detected_lang"))
+  }
+
   // --- imperative kernels (row-level) ---------------------------------------
 
   /** Cheap n-gram/char-class language ID heuristic (the reference's

@@ -232,6 +232,24 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.langId("12345 !!! ???") == "und")
   }
 
+  test("column langIdDF agrees with the row kernel on the reference vectors") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat and the dog went to the market and it is fine",
+      "der hund und die katze sind schön und das ist gut",
+      "中文文本的内容都是汉字组成的句子",
+      "こんにちは世界のみなさんお元気ですか",
+      "Привет мир это русский текст для проверки",
+      "le chat et la maison est grande et les arbres",
+      "12345 !!! ???")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val colLang = TextOps.langIdDF(df, col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("detected_lang"))).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(colLang(i.toLong) == TextOps.langId(t),
+        s"column/row langId disagree on '$t': ${colLang(i.toLong)} vs ${TextOps.langId(t)}")
+  }
+
   test("fingerprint is stable and robust to tiny edits, changes on rewrites") {
     val t = mkText(9, 300)
     assert(TextOps.fingerprint(t) == TextOps.fingerprint(t))
