@@ -24,6 +24,13 @@ object Extractor {
     * are ignored; spans still index the original bytes. */
   val MaxHtmlBytes: Int = 16 * 1024 * 1024
 
+  /** Sniff + normalize for the byte-level pipeline: UTF-16 pages (BOM or
+    * parity-sniffed) are transcoded to UTF-8; for those pages span offsets
+    * index the normalized stream (the recorded charset decision makes wire
+    * offsets recoverable — see Charset.normalize). */
+  private def pipelineInput(html: Array[Byte]): (Array[Byte], java.nio.charset.Charset) =
+    Charset.normalize(html, Charset.sniff(html))
+
   def extract(p: Page): ExtractedPage = {
     val raw = if (p.html == null) Array.emptyByteArray else p.html
     try {
@@ -33,10 +40,10 @@ object Extractor {
           nBlocks = spans.length, nKept = spans.length,
           htmlBytes = raw.length.toLong, isPdf = true, error = "")
       } else {
-        val html =
+        val clamped =
           if (raw.length > MaxHtmlBytes) java.util.Arrays.copyOf(raw, MaxHtmlBytes)
           else raw
-        val cs = Charset.sniff(html).charset
+        val (html, cs) = pipelineInput(clamped)
         val raws = BlockBuilder.build(html, cs)
         val blocks = Classifier.classify(raws)
         val text = Assembler.render(blocks)
@@ -60,8 +67,8 @@ object Extractor {
     try {
       if (PdfParser.isPdf(raw)) Vector.empty
       else {
-        val cs = Charset.sniff(raw).charset
-        Classifier.classify(BlockBuilder.build(raw, cs))
+        val (html, cs) = pipelineInput(raw)
+        Classifier.classify(BlockBuilder.build(html, cs))
       }
     } catch { case _: Throwable => Vector.empty }
   }
@@ -73,8 +80,8 @@ object Extractor {
     try {
       if (PdfParser.isPdf(raw)) None
       else {
-        val cs = Charset.sniff(raw).charset
-        val raws = BlockBuilder.build(raw, cs)
+        val (html, cs) = pipelineInput(raw)
+        val raws = BlockBuilder.build(html, cs)
         val blocks = Classifier.classify(raws)
         Some((Assembler.renderHtml(blocks), Assembler.renderJson(blocks, Assembler.spans(raws, blocks))))
       }
@@ -87,8 +94,8 @@ object Extractor {
     try {
       if (PdfParser.isPdf(raw)) Vector.empty
       else {
-        val cs = Charset.sniff(raw).charset
-        BlockBuilder.build(raw, cs).zipWithIndex.collect {
+        val (html, cs) = pipelineInput(raw)
+        BlockBuilder.build(html, cs).zipWithIndex.collect {
           case (b, i) if b.kind == "table" => (i, b.cellRuns.length, b.text)
         }
       }

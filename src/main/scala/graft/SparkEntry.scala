@@ -158,8 +158,8 @@ object SparkEntry {
         val raw = if (p.html == null) Array.emptyByteArray else p.html
         if (pdf.PdfParser.isPdf(raw)) Iterator.empty
         else {
-          val cs = html.Charset.sniff(raw).charset
-          val raws = html.BlockBuilder.build(raw, cs)
+          val (buf, cs) = html.Charset.normalize(raw, html.Charset.sniff(raw))
+          val raws = html.BlockBuilder.build(buf, cs)
           val art = score.Classifier.classify(raws, score.Classifier.Article)
           val lst = score.Classifier.classify(raws, score.Classifier.Listing)
           Iterator.single((p.url, art.count(_.keep), lst.count(_.keep)))

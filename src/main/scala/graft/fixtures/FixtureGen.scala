@@ -82,6 +82,10 @@ object FixtureGen {
 
     val giant = rowId % 200 == 3
     val cp1252 = !giant && (lang == "en" || lang == "de") && rowId % 20 == 5
+    // UTF-16LE pages (disjoint from cp1252: 9/34 mod 50 vs 5 mod 20); the
+    // rowId%50==34 subset omits the BOM so the parity sniff path is exercised
+    val utf16 = !giant && !cp1252 && rowId % 25 == 9
+    val utf16Bom = utf16 && rowId % 50 != 34
     val malformed = rowId % 10 == 7
     val cs: JCharset =
       if (cp1252) JCharset.forName("windows-1252") else StandardCharsets.UTF_8
@@ -92,6 +96,7 @@ object FixtureGen {
 
     html.append("<!DOCTYPE html><html><head>")
     if (cp1252) html.append("<meta charset=\"windows-1252\">")
+    else if (utf16) html.append("<meta charset=\"utf-16\">")
     else html.append("<meta charset=\"utf-8\">")
     html.append("<title>site ").append(host).append("</title>")
     html.append("<style>body{margin:0} .x>a{color:red}</style>")
@@ -321,7 +326,16 @@ object FixtureGen {
     html.append("<footer><p>copyright ").append(host).append(" — <a href=\"/tos\">terms</a> <a href=\"/privacy\">privacy</a></p></footer>")
     html.append("</body></html>")
 
-    val bytes = html.toString.getBytes(cs)
+    val bytes =
+      if (utf16) {
+        val body = html.toString.getBytes(StandardCharsets.UTF_16LE)
+        if (utf16Bom) {
+          val out = new Array[Byte](body.length + 2)
+          out(0) = 0xff.toByte; out(1) = 0xfe.toByte
+          System.arraycopy(body, 0, out, 2, body.length)
+          out
+        } else body
+      } else html.toString.getBytes(cs)
     val expected = pieces.result().mkString("\n\n")
     Fixture(Page(url, ts, bytes, "", lang), expected, spanCount)
   }

@@ -14,15 +14,39 @@ object Charset {
 
   private val win1252 = JCharset.forName("windows-1252")
 
-  /** Sniff the charset from a BOM or a `<meta charset=...>` /
+  /** Sniff the charset from a BOM (UTF-8 / UTF-16LE / UTF-16BE), the
+    * byte-parity profile of BOM-less UTF-16, or a `<meta charset=...>` /
     * `<meta http-equiv content="...charset=...">` declaration in the first
-    * `limit` bytes; default UTF-8 (the modern-web default).
+    * `limit` bytes; default UTF-8 (the modern-web default). The full BOM
+    * family matters the way the reference's orientation classifier covers
+    * all four rotations (preprocess.rs:58-94) — missing one silently yields
+    * mojibake, not an error.
     */
   def sniff(html: Array[Byte], limit: Int = 2048): Decision = {
     if (html.length >= 3 && (html(0) & 0xff) == 0xef &&
         (html(1) & 0xff) == 0xbb && (html(2) & 0xff) == 0xbf)
       return Decision(StandardCharsets.UTF_8, declared = true)
+    if (html.length >= 2 && (html(0) & 0xff) == 0xff && (html(1) & 0xff) == 0xfe)
+      return Decision(StandardCharsets.UTF_16LE, declared = true)
+    if (html.length >= 2 && (html(0) & 0xff) == 0xfe && (html(1) & 0xff) == 0xff)
+      return Decision(StandardCharsets.UTF_16BE, declared = true)
     val n = math.min(html.length, limit)
+    // BOM-less UTF-16: an HTML prefix is ASCII-dominated, so one byte parity
+    // is mostly NUL — require a strong signal (>=20% zeros, >=90% on one
+    // parity, >=32 bytes) so binary payloads don't false-positive
+    if (n >= 32) {
+      var zEven = 0; var zOdd = 0
+      var i = 0
+      while (i < n) {
+        if (html(i) == 0) { if ((i & 1) == 0) zEven += 1 else zOdd += 1 }
+        i += 1
+      }
+      val z = zEven + zOdd
+      if (z * 5 >= n) {
+        if (zOdd * 10 >= z * 9) return Decision(StandardCharsets.UTF_16LE, declared = false)
+        if (zEven * 10 >= z * 9) return Decision(StandardCharsets.UTF_16BE, declared = false)
+      }
+    }
     // ASCII-lowercased prefix is safe for both candidate charsets
     val sb = new java.lang.StringBuilder(n)
     var i = 0
@@ -61,4 +85,33 @@ object Charset {
   def asciiTransparent(cs: JCharset): Boolean =
     (cs eq StandardCharsets.UTF_8) || (cs eq StandardCharsets.US_ASCII) ||
       (cs eq win1252) || cs.name() == "windows-1252" || cs.name() == "ISO-8859-1"
+
+  def isUtf16(cs: JCharset): Boolean =
+    (cs eq StandardCharsets.UTF_16LE) || (cs eq StandardCharsets.UTF_16BE) ||
+      (cs eq StandardCharsets.UTF_16) || cs.name().toLowerCase.startsWith("utf-16")
+
+  /** Normalize a sniffed document for the byte-level pipeline: UTF-16 input
+    * is transcoded to UTF-8 (BOM stripped, malformed units replaced); ASCII-
+    * transparent charsets pass through untouched. Returns the pipeline bytes
+    * and the charset to decode runs with.
+    *
+    * Coordinate contract (mirrors the reference recording its orientation
+    * decision so boxes map back, preprocess.rs:96-143): for transcoded pages
+    * span byte offsets index the UTF-8 NORMALIZED stream, not the wire
+    * bytes; the recorded Decision (charset + BOM) makes the wire offset
+    * recoverable as 2·(UTF-16 units of the decoded prefix) + BOM length. */
+  def normalize(html: Array[Byte], dec: Decision): (Array[Byte], JCharset) =
+    if (!isUtf16(dec.charset)) (html, dec.charset)
+    else {
+      val bom =
+        if (html.length >= 2 &&
+          (((html(0) & 0xff) == 0xff && (html(1) & 0xff) == 0xfe) ||
+           ((html(0) & 0xff) == 0xfe && (html(1) & 0xff) == 0xff))) 2
+        else 0
+      val cs =
+        if (dec.charset eq StandardCharsets.UTF_16) StandardCharsets.UTF_16BE
+        else dec.charset
+      val s = new String(html, bom, html.length - bom, cs)
+      (s.getBytes(StandardCharsets.UTF_8), StandardCharsets.UTF_8)
+    }
 }

@@ -322,6 +322,27 @@ class KernelSpec extends AnyFunSuite {
     assert(bs.map(_.text) == Vector("café große words here"))
   }
 
+  test("charset: UTF-16 BOM + parity sniff, normalize feeds the pipeline") {
+    val s = "<html><head><meta charset=\"utf-16\"></head><body><p>unicode café 中文 words here</p></body></html>"
+    val le = s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    val bomLe = Array(0xff.toByte, 0xfe.toByte) ++ le
+    val bomBe = Array(0xfe.toByte, 0xff.toByte) ++ s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    assert(Charset.sniff(bomLe).charset.name() == "UTF-16LE" && Charset.sniff(bomLe).declared)
+    assert(Charset.sniff(bomBe).charset.name() == "UTF-16BE" && Charset.sniff(bomBe).declared)
+    // BOM-less: byte-parity heuristic
+    val decLe = Charset.sniff(le)
+    assert(decLe.charset.name() == "UTF-16LE" && !decLe.declared)
+    assert(Charset.sniff(s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)).charset.name() == "UTF-16BE")
+    // tiny or binary-ish inputs must NOT false-positive
+    assert(Charset.sniff("<p>hi</p>".getBytes("UTF-8")).charset.name() == "UTF-8")
+    // end-to-end: normalized bytes run the standard byte pipeline
+    for (bytes <- Seq(bomLe, le, bomBe)) {
+      val (buf, cs) = Charset.normalize(bytes, Charset.sniff(bytes))
+      val bs = BlockBuilder.build(buf, cs)
+      assert(bs.map(_.text) == Vector("unicode café 中文 words here"), s"bytes head ${bytes.take(4).toSeq}")
+    }
+  }
+
   test("xycut: two columns read column-major, lines top-down") {
     // col1: (0..80), col2: (200..280); two lines each
     val boxes = Array(
