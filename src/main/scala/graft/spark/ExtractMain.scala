@@ -16,13 +16,12 @@ import graft.model.Page
   *
   * Execution model (scale design for 10^12 rows):
   *   - the input is split into `units` deterministic url-hash buckets
-  *     (pmod(xxhash64(url), units)) — at cluster scale these align with the
-  *     input table's bucket partitioning so each unit's scan is
-  *     partition-pruned, not a full pass;
-  *   - units are processed `groupSize` at a time: one Spark job per group
-  *     writes scratch parquet partitioned by unit, then each unit is
-  *     published via TableIO.commitUnit (data rename before manifest, both
-  *     atomic) together with its lineage counters;
+  *     (pmod(xxhash64(url), units)) — the commit/resume granularity;
+  *   - ONE extraction job per run writes every pending unit to scratch
+  *     parquet partitioned by unit (the input is scanned once per run — no
+  *     per-group re-scan, no bucketed-input assumption), then units are
+  *     published `groupSize` at a time via TableIO.commitUnit (data rename
+  *     before manifest, both atomic) together with their lineage counters;
   *   - on restart, committed units are skipped (the anti-join of pending
   *     against lineage — here a set difference because the manifest set is
   *     tiny and driver-side; at 10^12 scale with millions of units it becomes
@@ -94,36 +93,45 @@ object ExtractMain {
 
     val pages = pagesFor(spark, a.in)
     val scratch = TableIO.scratchDir(a.out, runId)
+    // ONE extraction job writes ALL pending units (scratch partitioned by
+    // unit), then manifests publish group-by-group. The per-group version of
+    // this loop re-filtered the complete input once per group — units/
+    // groupSize full scans unless the input table was physically bucketed by
+    // xxhash64(url)%units. Now the input is scanned exactly once per run
+    // regardless of bucketing (ResumeSpec asserts the job count).
+    // unit id is a pure function of url: deterministic across runs and
+    // parallelism levels — the resume key
+    val unitOf = pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int")
+    val slice =
+      if (committed.isEmpty) pages // fresh run: no filter at all
+      else pages.filter(unitOf.isin(pending: _*)).as[Page]
+    val extracted = ExtractJob.run(slice, a.salt, a.sizeSort)
+    extracted
+      .withColumn("unit", pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int"))
+      .withColumn("crawl_date", to_date(col("warc_ts")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("unit")
+      .parquet(scratch)
+    // lineage counters from the scratch output in one aggregation (reads
+    // only the small columns; html never written)
+    val stats = spark.read.parquet(scratch)
+      .groupBy("unit")
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
+        sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"),
+        sum(col("htmlBytes")).as("bytes"),
+        sum(length(col("text"))).as("chars"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // publish in groups: a crash between group commits leaves a resumable
+    // prefix (the --fail-after-groups injection point, ResumeSpec)
     var done = 0
     var groups = 0
     pending.grouped(a.groupSize).foreach { group =>
       if (a.failAfterGroups >= 0 && groups >= a.failAfterGroups)
         throw new InjectedFailure(s"injected crash after $groups groups")
-      val groupSet = group.toSet
-      // unit id is a pure function of url: deterministic across runs and
-      // parallelism levels — the resume key
-      val unitOf = pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int")
-      val slice = pages.filter(unitOf.isin(groupSet.toSeq: _*)).as[Page]
-      val extracted = ExtractJob.run(slice, a.salt, a.sizeSort)
-      extracted
-        .withColumn("unit", pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int"))
-        .withColumn("crawl_date", to_date(col("warc_ts")))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("unit")
-        .parquet(scratch)
-      // lineage counters from the scratch output (reads only the small
-      // columns; html never written)
-      val stats = spark.read.parquet(scratch)
-        .groupBy("unit")
-        .agg(
-          count(lit(1)).as("rows"),
-          sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
-          sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"),
-          sum(col("htmlBytes")).as("bytes"),
-          sum(length(col("text"))).as("chars"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-        .toMap
       val now = System.currentTimeMillis()
       for (u <- group) {
         val (rows, ok, err, bytes, chars) = stats.getOrElse(u, (0L, 0L, 0L, 0L, 0L))

@@ -34,7 +34,28 @@ class ResumeSpec extends AnyFunSuite {
     val units = 16
 
     val cleanArgs = ExtractMain.Args(in = in, out = clean, units = units, groupSize = 4)
-    assert(ExtractMain.run(spark, cleanArgs) == units)
+    // single-pass contract: one extraction+write job plus one stats
+    // aggregation per run, NOT one pair per group (the per-group loop ran
+    // 2 * units/groupSize jobs = 8 here, re-scanning the input each time)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(ExtractMain.run(spark, cleanArgs) == units)
+    } finally {
+      // listener events post asynchronously; wait for the count to settle
+      var last = -1
+      var spins = 0
+      while (jobCount.get() != last && spins < 20) {
+        last = jobCount.get(); Thread.sleep(250); spins += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobCount.get() <= 4, s"expected a single-pass run (<=4 Spark jobs), saw ${jobCount.get()}")
     assert(TableIO.committedUnits(clean) == (0 until units).toSet)
 
     val crashArgs = ExtractMain.Args(in = in, out = crashy, units = units,
