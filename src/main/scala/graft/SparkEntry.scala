@@ -108,6 +108,8 @@ object SparkEntry {
       extracted(s, d).filter(col("isPdf"))
         .select(col("url"), posexplode(split(col("text"), java.util.regex.Pattern.quote(pdf.PdfParser.PageBreak))).as(Seq("page_idx", "page_text")))
         .select(col("url"), col("page_idx"), length(col("page_text")).as("page_len"),
+          // $$..$$ markers come in pairs; half the marker count = formulas
+          (regexp_count(col("page_text"), lit("\\$\\$")) / 2).cast("int").as("n_formulas"),
           sha2(to_binary(col("page_text"), lit("utf-8")), 256).as("page_sha256"))),
     "x06_titles" -> ((s, d) => {
       import s.implicits._

@@ -467,6 +467,21 @@ object FixtureGen {
             nSpans += 1
             y += 90.0
           }
+          if (r.nextInt(10) < 3) {
+            // formula box: raw latex with messy internal whitespace — the
+            // engine must normalize (collapse runs, trim) inside $$..$$
+            val a2 = 1 + r.nextInt(9); val b2 = 1 + r.nextInt(9)
+            val lat = s"E_{$a2}  =\t m c^$b2 "
+            fixedEmit += s"M ${d1(x0)} ${d1(y)} 580.0 40.0 $lat"
+            pieces += "$$" + s"E_{$a2} = m c^$b2" + "$$"
+            nSpans += 1
+            if (r.nextInt(2) == 0) {
+              // OCR-style fragment inside the formula region: mask-then-
+              // detect must consume it (no body region, no span)
+              bodyEmit += s"T ${d1(x0 + 20.0)} ${d1(y + 14.0)} 80.0 12.0 maskedfrag"
+            }
+            y += 70.0
+          }
           if (r.nextInt(10) < 4) {
             // table: rows x cols grid at (10, y), cell 100x24
             val nRows = 2 + r.nextInt(2)

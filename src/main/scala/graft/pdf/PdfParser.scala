@@ -26,6 +26,7 @@ import graft.model.Span
   * F <x> <y> <w> <h> <text>\n   -- page footer box  -> <small>text</small>
   * L <x> <y> <w> <h> <lvl> <text>\n -- title box    -> "#"*lvl + " " + text
   * G <x> <y> <w> <h> <caption>\n -- figure box      -> ![Figure](caption)
+  * M <x> <y> <w> <h> <latex>\n  -- formula box      -> $$normalized latex$$
   * R <x> <y> <w> <h> <rows> <cols>\n -- table region (T boxes inside belong to it)
   * C <x> <y> <w> <h>\n          -- structure cell of the last R
   * D <x> <y> <w> <h>\n          -- detected cell of the last R
@@ -46,7 +47,39 @@ object PdfParser {
       boxes: Vector[TextBox],
       headers: Vector[TextBox], footers: Vector[TextBox],
       titles: Vector[TitleBox], figures: Vector[TextBox],
-      tables: Vector[TableSpec])
+      tables: Vector[TableSpec],
+      formulas: Vector[TextBox] = Vector.empty)
+
+  /** Typed page element for ordering/rendering — a Sortable's payload indexes
+    * ONE unified element vector of these, so element identity is carried as a
+    * tag, never as a magic index range an adversarial page could alias. */
+  private sealed trait PageEl
+  private final case class RegionEl(boxes: Vector[TextBox]) extends PageEl
+  private final case class TitleEl(t: TitleBox) extends PageEl
+  private final case class FigureEl(f: TextBox) extends PageEl
+  private final case class FormulaEl(f: TextBox) extends PageEl
+  private final case class TableEl(idx: Int) extends PageEl
+  private final case class HeaderEl(h: TextBox) extends PageEl
+  private final case class FooterEl(f: TextBox) extends PageEl
+
+  /** `normalize_latex` analogue (/root/reference/src/processors/mod.rs:43):
+    * whitespace runs collapse to one space, ends trimmed — formula sources
+    * carry layout newlines/indentation that must not leak into `$$..$$`. */
+  def normalizeLatex(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingWs = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingWs = sb.length() > 0
+      else {
+        if (pendingWs) { sb.append(' '); pendingWs = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Matches the reference's page-join in multi-page responses
     * (/root/reference/src/bin/server/ocr.rs:190-240). */
@@ -75,7 +108,14 @@ object PdfParser {
     var footers = Vector.newBuilder[TextBox]
     var titles = Vector.newBuilder[TitleBox]
     var figures = Vector.newBuilder[TextBox]
+    var formulas = Vector.newBuilder[TextBox]
     var tables = Vector.newBuilder[TableSpec]
+    // in-progress table: cells accumulate in O(1) builders and the spec is
+    // appended at flush (the rebuild-the-Vector-per-cell-line version was
+    // O(cells x tables) copying on attacker-sized payloads)
+    var curTable: TableSpec = null
+    var curStruct = Vector.newBuilder[Box]
+    var curDet = Vector.newBuilder[Box]
     var pw = 0.0; var ph = 0.0; var inPage = false
     val n = bytes.length
     var i = 0
@@ -84,11 +124,17 @@ object PdfParser {
       while (j < n && bytes(j) != '\n') j += 1
       j
     }
+    def flushTable(): Unit = if (curTable != null) {
+      tables += curTable.copy(structCells = curStruct.result(), detCells = curDet.result())
+      curTable = null; curStruct = Vector.newBuilder; curDet = Vector.newBuilder
+    }
     def flushPage(): Unit = {
+      flushTable()
       pages += PdfPage(pw, ph, boxes.result(), headers.result(), footers.result(),
-        titles.result(), figures.result(), tables.result())
+        titles.result(), figures.result(), tables.result(), formulas.result())
       boxes = Vector.newBuilder; headers = Vector.newBuilder; footers = Vector.newBuilder
       titles = Vector.newBuilder; figures = Vector.newBuilder; tables = Vector.newBuilder
+      formulas = Vector.newBuilder
     }
     // parse `k` doubles starting at p; returns (values, posAfter) or null
     def parseNums(from: Int, e: Int, k: Int): (Array[Double], Int) = {
@@ -129,6 +175,7 @@ object PdfParser {
           case 'H' => val tb = textBox(i + 2, e); if (tb != null) headers += tb
           case 'F' => val tb = textBox(i + 2, e); if (tb != null) footers += tb
           case 'G' => val tb = textBox(i + 2, e); if (tb != null) figures += tb
+          case 'M' => val tb = textBox(i + 2, e); if (tb != null) formulas += tb
           case 'L' =>
             parseNums(i + 2, e, 5) match {
               case null => ()
@@ -143,23 +190,17 @@ object PdfParser {
             parseNums(i + 2, e, 6) match {
               case null => ()
               case (nums, _) =>
-                tables += TableSpec(Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3)),
+                flushTable()
+                curTable = TableSpec(Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3)),
                   math.max(1, nums(4).toInt), math.max(1, nums(5).toInt), Vector.empty, Vector.empty)
             }
           case 'C' | 'D' =>
             parseNums(i + 2, e, 4) match {
               case null => ()
-              case (nums, _) =>
-                val tb = tables.result()
-                if (tb.nonEmpty) {
-                  val last = tb.last
-                  val box = Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3))
-                  val updated =
-                    if (bytes(i) == 'C') last.copy(structCells = last.structCells :+ box)
-                    else last.copy(detCells = last.detCells :+ box)
-                  tables = Vector.newBuilder
-                  tables ++= tb.init :+ updated
-                }
+              case (nums, _) if curTable != null =>
+                val box = Box(nums(0), nums(1), nums(0) + nums(2), nums(1) + nums(3))
+                if (bytes(i) == 'C') curStruct += box else curDet += box
+              case _ => ()
             }
           case _ => () // header / unknown line: skip
         }
@@ -411,75 +452,87 @@ object PdfParser {
     val tableBoxes = Array.fill(page.tables.length)(Vector.newBuilder[TextBox])
     val bodyBoxes = Vector.newBuilder[TextBox]
     val unclipped = page.tables.map(t => Geom.unclip(t.box, TableUnclipRatio, TableUnclipRatio))
+    // mask-then-detect (structure.rs:1981-1990): T boxes inside a formula
+    // region are the formula's own rendering — the recognized latex replaces
+    // them, so they are consumed, never grouped into body text regions
     for (tb <- page.boxes) {
       val ti = unclipped.indexWhere(t =>
         tb.box.cx >= t.x1 && tb.box.cx <= t.x2 &&
         tb.box.cy >= t.y1 && tb.box.cy <= t.y2)
-      if (ti >= 0) tableBoxes(ti) += tb else bodyBoxes += tb
+      if (ti >= 0) tableBoxes(ti) += tb
+      else if (!page.formulas.exists(f =>
+        tb.box.cx >= f.box.x1 && tb.box.cx <= f.box.x2 &&
+        tb.box.cy >= f.box.y1 && tb.box.cy <= f.box.y2)) bodyBoxes += tb
     }
     val regions = textRegions(bodyBoxes.result())
 
-    // element table: payload indexes into the per-kind vectors
-    // labels: text regions NormalText; titles level1 DocTitle else ParaTitle;
-    // figures + tables Vision
-    val regionEls = regions.zipWithIndex.map { case (r, i) =>
-      LayoutSort.Sortable(union(r), LayoutSort.NormalText, i)
+    // unified typed element table: every Sortable's payload is an index into
+    // `els`, and the element's class travels as the PageEl tag (no magic
+    // index ranges). Labels: text regions NormalText; titles level1 DocTitle
+    // else ParaTitle; figures/formulas/tables Vision.
+    val els = Vector.newBuilder[PageEl]
+    var nEls = 0
+    def add(el: PageEl): Int = { els += el; nEls += 1; nEls - 1 }
+    val regionEls = regions.map { r =>
+      LayoutSort.Sortable(union(r), LayoutSort.NormalText, add(RegionEl(r)))
     }
     val floating =
-      page.titles.zipWithIndex.map { case (t, i) =>
+      page.titles.map { t =>
         LayoutSort.Sortable(t.tb.box,
-          if (t.level == 1) LayoutSort.DocTitle else LayoutSort.ParaTitle, 1000 + i)
+          if (t.level == 1) LayoutSort.DocTitle else LayoutSort.ParaTitle, add(TitleEl(t)))
       } ++
-      page.figures.zipWithIndex.map { case (f, i) =>
-        LayoutSort.Sortable(f.box, LayoutSort.Vision, 2000 + i)
+      page.figures.map { f =>
+        LayoutSort.Sortable(f.box, LayoutSort.Vision, add(FigureEl(f)))
+      } ++
+      page.formulas.map { f =>
+        LayoutSort.Sortable(f.box, LayoutSort.Vision, add(FormulaEl(f)))
       } ++
       page.tables.zipWithIndex.map { case (t, i) =>
-        LayoutSort.Sortable(t.box, LayoutSort.Vision, 3000 + i)
+        LayoutSort.Sortable(t.box, LayoutSort.Vision, add(TableEl(i)))
       }
-    val headerEls = page.headers.zipWithIndex.map { case (h, i) =>
-      LayoutSort.Sortable(h.box, LayoutSort.NormalText, 4000 + i)
+    val headerEls = page.headers.map { h =>
+      LayoutSort.Sortable(h.box, LayoutSort.NormalText, add(HeaderEl(h)))
     }
-    val footerEls = page.footers.zipWithIndex.map { case (f, i) =>
-      LayoutSort.Sortable(f.box, LayoutSort.NormalText, 5000 + i)
+    val footerEls = page.footers.map { f =>
+      LayoutSort.Sortable(f.box, LayoutSort.NormalText, add(FooterEl(f)))
     }
+    val elTable = els.result()
     // duplicate-element suppression before ordering (text beats vision)
-    val surviving = LayoutSort.removeOverlaps(regionEls ++ floating.toVector)
-    val (regionsKept, floatingKept) = surviving.partition(_.payload < 1000)
+    val surviving = LayoutSort.removeOverlaps(regionEls ++ floating)
+    val (regionsKept, floatingKept) =
+      surviving.partition(s => elTable(s.payload).isInstanceOf[RegionEl])
     val ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionsKept, floatingKept)
 
     val pieces = Vector.newBuilder[String]
     val offs = Vector.newBuilder[(Long, Long)]
-    for (el <- ordered) {
-      val p = el.payload
-      if (p < 1000) {
-        val (txt, used) = sortAndJoin(regions(p), union(regions(p)))
+    for (el <- ordered) elTable(el.payload) match {
+      case RegionEl(r) =>
+        val (txt, used) = sortAndJoin(r, union(r))
         for (tb <- used) offs += ((tb.beginByte, tb.endByte))
         // hard breaks become paragraph separators (structure.rs:382-389)
         txt.split('\n').filter(_.nonEmpty).foreach(pieces += _)
-      } else if (p < 2000) {
-        val t = page.titles(p - 1000)
+      case TitleEl(t) =>
         val lvl = TitleLevel.resolve(t.tb.text, t.level)
         pieces += ("#" * lvl) + " " + t.tb.text
         offs += ((t.tb.beginByte, t.tb.endByte))
-      } else if (p < 3000) {
-        val f = page.figures(p - 2000)
+      case FigureEl(f) =>
         pieces += s"![Figure](${f.text})"
         offs += ((f.beginByte, f.endByte))
-      } else if (p < 4000) {
-        val (html, used) = assembleTable(page.tables(p - 3000), tableBoxes(p - 3000).result())
+      case FormulaEl(f) =>
+        pieces += "$$" + normalizeLatex(f.text) + "$$"
+        offs += ((f.beginByte, f.endByte))
+      case TableEl(i) =>
+        val (html, used) = assembleTable(page.tables(i), tableBoxes(i).result())
         if (html.nonEmpty) {
           pieces += html
           for (tb <- used) offs += ((tb.beginByte, tb.endByte))
         }
-      } else if (p < 5000) {
-        val h = page.headers(p - 4000)
+      case HeaderEl(h) =>
         pieces += s"<small>${h.text}</small>"
         offs += ((h.beginByte, h.endByte))
-      } else {
-        val f = page.footers(p - 5000)
+      case FooterEl(f) =>
         pieces += s"<small>${f.text}</small>"
         offs += ((f.beginByte, f.endByte))
-      }
     }
     (pieces.result().mkString("\n\n"), offs.result())
   }

@@ -368,4 +368,31 @@ class KernelSpec extends AnyFunSuite {
     assert(Classifier.countWords("two words") == 2)
     assert(Classifier.countWords("mix 中文 ok") == 4)
   }
+
+  test("pdf formula: latex normalization collapses whitespace runs, trims ends") {
+    import graft.pdf.PdfParser.normalizeLatex
+    assert(normalizeLatex("E_{3}  =\t m c^2 ") == "E_{3} = m c^2")
+    assert(normalizeLatex("  \n x \n ") == "x")
+    assert(normalizeLatex("") == "")
+    assert(normalizeLatex("a+b") == "a+b")
+  }
+
+  test("pdf formula: M box renders $$..$$ and masks OCR fragments inside it") {
+    // mask-then-detect (reference structure.rs:1981-1990): the T fragment
+    // centered inside the M box is the formula's own rendering — consumed,
+    // never a body region; the outside T still becomes body text
+    val payload = ("%PDF-GRAFT v2\n" +
+      "P 612.0 792.0\n" +
+      "M 10.0 100.0 580.0 40.0 E  =\t m  c^2\n" +
+      "T 30.0 114.0 80.0 12.0 maskedfrag\n" +
+      "T 10.0 300.0 300.0 12.0 body text stays\n").getBytes(StandardCharsets.UTF_8)
+    val (text, spans) = graft.pdf.PdfParser.extract(payload)
+    assert(text.contains("$$E = m c^2$$"), text)
+    assert(!text.contains("maskedfrag"), text)
+    assert(text.contains("body text stays"), text)
+    // spans: exactly the formula box bytes + the surviving body box bytes
+    val spanned = spans.map(s => new String(payload, s.beginByte.toInt,
+      (s.endByte - s.beginByte).toInt, StandardCharsets.UTF_8)).toSet
+    assert(spanned == Set("E  =\t m  c^2", "body text stays"), spanned)
+  }
 }
