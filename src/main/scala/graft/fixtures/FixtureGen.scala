@@ -724,6 +724,33 @@ object FixtureGen {
         pieces += ("#" * level) + " " + t
       }
 
+      /** wired table drawn with hairline `re` ruling rects (stroked in one
+        * self-contained block) + one 12pt run per cell; the engine must
+        * detect the grid geometrically from the painted rulings. Returns the
+        * PDF-space y of the grid's bottom ruling. */
+      def emitTable(x0: Int, yTop: Int): Int = {
+        val nRows = 2 + r.nextInt(2)
+        val nCols = 2 + r.nextInt(2)
+        val cw = 100; val ch = 24
+        val sbb = new StringBuilder
+        for (i <- 0 to nRows) sbb.append(s"$x0 ${yTop - i * ch} ${cw * nCols} 1 re ")
+        for (j <- 0 to nCols) sbb.append(s"${x0 + j * cw} ${yTop - nRows * ch} 1 ${nRows * ch} re ")
+        sbb.append("S\n")
+        blocks += sbb.toString
+        val gridRows = Vector.newBuilder[Vector[(Int, Int, Boolean, String)]]
+        for (rj <- 0 until nRows) {
+          val row = Vector.newBuilder[(Int, Int, Boolean, String)]
+          for (ci <- 0 until nCols) {
+            val t = wordFor(lang, r.nextInt(4096))
+            tmRun(x0 + ci * cw + 3, yTop - rj * ch - 16, 12, t)
+            row += ((1, 1, false, t))
+          }
+          gridRows += row.result()
+        }
+        pieces += TableGrid.render(TableGrid.resolve(gridRows.result()))
+        yTop - nRows * ch
+      }
+
       if (r.nextInt(10) < 4) {
         // two-column page: regions read column-major (x-split before y-split)
         for (x0 <- Vector(40, 330)) {
@@ -742,6 +769,8 @@ object FixtureGen {
           if (r.nextInt(10) < 7) { emitTitle(x0, cursor, 2); cursor -= 48 }
           val paras = (0 until 1 + r.nextInt(2)).map(_ => para(2 + r.nextInt(2))).toVector
           cursor = emitRegion(x0, cursor, paras) - 64
+          if (r.nextInt(10) < 4 && cursor > 160)
+            cursor = emitTable(x0, cursor) - 60
         }
       }
 

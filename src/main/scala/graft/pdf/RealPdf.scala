@@ -1,7 +1,7 @@
 package graft.pdf
 
 import graft.geom.Box
-import graft.pdf.PdfParser.{PdfPage, TextBox, TitleBox}
+import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
 
 /** From-scratch reader for real `%PDF-1.x` byte streams — the genuine-bytes
   * analogue of the reference's PDFium load-and-render front end
@@ -51,6 +51,15 @@ object RealPdf {
     * title, and the multiple that promotes it to level 1. */
   val TitleSizeRatio = 1.5
   val DocTitleSizeRatio = 2.0
+
+  /** Ruling-line table detection: a painted `re` rectangle whose thin side is
+    * at most this many points is a ruling line (table grids are drawn as
+    * hairline rects in real PDFs), provided its long side reaches
+    * [[RulingMinLen]]. Distinct ruling coordinates closer than
+    * [[RulingCoordTol]] merge into one grid line. */
+  val RulingMaxThickness = 2.0
+  val RulingMinLen = 8.0
+  val RulingCoordTol = 1.5
 
   private val GraftMagic = "%PDF-GRAFT".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -493,11 +502,17 @@ object RealPdf {
   private[pdf] final case class GlyphRun(x: Double, yBase: Double, size: Double,
       text: String, beginByte: Long, endByte: Long)
 
+  /** One painted `re` rectangle in PDF user space (x, y, w, h; y up). */
+  private[pdf] final case class PaintedRect(x: Double, y: Double, w: Double, h: Double)
+
   /** Interpret one content stream's text operators. `base` maps content
     * offsets to file offsets when `exact`; otherwise every run carries the
-    * raw stream range (rawStart, rawEnd). */
+    * raw stream range (rawStart, rawEnd). Painted `re` rectangles (committed
+    * by a stroke/fill operator, discarded by `n`) are collected into `rects`
+    * for ruling-line table detection. */
   private[pdf] def interpretContent(data: Array[Byte], base: Int, exact: Boolean,
-      rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun]): Unit = {
+      rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun],
+      rects: scala.collection.mutable.ArrayBuffer[PaintedRect] = scala.collection.mutable.ArrayBuffer.empty): Unit = {
     val lx = new Lexer(data, 0, data.length)
     // text matrix (a b c d e f) and line matrix; leading; font size
     var a = 1.0; var bb = 0.0; var c = 0.0; var d = 1.0; var e = 0.0; var f = 0.0
@@ -505,6 +520,7 @@ object RealPdf {
     var leading = 0.0
     var fontSize = 12.0
     var operands = List.empty[PVal] // reversed
+    val pendingRects = scala.collection.mutable.ArrayBuffer.empty[PaintedRect]
     def num(v: PVal): Double = v match { case PNum(x) => x; case _ => 0.0 }
     def setTm(v: Array[Double]): Unit = {
       a = v(0); bb = v(1); c = v(2); d = v(3); e = v(4); f = v(5)
@@ -591,15 +607,93 @@ object RealPdf {
                 if (sb.length > 0) emit(sb.toString, b0, e0)
               case _ => ()
             }
+            case "re" => operands match {
+              // current path gains a rectangle; committed only when painted
+              case PNum(h) :: PNum(w) :: PNum(y) :: PNum(x) :: _ =>
+                pendingRects += PaintedRect(x, y, w, h)
+              case _ => ()
+            }
+            case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
+              rects ++= pendingRects; pendingRects.clear()
+            case "n" => pendingRects.clear() // no-paint (clip path): discard
             case "BI" =>
               // inline image: skip to EI (binary payload would derail the lexer)
               val ei = find(data, lx.pos, "EI")
               lx.pos = if (ei >= 0) ei + 2 else data.length
-            case _ => () // cm/q/Q/re/W/n/gs/Do/color/path ops: consumed, ignored
+            case _ => () // cm/q/Q/W/m/l/gs/Do/color ops: consumed, ignored
           }
           operands = Nil
       }
     }
+  }
+
+  // ---- ruling-line table detection -----------------------------------------
+
+  /** Merge sorted coordinates closer than `tol` into one representative
+    * (mean of the run) — ruling strokes drawn twice or a half-point apart
+    * are one grid line. */
+  private def dedupCoords(sorted: Vector[Double], tol: Double): Vector[Double] = {
+    if (sorted.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[Double]
+    var runStart = 0
+    var i = 1
+    def flush(end: Int): Unit = {
+      var s = 0.0; var k = runStart
+      while (k < end) { s += sorted(k); k += 1 }
+      out += s / (end - runStart)
+    }
+    while (i < sorted.length) {
+      if (sorted(i) - sorted(i - 1) > tol) { flush(i); runStart = i }
+      i += 1
+    }
+    flush(sorted.length)
+    out.result()
+  }
+
+  /** Geometric cell detection from drawn ruling lines — the genuine-bytes
+    * analogue of the reference's wired-table cell detector (it finds ruling
+    * lines in the rendered raster; we read them from the painted `re`
+    * rectangles that drew them). Thin painted rects are rulings; touching
+    * rulings cluster into one grid; distinct vertical x's and horizontal y's
+    * become the cell boundaries. Returns specs in page space (y down). */
+  private[pdf] def detectRulingTables(rects: Vector[PaintedRect], ph: Double): Vector[TableSpec] = {
+    val rulings: Vector[Box] = rects.flatMap { r =>
+      val thin = math.min(r.w, r.h) <= RulingMaxThickness
+      val long = math.max(r.w, r.h) >= RulingMinLen
+      if (thin && long) Some(Box(r.x, ph - r.y - r.h, r.x + r.w, ph - r.y)) else None
+    }
+    val n = rulings.length
+    if (n < 4) return Vector.empty // a minimal grid needs 2 horizontal + 2 vertical
+    val parent = Array.tabulate(n)(identity)
+    def root(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); r }
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val a = rulings(i); val b = rulings(j)
+      val touch = a.x1 - 1.0 <= b.x2 && b.x1 - 1.0 <= a.x2 &&
+        a.y1 - 1.0 <= b.y2 && b.y1 - 1.0 <= a.y2
+      if (touch) {
+        val (ri, rj) = (root(i), root(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    }
+    val out = Vector.newBuilder[TableSpec]
+    for ((_, g) <- rulings.indices.groupBy(root).toVector.sortBy(_._1)) {
+      val hs = g.map(rulings).filter(r => r.w >= r.h)
+      val vs = g.map(rulings).filter(r => r.h > r.w)
+      if (hs.size >= 2 && vs.size >= 2) {
+        val ys = dedupCoords(hs.map(_.cy).sorted.toVector, RulingCoordTol)
+        val xs = dedupCoords(vs.map(_.cx).sorted.toVector, RulingCoordTol)
+        val rows = ys.size - 1
+        val cols = xs.size - 1
+        if (rows >= 1 && cols >= 1 && rows * cols >= 2) {
+          val cells = Vector.newBuilder[Box]
+          for (rj <- 0 until rows; ci <- 0 until cols)
+            cells += Box(xs(ci), ys(rj), xs(ci + 1), ys(rj + 1))
+          out += TableSpec(Box(xs.head, ys.head, xs.last, ys.last), rows, cols,
+            cells.result(), Vector.empty)
+        }
+      }
+    }
+    out.result()
   }
 
   // ---- assembly ------------------------------------------------------------
@@ -633,12 +727,15 @@ object RealPdf {
       else pageRecs.map(r => (contentsOf(r), r.mediaBox))
     for ((streams, (pw, ph)) <- units) {
       val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()
+      val rects = new scala.collection.mutable.ArrayBuffer[PaintedRect]()
       for (o <- streams if o.data != null)
-        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs)
+        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs, rects)
       totalRuns += runs.length
+      val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L
       // lines — a run much larger than the page's (lower-)median body size
-      // is a heading
+      // is a heading. A run inside a detected table grid is always cell
+      // content (a large-font header row must not escape its table).
       val titles = Vector.newBuilder[TitleBox]
       val body = Vector.newBuilder[TextBox]
       val median =
@@ -651,12 +748,15 @@ object RealPdf {
         val w = AvgGlyphWidthEm * r.size * r.text.length
         val yTop = ph - r.yBase - AscentEm * r.size
         val tb = TextBox(Box(r.x, yTop, r.x + w, yTop + r.size), r.text, r.beginByte, r.endByte)
-        if (median > 0 && r.size >= TitleSizeRatio * median)
+        val inTable = tables.exists(t =>
+          tb.box.cx >= t.box.x1 && tb.box.cx <= t.box.x2 &&
+            tb.box.cy >= t.box.y1 && tb.box.cy <= t.box.y2)
+        if (!inTable && median > 0 && r.size >= TitleSizeRatio * median)
           titles += TitleBox(if (r.size >= DocTitleSizeRatio * median) 1 else 2, tb)
         else body += tb
       }
       pages += PdfPage(pw, ph, body.result(), Vector.empty, Vector.empty,
-        titles.result(), Vector.empty, Vector.empty, Vector.empty)
+        titles.result(), Vector.empty, tables, Vector.empty)
     }
     if (totalRuns == 0)
       throw new PdfParseException("real PDF: pages contain no text operators (image-only or filtered content)")

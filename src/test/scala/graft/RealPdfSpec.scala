@@ -137,6 +137,61 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.text == "length lied")
   }
 
+  test("ruling-line grid becomes a table: cells detected geometrically from painted re rects") {
+    // 2x2 grid at (50, 600)..(250, 648) in PDF space: 3 horizontal + 3
+    // vertical hairline rects, stroked; one 12pt run centered in each cell
+    val ops = new java.lang.StringBuilder
+    for (i <- 0 to 2) ops.append(s"50 ${600 + i * 24} 200 1 re ")
+    for (j <- 0 to 2) ops.append(s"${50 + j * 100} 600 1 48 re ")
+    ops.append("S\n")
+    val texts = Vector("alpha", "beta", "gamma", "delta")
+    var k = 0
+    for (rj <- 0 until 2; ci <- 0 until 2) {
+      val x = 52 + ci * 100
+      val yb = 608 + (1 - rj) * 24
+      ops.append(s"BT /F1 12 Tf 1 0 0 1 $x $yb Tm (${texts(k)}) Tj ET\n")
+      k += 1
+    }
+    // body text elsewhere so the page has non-table content too
+    ops.append("BT /F1 12 Tf 1 0 0 1 50 700 Tm (body above the table) Tj ET\n")
+    val got = Extractor.extract(Page("t://realtable", ts, minimalPdf(ops.toString), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text.contains("<table><tr><td>alpha</td><td>beta</td></tr>" +
+      "<tr><td>gamma</td><td>delta</td></tr></table>"), got.text)
+    assert(got.text.contains("body above the table"))
+  }
+
+  test("clip-path re (W n) and short/thick rects do not produce tables") {
+    val ops =
+      "0 0 612 792 re W n " + // page clip: discarded by n
+        "50 600 200 20 re 50 560 200 20 re f " + // thick fills: not rulings
+        "BT /F1 12 Tf 1 0 0 1 50 700 Tm (no table on this page) Tj ET\n"
+    val got = Extractor.extract(Page("t://realnotable", ts, minimalPdf(ops), "", "en"))
+    assert(got.error == "", got.error)
+    assert(!got.text.contains("<table>"), got.text)
+    assert(got.text == "no table on this page")
+  }
+
+  test("large-font run inside a table grid stays a cell, not a heading") {
+    val ops = new java.lang.StringBuilder
+    for (i <- 0 to 2) ops.append(s"50 ${600 + i * 24} 200 1 re ")
+    for (j <- 0 to 2) ops.append(s"${50 + j * 100} 600 1 48 re ")
+    ops.append("S\n")
+    // 18pt header-row runs inside the grid + 12pt data row + body context
+    ops.append("BT /F1 18 Tf 1 0 0 1 52 630 Tm (Name) Tj ET\n")
+    ops.append("BT /F1 18 Tf 1 0 0 1 152 630 Tm (Qty) Tj ET\n")
+    ops.append("BT /F1 12 Tf 1 0 0 1 52 608 Tm (bolt) Tj ET\n")
+    ops.append("BT /F1 12 Tf 1 0 0 1 152 608 Tm (nine) Tj ET\n")
+    ops.append("BT /F1 12 Tf 1 0 0 1 50 700 Tm (intro words) Tj ET\n")
+    ops.append("BT /F1 12 Tf 1 0 0 1 50 680 Tm (more body here) Tj ET\n")
+    ops.append("BT /F1 12 Tf 1 0 0 1 50 660 Tm (and more body) Tj ET\n")
+    val got = Extractor.extract(Page("t://realtable2", ts, minimalPdf(ops.toString), "", "en"))
+    assert(got.error == "", got.error)
+    assert(!got.text.contains("## Name"), got.text)
+    assert(got.text.contains("<td>Name</td><td>Qty</td>"), got.text)
+    assert(got.text.contains("<td>bolt</td><td>nine</td>"), got.text)
+  }
+
   test("two pages join with the page break in tree order") {
     val sb = new java.lang.StringBuilder
     sb.append("%PDF-1.4\n")
