@@ -61,6 +61,11 @@ object RealPdf {
   val RulingMinLen = 8.0
   val RulingCoordTol = 1.5
 
+  /** Clustering is pairwise (O(n²)); a crawled page drawing more hairlines
+    * than this is not a table — skip detection rather than burn CPU (the
+    * per-row tensor-guard discipline, constants.rs max-side analogue). */
+  val MaxRulings = 512
+
   private val GraftMagic = "%PDF-GRAFT".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
   /** A real (non-dialect) PDF: `%PDF` magic not followed by the synthetic
@@ -657,13 +662,16 @@ object RealPdf {
     * rulings cluster into one grid; distinct vertical x's and horizontal y's
     * become the cell boundaries. Returns specs in page space (y down). */
   private[pdf] def detectRulingTables(rects: Vector[PaintedRect], ph: Double): Vector[TableSpec] = {
-    val rulings: Vector[Box] = rects.flatMap { r =>
-      val thin = math.min(r.w, r.h) <= RulingMaxThickness
-      val long = math.max(r.w, r.h) >= RulingMinLen
-      if (thin && long) Some(Box(r.x, ph - r.y - r.h, r.x + r.w, ph - r.y)) else None
+    val rulings: Vector[Box] = rects.flatMap { r0 =>
+      // normalize negative extents (PDF permits negative w/h rects)
+      val x = math.min(r0.x, r0.x + r0.w); val w = math.abs(r0.w)
+      val y = math.min(r0.y, r0.y + r0.h); val h = math.abs(r0.h)
+      val thin = math.min(w, h) <= RulingMaxThickness
+      val long = math.max(w, h) >= RulingMinLen
+      if (thin && long) Some(Box(x, ph - y - h, x + w, ph - y)) else None
     }
     val n = rulings.length
-    if (n < 4) return Vector.empty // a minimal grid needs 2 horizontal + 2 vertical
+    if (n < 4 || n > MaxRulings) return Vector.empty // minimal grid = 2H + 2V; cap vs O(n²)
     val parent = Array.tabulate(n)(identity)
     def root(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); r }
     for (i <- 0 until n; j <- (i + 1) until n) {
