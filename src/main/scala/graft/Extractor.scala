@@ -21,15 +21,28 @@ object Extractor {
 
   /** Input-size guard, the analogue of the reference's max-side clamp
     * (/root/reference/src/core/constants.rs:17, 4000px): bytes beyond the cap
-    * are ignored; spans still index the original bytes. */
+    * are ignored. For ASCII-transparent charsets spans still index the
+    * original (clamped) wire bytes; UTF-16 pages are transcoded first and
+    * their spans index the normalized UTF-8 stream — the per-row `charset`
+    * column records which contract applies (see ExtractedPage.charset). */
   val MaxHtmlBytes: Int = 16 * 1024 * 1024
 
   /** Sniff + normalize for the byte-level pipeline: UTF-16 pages (BOM or
-    * parity-sniffed) are transcoded to UTF-8; for those pages span offsets
+    * parity-confirmed) are transcoded to UTF-8; for those pages span offsets
     * index the normalized stream (the recorded charset decision makes wire
-    * offsets recoverable — see Charset.normalize). */
-  private def pipelineInput(html: Array[Byte]): (Array[Byte], java.nio.charset.Charset) =
-    Charset.normalize(html, Charset.sniff(html))
+    * offsets recoverable — see Charset.normalize). The third element is the
+    * decision label surfaced on ExtractedPage.charset: the wire charset name
+    * lower-cased, with "->utf-8" appended when the page was transcoded. */
+  private def pipelineInput(html: Array[Byte]): (Array[Byte], java.nio.charset.Charset, String) = {
+    val dec = Charset.sniff(html)
+    val (buf, cs) = Charset.normalize(html, dec)
+    val label =
+      if (!(buf eq html)) s"${dec.charset.name().toLowerCase}->utf-8"
+      else if (cs eq dec.charset) cs.name().toLowerCase
+      // declared UTF-16 failed the parity confirmation: bytes pass through
+      else s"utf-8(mislabeled:${dec.charset.name().toLowerCase})"
+    (buf, cs, label)
+  }
 
   def extract(p: Page): ExtractedPage = {
     val raw = if (p.html == null) Array.emptyByteArray else p.html
@@ -38,25 +51,27 @@ object Extractor {
         val (text, spans) = PdfParser.extract(raw)
         ExtractedPage(p.url, p.warc_ts, p.lang, text, spans,
           nBlocks = spans.length, nKept = spans.length,
-          htmlBytes = raw.length.toLong, isPdf = true, error = "")
+          htmlBytes = raw.length.toLong, isPdf = true, error = "", charset = "")
       } else {
         val clamped =
           if (raw.length > MaxHtmlBytes) java.util.Arrays.copyOf(raw, MaxHtmlBytes)
           else raw
-        val (html, cs) = pipelineInput(clamped)
+        val (html, cs, csLabel) = pipelineInput(clamped)
         val raws = BlockBuilder.build(html, cs)
         val blocks = Classifier.classify(raws)
         val text = Assembler.render(blocks)
         val spans = Assembler.spans(raws, blocks)
         ExtractedPage(p.url, p.warc_ts, p.lang, text, spans,
           nBlocks = blocks.length, nKept = blocks.count(_.keep),
-          htmlBytes = raw.length.toLong, isPdf = false, error = "")
+          htmlBytes = raw.length.toLong, isPdf = false, error = "",
+          charset = csLabel)
       }
     } catch {
       case e: Throwable =>
         ExtractedPage(p.url, p.warc_ts, p.lang, "", Array.empty[Span],
           nBlocks = 0, nKept = 0, htmlBytes = raw.length.toLong,
-          isPdf = false, error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          isPdf = false, charset = "",
+          error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
     }
   }
 
@@ -67,7 +82,7 @@ object Extractor {
     try {
       if (PdfParser.isPdf(raw)) Vector.empty
       else {
-        val (html, cs) = pipelineInput(raw)
+        val (html, cs, _) = pipelineInput(raw)
         Classifier.classify(BlockBuilder.build(html, cs))
       }
     } catch { case _: Throwable => Vector.empty }
@@ -80,7 +95,7 @@ object Extractor {
     try {
       if (PdfParser.isPdf(raw)) None
       else {
-        val (html, cs) = pipelineInput(raw)
+        val (html, cs, _) = pipelineInput(raw)
         val raws = BlockBuilder.build(html, cs)
         val blocks = Classifier.classify(raws)
         Some((Assembler.renderHtml(blocks), Assembler.renderJson(blocks, Assembler.spans(raws, blocks))))
@@ -94,7 +109,7 @@ object Extractor {
     try {
       if (PdfParser.isPdf(raw)) Vector.empty
       else {
-        val (html, cs) = pipelineInput(raw)
+        val (html, cs, _) = pipelineInput(raw)
         BlockBuilder.build(html, cs).zipWithIndex.collect {
           case (b, i) if b.kind == "table" => (i, b.cellRuns.length, b.text)
         }

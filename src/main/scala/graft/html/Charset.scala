@@ -31,21 +31,9 @@ object Charset {
     if (html.length >= 2 && (html(0) & 0xff) == 0xfe && (html(1) & 0xff) == 0xff)
       return Decision(StandardCharsets.UTF_16BE, declared = true)
     val n = math.min(html.length, limit)
-    // BOM-less UTF-16: an HTML prefix is ASCII-dominated, so one byte parity
-    // is mostly NUL — require a strong signal (>=20% zeros, >=90% on one
-    // parity, >=32 bytes) so binary payloads don't false-positive
-    if (n >= 32) {
-      var zEven = 0; var zOdd = 0
-      var i = 0
-      while (i < n) {
-        if (html(i) == 0) { if ((i & 1) == 0) zEven += 1 else zOdd += 1 }
-        i += 1
-      }
-      val z = zEven + zOdd
-      if (z * 5 >= n) {
-        if (zOdd * 10 >= z * 9) return Decision(StandardCharsets.UTF_16LE, declared = false)
-        if (zEven * 10 >= z * 9) return Decision(StandardCharsets.UTF_16BE, declared = false)
-      }
+    utf16Parity(html, limit) match {
+      case Some(cs) => return Decision(cs, declared = false)
+      case None     =>
     }
     // ASCII-lowercased prefix is safe for both candidate charsets
     val sb = new java.lang.StringBuilder(n)
@@ -86,6 +74,28 @@ object Charset {
     (cs eq StandardCharsets.UTF_8) || (cs eq StandardCharsets.US_ASCII) ||
       (cs eq win1252) || cs.name() == "windows-1252" || cs.name() == "ISO-8859-1"
 
+  /** Byte-parity profile of BOM-less UTF-16 over the first `limit` bytes: an
+    * HTML prefix is ASCII-dominated, so one byte parity is mostly NUL.
+    * Requires a strong signal (>=20% zeros, >=90% on one parity, >=32 bytes)
+    * so binary payloads don't false-positive. Returns the detected
+    * endianness, or None when the bytes don't profile as UTF-16 at all. */
+  def utf16Parity(html: Array[Byte], limit: Int = 2048): Option[JCharset] = {
+    val n = math.min(html.length, limit)
+    if (n < 32) return None
+    var zEven = 0; var zOdd = 0
+    var i = 0
+    while (i < n) {
+      if (html(i) == 0) { if ((i & 1) == 0) zEven += 1 else zOdd += 1 }
+      i += 1
+    }
+    val z = zEven + zOdd
+    if (z * 5 >= n) {
+      if (zOdd * 10 >= z * 9) return Some(StandardCharsets.UTF_16LE)
+      if (zEven * 10 >= z * 9) return Some(StandardCharsets.UTF_16BE)
+    }
+    None
+  }
+
   def isUtf16(cs: JCharset): Boolean =
     (cs eq StandardCharsets.UTF_16LE) || (cs eq StandardCharsets.UTF_16BE) ||
       (cs eq StandardCharsets.UTF_16) || cs.name().toLowerCase.startsWith("utf-16")
@@ -99,7 +109,14 @@ object Charset {
     * decision so boxes map back, preprocess.rs:96-143): for transcoded pages
     * span byte offsets index the UTF-8 NORMALIZED stream, not the wire
     * bytes; the recorded Decision (charset + BOM) makes the wire offset
-    * recoverable as 2·(UTF-16 units of the decoded prefix) + BOM length. */
+    * recoverable as 2·(UTF-16 units of the decoded prefix) + BOM length.
+    *
+    * Defensive gate: a UTF-16 decision that is NOT backed by a BOM must be
+    * re-confirmed by the byte-parity profile before transcoding. Real-world
+    * pages mislabel (`<meta charset=utf-16>` over UTF-8/ASCII bytes — the
+    * meta tag being byte-scannable at all proves the bytes aren't UTF-16);
+    * transcoding such a page byte-pair-wise destroys the whole document
+    * structure, so we fall back to passing the bytes through as UTF-8. */
   def normalize(html: Array[Byte], dec: Decision): (Array[Byte], JCharset) =
     if (!isUtf16(dec.charset)) (html, dec.charset)
     else {
@@ -109,8 +126,13 @@ object Charset {
            ((html(0) & 0xff) == 0xfe && (html(1) & 0xff) == 0xff))) 2
         else 0
       val cs =
-        if (dec.charset eq StandardCharsets.UTF_16) StandardCharsets.UTF_16BE
-        else dec.charset
+        if (bom > 0) {
+          if ((html(0) & 0xff) == 0xff) StandardCharsets.UTF_16LE
+          else StandardCharsets.UTF_16BE
+        } else utf16Parity(html) match {
+          case Some(parityCs) => parityCs // confirmed (and endianness fixed)
+          case None           => return (html, StandardCharsets.UTF_8) // mislabeled
+        }
       val s = new String(html, bom, html.length - bom, cs)
       (s.getBytes(StandardCharsets.UTF_8), StandardCharsets.UTF_8)
     }

@@ -76,5 +76,11 @@ final case class ExtractedPage(
     nKept: Int,
     htmlBytes: Long,
     isPdf: Boolean,
-    error: String // "" = ok; graceful degradation, never fail the task
+    error: String, // "" = ok; graceful degradation, never fail the task
+    /** Pipeline charset decision. For ASCII-transparent charsets span byte
+      * offsets index the WIRE bytes; a value of the form "utf-16le->utf-8"
+      * marks a transcoded page whose span offsets index the normalized UTF-8
+      * stream instead (see Charset.normalize for the wire-offset recovery
+      * rule). "" for PDF payloads (spans index the raw PDF bytes). */
+    charset: String
 )

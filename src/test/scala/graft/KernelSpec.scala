@@ -5,6 +5,8 @@ import graft.html._
 import graft.assemble.{TitleLevel, JoinRules}
 import graft.geom.{Box, XYCut}
 import graft.score.Classifier
+import graft.model.Page
+import graft.Extractor
 import java.nio.charset.StandardCharsets
 
 /** Hand-computed kernel tests, ported from the reference's inline unit tests
@@ -341,6 +343,33 @@ class KernelSpec extends AnyFunSuite {
       val bs = BlockBuilder.build(buf, cs)
       assert(bs.map(_.text) == Vector("unicode café 中文 words here"), s"bytes head ${bytes.take(4).toSeq}")
     }
+  }
+
+  test("charset: mislabeled utf-16 meta over UTF-8 bytes passes through, structure survives") {
+    // the meta tag being byte-scannable at all proves the bytes aren't UTF-16;
+    // a naive transcode would turn the whole document into CJK mojibake
+    val s = "<html><head><meta charset=\"utf-16\"></head><body><p>plain ascii body words here</p></body></html>"
+    val bytes = s.getBytes("UTF-8")
+    val dec = Charset.sniff(bytes)
+    assert(Charset.isUtf16(dec.charset) && dec.declared) // sniff trusts the meta...
+    val (buf, cs) = Charset.normalize(bytes, dec) // ...normalize does not
+    assert(buf eq bytes)
+    assert(cs eq java.nio.charset.StandardCharsets.UTF_8)
+    val bs = BlockBuilder.build(buf, cs)
+    assert(bs.map(_.text) == Vector("plain ascii body words here"))
+    // surfaced decision label on the extracted row
+    val p = Extractor.extract(Page("u", new java.sql.Timestamp(0L), bytes, "", "en"))
+    assert(p.charset == "utf-8(mislabeled:utf-16)")
+    assert(p.text.contains("plain ascii body words here"))
+    // genuine transcodes and plain pages carry their labels too
+    assert(Extractor.extract(Page("u2", new java.sql.Timestamp(0L), bomLeDoc, "", "en")).charset == "utf-16le->utf-8")
+    val plain = Extractor.extract(Page("u3", new java.sql.Timestamp(0L), "<p>plain page words here</p>".getBytes("UTF-8"), "", "en"))
+    assert(plain.charset == "utf-8")
+  }
+
+  private lazy val bomLeDoc: Array[Byte] = {
+    val s = "<html><body><p>unicode café 中文 words here</p></body></html>"
+    Array(0xff.toByte, 0xfe.toByte) ++ s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
   }
 
   test("xycut: two columns read column-major, lines top-down") {
