@@ -612,8 +612,21 @@ object FixtureGen {
     }
 
     def needsHexStr(t: String) = t.exists(c => c > 0xFF || c == '(' || c == ')' || c == '\\')
+    // non-null on CID pages: text is emitted as 2-byte glyph codes through a
+    // generated /ToUnicode CMap (codes assigned first-seen), exercising the
+    // font-aware decode path; the decoded text — and so the oracle — is
+    // unchanged
+    var cidMap: java.util.LinkedHashMap[Character, Integer] = null
     def pdfStr(t: String): String =
-      if (needsHexStr(t)) {
+      if (cidMap != null) {
+        val sb = new StringBuilder("<")
+        t.foreach { c =>
+          var code = cidMap.get(c)
+          if (code == null) { code = Integer.valueOf(cidMap.size + 1); cidMap.put(c, code) }
+          sb.append(f"${code.intValue}%04X")
+        }
+        sb.append('>').toString
+      } else if (needsHexStr(t)) {
         val sb = new StringBuilder("<FEFF")
         t.foreach(c => sb.append(f"${c.toInt}%04X"))
         sb.append('>').toString
@@ -660,20 +673,29 @@ object FixtureGen {
     }
 
     val nPages = 1 + r.nextInt(2)
-    val pageStreams = Vector.newBuilder[(String, Boolean)] // (ops, flate)
+    /** (ops, encoding 0=plain 1=flate 2=asciihex 3=ascii85 4=a85+flate,
+      * cid char->code entries or empty) */
+    val pageStreams = Vector.newBuilder[(String, Int, Vector[(Char, Int)])]
     val pageTexts = Vector.newBuilder[String]
 
     for (_ <- 0 until nPages) {
       val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
       val pieces = Vector.newBuilder[String]
+      cidMap = if (r.nextInt(6) == 0) new java.util.LinkedHashMap[Character, Integer] else null
+      // 1/6 of pages place all content through a translated CTM: the stream
+      // opens with `q 1 0 0 1 offX offY cm`, and every baked coordinate is
+      // pre-shifted by the inverse so DEVICE positions — and the oracle —
+      // are unchanged
+      val (offX, offY) =
+        if (r.nextInt(6) == 0) (10 + r.nextInt(60), -(10 + r.nextInt(60))) else (0, 0)
 
       def tmRun(x: Int, yb: Int, size: Int, t: String): Unit = {
-        blocks += s"BT /F1 $size Tf 1 0 0 1 $x $yb Tm ${pdfStr(t)} Tj ET\n"
+        blocks += s"BT /F1 $size Tf 1 0 0 1 ${x - offX} ${yb - offY} Tm ${pdfStr(t)} Tj ET\n"
         spanCount += 1
       }
       def tmRunTJ(x: Int, yb: Int, t: String): Unit = {
         val m = 1 + r.nextInt(t.length - 1)
-        blocks += s"BT /F1 12 Tf 1 0 0 1 $x $yb Tm [${pdfStr(t.substring(0, m))} " +
+        blocks += s"BT /F1 12 Tf 1 0 0 1 ${x - offX} ${yb - offY} Tm [${pdfStr(t.substring(0, m))} " +
           s"-${40 + r.nextInt(200)} ${pdfStr(t.substring(m))}] TJ ET\n"
         spanCount += 1
       }
@@ -702,7 +724,7 @@ object FixtureGen {
             yb -= 22
           }
         } else { // one BT block driven by TL / ' / " line advances
-          val sbb = new StringBuilder(s"BT /F1 12 Tf 22 TL 1 0 0 1 $x0 $yb0 Tm ")
+          val sbb = new StringBuilder(s"BT /F1 12 Tf 22 TL 1 0 0 1 ${x0 - offX} ${yb0 - offY} Tm ")
           for ((line, li) <- lines.zipWithIndex) {
             if (li == 0) sbb.append(pdfStr(line(0))).append(" Tj ")
             else if (line.length == 1 && r.nextInt(5) == 0)
@@ -733,8 +755,8 @@ object FixtureGen {
         val nCols = 2 + r.nextInt(2)
         val cw = 100; val ch = 24
         val sbb = new StringBuilder
-        for (i <- 0 to nRows) sbb.append(s"$x0 ${yTop - i * ch} ${cw * nCols} 1 re ")
-        for (j <- 0 to nCols) sbb.append(s"${x0 + j * cw} ${yTop - nRows * ch} 1 ${nRows * ch} re ")
+        for (i <- 0 to nRows) sbb.append(s"${x0 - offX} ${yTop - i * ch - offY} ${cw * nCols} 1 re ")
+        for (j <- 0 to nCols) sbb.append(s"${x0 + j * cw - offX} ${yTop - nRows * ch - offY} 1 ${nRows * ch} re ")
         sbb.append("S\n")
         blocks += sbb.toString
         val gridRows = Vector.newBuilder[Vector[(Int, Int, Boolean, String)]]
@@ -781,9 +803,27 @@ object FixtureGen {
         val t = blocks(i); blocks(i) = blocks(j); blocks(j) = t
         i -= 1
       }
-      pageStreams += ((blocks.mkString, r.nextInt(3) == 0))
+      val body =
+        if (offX != 0 || offY != 0) s"q 1 0 0 1 $offX $offY cm\n" + blocks.mkString + "Q\n"
+        else blocks.mkString
+      val enc = r.nextInt(8) match {
+        case 0 | 1 => 1 // FlateDecode
+        case 2     => 2 // ASCIIHexDecode
+        case 3     => 3 // ASCII85Decode
+        case 4     => 4 // [ASCII85Decode FlateDecode]
+        case _     => 0 // plain
+      }
+      val cidEntries: Vector[(Char, Int)] =
+        if (cidMap == null) Vector.empty
+        else {
+          val b = Vector.newBuilder[(Char, Int)]
+          cidMap.forEach((c, code) => b += ((c.charValue, code.intValue)))
+          b.result()
+        }
+      pageStreams += ((body, enc, cidEntries))
       pageTexts += pieces.result().mkString("\n\n")
     }
+    cidMap = null
 
     def deflate(bytes: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater()
@@ -795,27 +835,109 @@ object FixtureGen {
         out.toByteArray
       } finally d.end()
     }
+    def asciiHexEnc(bytes: Array[Byte]): String =
+      bytes.map(b => f"${b & 0xFF}%02X").mkString + ">"
+    def ascii85Enc(bytes: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(bytes.length * 5 / 4 + 4)
+      var i = 0
+      while (i < bytes.length) {
+        val n = math.min(4, bytes.length - i)
+        var v = 0L
+        var k = 0
+        while (k < 4) { v = (v << 8) | (if (k < n) bytes(i + k) & 0xFF else 0); k += 1 }
+        val cs = new Array[Char](5)
+        var m = 4
+        while (m >= 0) { cs(m) = ('!' + (v % 85).toInt).toChar; v /= 85; m -= 1 }
+        sb.append(cs, 0, n + 1)
+        i += 4
+      }
+      sb.append("~>").toString
+    }
+    /** encode a content stream per its drawn encoding -> (bytes, filter clause) */
+    def encodeStream(ops: String, enc: Int): (String, String) = {
+      val raw = ops.getBytes(StandardCharsets.ISO_8859_1)
+      enc match {
+        case 1 => (new String(deflate(raw), StandardCharsets.ISO_8859_1), " /Filter /FlateDecode")
+        case 2 => (asciiHexEnc(raw), " /Filter /ASCIIHexDecode")
+        case 3 => (ascii85Enc(raw), " /Filter /ASCII85Decode")
+        case 4 => (ascii85Enc(deflate(raw)), " /Filter [/ASCII85Decode /FlateDecode]")
+        case _ => (ops, "")
+      }
+    }
+    /** /ToUnicode CMap stream for one CID page's char->code table */
+    def cmapOf(entries: Vector[(Char, Int)]): String = {
+      val sb = new java.lang.StringBuilder(64 + entries.length * 16)
+      sb.append("/CIDInit /ProcSet findresource begin\nbegincmap\n")
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      for (chunk <- entries.grouped(100)) {
+        sb.append(s"${chunk.length} beginbfchar\n")
+        for ((c, code) <- chunk) sb.append(f"<$code%04X> <${c.toInt}%04X>\n")
+        sb.append("endbfchar\n")
+      }
+      sb.append("endcmap\nend\n")
+      sb.toString
+    }
 
-    // file assembly: obj 1 catalog, obj 2 page tree, then (page, content)*
+    // file assembly: obj 1 catalog, obj 2 page tree, (page, content)* at
+    // 3+2i/4+2i, then CID font + ToUnicode objects. 1/5 of files use the
+    // modern PDF 1.5+ layout: catalog/pages/page dicts packed into a
+    // /Type /ObjStm and the trailer dict carried by a /Type /XRef object
+    // (no `trailer` keyword at all).
     val streams = pageStreams.result()
-    val file = new java.lang.StringBuilder(4096)
-    file.append("%PDF-1.4\n%âãÏÓ\n")
+    val fontBase = 3 + 2 * nPages
+    var nextFont = fontBase
+    val fontNums: Vector[Option[(Int, Int)]] = streams.map { case (_, _, cid) =>
+      if (cid.isEmpty) None
+      else { val f = nextFont; nextFont += 2; Some((f, f + 1)) }
+    }
+    val useObjStm = r.nextInt(5) == 0
     val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    file.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    file.append(s"2 0 obj\n<< /Type /Pages /Count $nPages /Kids [$kids] /MediaBox [0 0 612 792] >>\nendobj\n")
+    val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesDict = s"<< /Type /Pages /Count $nPages /Kids [$kids] /MediaBox [0 0 612 792] >>"
+    def pageDict(i: Int): String = {
+      val res = fontNums(i).map { case (f, _) => s" /Resources << /Font << /F1 $f 0 R >> >>" }.getOrElse("")
+      s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R$res >>"
+    }
+
+    val file = new java.lang.StringBuilder(4096)
+    file.append(if (useObjStm) "%PDF-1.5\n%âãÏÓ\n" else "%PDF-1.4\n%âãÏÓ\n")
+    if (useObjStm) {
+      val packed: Vector[(Int, String)] =
+        ((1, catalogDict) +: (2, pagesDict) +: (0 until nPages).map(i => (3 + 2 * i, pageDict(i))).toVector)
+      val body = packed.map(_._2).mkString(" ")
+      val offsets = packed.map(_._2).scanLeft(0)((acc, s) => acc + s.length + 1)
+      val hdr = packed.zip(offsets).map { case ((num, _), off) => s"$num $off" }.mkString("", " ", " ")
+      val stm = hdr + body
+      val comp = new String(deflate(stm.getBytes(StandardCharsets.ISO_8859_1)), StandardCharsets.ISO_8859_1)
+      val objStmNum = nextFont
+      file.append(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${hdr.length} " +
+        s"/Length ${comp.length} /Filter /FlateDecode >>\nstream\n")
+      file.append(comp).append("\nendstream\nendobj\n")
+    } else {
+      file.append(s"1 0 obj\n$catalogDict\nendobj\n")
+      file.append(s"2 0 obj\n$pagesDict\nendobj\n")
+    }
     for (i <- 0 until nPages) {
-      val (ops, flate) = streams(i)
-      file.append(s"${3 + 2 * i} 0 obj\n<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R >>\nendobj\n")
-      val raw =
-        if (flate) new String(deflate(ops.getBytes(StandardCharsets.ISO_8859_1)), StandardCharsets.ISO_8859_1)
-        else ops
-      file.append(s"${4 + 2 * i} 0 obj\n<< /Length ${raw.length}")
-      if (flate) file.append(" /Filter /FlateDecode")
+      val (ops, enc, cid) = streams(i)
+      if (!useObjStm)
+        file.append(s"${3 + 2 * i} 0 obj\n${pageDict(i)}\nendobj\n")
+      val (raw, filterClause) = encodeStream(ops, enc)
+      file.append(s"${4 + 2 * i} 0 obj\n<< /Length ${raw.length}$filterClause")
       file.append(" >>\nstream\n").append(raw).append("\nendstream\nendobj\n")
+      for ((fNum, tuNum) <- fontNums(i)) {
+        file.append(s"$fNum 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
+          s"/Encoding /Identity-H /ToUnicode $tuNum 0 R >>\nendobj\n")
+        val tu = cmapOf(cid)
+        file.append(s"$tuNum 0 obj\n<< /Length ${tu.length} >>\nstream\n")
+          .append(tu).append("\nendstream\nendobj\n")
+      }
     }
     if (r.nextInt(6) == 0) // junk the object scan must resync over
       file.append("xref\n0 6\n0000000000 65535 f \n0000000100 00000 n \n")
-    if (r.nextInt(8) != 0) // 1/8 of files drop the trailer: page-tree-less
+    if (useObjStm) {
+      file.append(s"${nextFont + 1} 0 obj\n<< /Type /XRef /Root 1 0 R /Size ${nextFont + 2} " +
+        "/Length 0 >>\nstream\nendstream\nendobj\nstartxref\n0\n")
+    } else if (r.nextInt(8) != 0) // 1/8 of files drop the trailer: page-tree-less
       file.append(s"trailer\n<< /Size ${3 + 2 * nPages} /Root 1 0 R >>\n") // file-order fallback
     file.append("%%EOF\n")
 

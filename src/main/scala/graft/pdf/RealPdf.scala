@@ -15,18 +15,28 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *
   * Scope (documented, honest):
   *  - xref-less object scan with resync (tolerates truncated/patched files);
-  *    page order from the /Root -> /Pages -> /Kids walk, falling back to
-  *    file order of /Type /Page objects, then to orphan BT-bearing streams.
-  *  - content streams: none or single /FlateDecode filter (java.util.zip);
-  *    other filters are skipped.
-  *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ; graphics
-  *    operators (cm/q/Q/re/...) are consumed and ignored, so a rotated CTM
-  *    is not applied (the reference rasterizes, so it has no such limit).
-  *  - no font metrics/cmaps: glyph widths are estimated at
-  *    [[AvgGlyphWidthEm]] em per glyph and bytes decode as Latin-1 (or
-  *    UTF-16BE when the string carries a FE FF BOM). Layout decisions
-  *    downstream use coarse thresholds, so the estimate is sufficient for
-  *    region/line recovery.
+  *    PDF 1.5+ /ObjStm object streams are unpacked into the pool, and
+  *    xref-stream files (no `trailer` keyword) anchor at the /Type /XRef
+  *    dict or any /Type /Catalog object. Page order from the /Root ->
+  *    /Pages -> /Kids walk, falling back to file order of /Type /Page
+  *    objects (last definition wins on incremental updates), then to orphan
+  *    BT-bearing streams.
+  *  - stream filters: FlateDecode, ASCIIHexDecode, ASCII85Decode, alone or
+  *    chained; other filters (or a /DecodeParms predictor) are skipped as
+  *    metadata-only.
+  *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ; the CTM
+  *    (cm, q/Q) is tracked and applied to positions/sizes/rects, so
+  *    translated/scaled (and positionally, rotated) content places
+  *    correctly; boxes stay axis-aligned (the reference rasterizes, so it
+  *    has no such limit).
+  *  - fonts: the page's /Resources /Font dict is resolved; strings shown in
+  *    a font with a /ToUnicode CMap decode through its bfchar/bfrange
+  *    mappings (1- or 2-byte codes). A Type0/CID font WITHOUT a parseable
+  *    ToUnicode throws -> ERROR row (never silent mojibake). Other strings
+  *    decode as Latin-1 (or UTF-16BE with a FE FF BOM). No font metrics:
+  *    glyph widths are estimated at [[AvgGlyphWidthEm]] em per glyph —
+  *    layout decisions downstream use coarse thresholds, so the estimate is
+  *    sufficient for region/line recovery.
   *  - an unparseable PDF (no objects / no pages / no text operators) throws
   *    [[PdfParseException]] -> the extraction becomes an ERROR ROW, never a
   *    silent empty text (graceful-degradation contract, ocr.rs:510-523).
@@ -87,8 +97,10 @@ object RealPdf {
   private[pdf] sealed trait PVal
   private[pdf] final case class PNum(v: Double) extends PVal
   private[pdf] final case class PName(v: String) extends PVal
-  /** String literal/hex: decoded text + file byte range of the raw content. */
-  private[pdf] final case class PStr(s: String, b: Int, e: Int) extends PVal
+  /** String literal/hex: default-decoded text + file byte range of the raw
+    * content + the raw (unescaped) bytes, kept so a font's /ToUnicode CMap
+    * can re-decode the code units at show time. */
+  private[pdf] final case class PStr(s: String, b: Int, e: Int, raw: Array[Byte]) extends PVal
   private[pdf] final case class PRef(num: Int) extends PVal
   private[pdf] final case class PArr(vs: Vector[PVal]) extends PVal
   private[pdf] final case class PDict(m: Map[String, PVal]) extends PVal
@@ -266,7 +278,8 @@ object RealPdf {
         } else { bytesOut.write(c); pos += 1 }
       }
       val contentEnd = pos - 1 // before the closing ')'
-      PStr(decodeText(bytesOut.toByteArray), contentBegin, contentEnd)
+      val raw = bytesOut.toByteArray
+      PStr(decodeText(raw), contentBegin, contentEnd, raw)
     }
 
     private def parseHexString(): PStr = {
@@ -287,16 +300,148 @@ object RealPdf {
       if (hi >= 0) bytesOut.write(hi << 4) // odd count: final digit padded
       val contentEnd = pos
       pos += 1
-      PStr(decodeText(bytesOut.toByteArray), contentBegin, contentEnd)
+      val raw = bytesOut.toByteArray
+      PStr(decodeText(raw), contentBegin, contentEnd, raw)
     }
   }
 
-  /** PDF text-string decode: UTF-16BE with BOM, else Latin-1 (the byte-to
-    * -char identity; real font cmaps are out of scope, documented). */
+  /** Default PDF text-string decode (no font active): UTF-16BE with BOM,
+    * else Latin-1 (the byte-to-char identity). Fonts with a /ToUnicode CMap
+    * re-decode at show time — see [[FontInfo.decode]]. */
   private def decodeText(bs: Array[Byte]): String =
     if (bs.length >= 2 && (bs(0) & 0xFF) == 0xFE && (bs(1) & 0xFF) == 0xFF)
       new String(bs, 2, bs.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
     else new String(bs, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  // ---- fonts ---------------------------------------------------------------
+
+  /** What the parser knows about one page font. `cmap` maps code -> text from
+    * the font's /ToUnicode CMap (empty when absent); `codeLen` is the code
+    * unit width in bytes (2 for composite Type0/CID fonts, else 1).
+    *
+    * Honesty contract: a Type0 font WITHOUT a parseable ToUnicode shows glyph
+    * INDICES, not characters — decoding them as Latin-1 yields confident
+    * mojibake, so [[decode]] throws [[PdfParseException]] (-> error row)
+    * instead, per the repo's never-silently-wrong rule (the reference
+    * rasterizes + OCRs, so it has no such failure mode,
+    * /root/reference/src/bin/server/pdf.rs:69-152). */
+  private[pdf] final case class FontInfo(name: String, type0: Boolean,
+      codeLen: Int, cmap: Map[Int, String]) {
+    def decode(raw: Array[Byte], default: String): String =
+      if (cmap.nonEmpty) {
+        val sb = new java.lang.StringBuilder(raw.length / codeLen + 1)
+        var i = 0
+        while (i + codeLen <= raw.length) {
+          var code = 0
+          var k = 0
+          while (k < codeLen) { code = (code << 8) | (raw(i + k) & 0xFF); k += 1 }
+          sb.append(cmap.getOrElse(code, "�"))
+          i += codeLen
+        }
+        sb.toString
+      } else if (type0) {
+        if (raw.isEmpty) ""
+        else throw new PdfParseException(
+          s"Type0 font /$name without a parseable /ToUnicode: cannot decode glyph indices")
+      } else default
+  }
+
+  /** Parse a /ToUnicode CMap stream: `beginbfchar`/`beginbfrange` sections
+    * map source codes (hex strings, big-endian) to UTF-16BE target text.
+    * Returns (code -> text, code byte width); an unparseable stream yields
+    * an empty map (the caller then applies the Type0 honesty rule). */
+  private[pdf] def parseToUnicode(data: Array[Byte]): (Map[Int, String], Int) = {
+    val m = Map.newBuilder[Int, String]
+    var codeLen = 0
+    def noteLen(n: Int): Unit = if (n > codeLen) codeLen = n
+    def codeOf(s: PStr): Int = {
+      var v = 0
+      for (b <- s.raw) v = (v << 8) | (b & 0xFF)
+      noteLen(s.raw.length)
+      v
+    }
+    def textOf(s: PStr): String =
+      new String(s.raw, java.nio.charset.StandardCharsets.UTF_16BE)
+    val lx = new Lexer(data, 0, data.length)
+    try {
+      var mode = 0 // 0 = scanning, 1 = bfchar, 2 = bfrange
+      var pending = List.empty[PVal]
+      while (!lx.atEnd) {
+        lx.nextToken() match {
+          case Right("beginbfchar")  => mode = 1; pending = Nil
+          case Right("beginbfrange") => mode = 2; pending = Nil
+          case Right("endbfchar") | Right("endbfrange") => mode = 0; pending = Nil
+          case Left(v) if mode == 1 =>
+            pending = v :: pending
+            pending match {
+              case (dst: PStr) :: (src: PStr) :: Nil =>
+                m += codeOf(src) -> textOf(dst)
+                pending = Nil
+              case _ if pending.length >= 2 => pending = Nil // malformed pair
+              case _                        => ()
+            }
+          case Left(v) if mode == 2 =>
+            pending = v :: pending
+            pending match {
+              case (dst: PVal) :: (hi: PStr) :: (lo: PStr) :: Nil =>
+                val from = codeOf(lo); val to = codeOf(hi)
+                if (to >= from && to - from <= 65535) dst match {
+                  case d: PStr =>
+                    // increment the last UTF-16 code unit across the range
+                    val base = textOf(d)
+                    var c = from
+                    while (c <= to) {
+                      val s =
+                        if (base.isEmpty) ""
+                        else base.substring(0, base.length - 1) +
+                          (base.charAt(base.length - 1) + (c - from)).toChar
+                      m += c -> s
+                      c += 1
+                    }
+                  case PArr(vs) =>
+                    var c = from
+                    for (v2 <- vs) {
+                      v2 match { case s: PStr => if (c <= to) m += c -> textOf(s); case _ => () }
+                      c += 1
+                    }
+                  case _ => ()
+                }
+                pending = Nil
+              case _ if pending.length >= 3 => pending = Nil
+              case _                        => ()
+            }
+          case _ => () // cmap boilerplate (codespacerange, names, defs)
+        }
+      }
+    } catch { case _: PdfParseException => () } // keep what parsed cleanly
+    (m.result(), math.max(codeLen, 1))
+  }
+
+  /** Resolve a page's /Resources /Font dict into FontInfo per font name. */
+  private def fontsOf(resources: Map[String, PVal], objs: Map[Int, PObj]): Map[String, FontInfo] = {
+    def deref(v: PVal): Option[PVal] = v match {
+      case PRef(n) => objs.get(n).map(o => PDict(o.dict))
+      case other   => Some(other)
+    }
+    resources.get("Font").flatMap(deref) match {
+      case Some(PDict(fontDict)) =>
+        val out = Map.newBuilder[String, FontInfo]
+        for ((fname, fref) <- fontDict; PDict(fd) <- deref(fref)) {
+          val type0 = fd.get("Subtype").contains(PName("Type0"))
+          val (cmap, seenLen) = fd.get("ToUnicode") match {
+            case Some(PRef(n)) => objs.get(n) match {
+              case Some(o) if o.data != null => parseToUnicode(o.data)
+              case _                         => (Map.empty[Int, String], 1)
+            }
+            case _ => (Map.empty[Int, String], 1)
+          }
+          val codeLen = if (cmap.nonEmpty) seenLen else if (type0) 2 else 1
+          out += fname -> FontInfo(fname, type0, codeLen, cmap)
+        }
+        out.result()
+      case _ => Map.empty
+    }
+  }
 
   // ---- object scan ---------------------------------------------------------
 
@@ -312,6 +457,111 @@ object RealPdf {
     }
     -1
   }
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminator optional,
+    * odd trailing digit zero-padded. Bad digits -> PdfParseException. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) throw new PdfParseException(s"ASCIIHexDecode: bad digit at $i")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars '!'..'u' -> 4 bytes base-85; 'z' -> four zero
+    * bytes; `~>` terminator; a partial final group of k chars yields k-1
+    * bytes ('u'-padded). Whitespace ignored. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var k = 0
+    var i = 0
+    // tolerate the optional `<~` opener
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    def flush(n: Int): Unit = { // n = chars present (2..5)
+      var j = n
+      while (j < 5) { grp(j) = 84; j += 1 } // pad with 'u'
+      var v = 0L
+      var m = 0
+      while (m < 5) { v = v * 85 + grp(m); m += 1 }
+      val nOut = n - 1
+      var s = 24
+      var b = 0
+      while (b < nOut) { out.write(((v >> s) & 0xFF).toInt); s -= 8; b += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xFF
+      if (c == '~') done = true
+      else if (c == 'z' && k == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(k) = c - '!'
+        k += 1
+        if (k == 5) { flush(5); k = 0 }
+      } else if (!isWs(c)) throw new PdfParseException(s"ASCII85Decode: bad char at $i")
+      i += 1
+    }
+    if (k == 1) throw new PdfParseException("ASCII85Decode: lone trailing char")
+    if (k >= 2) flush(k)
+    out.toByteArray
+  }
+
+  /** Apply the stream's /Filter chain (left-to-right, per spec order).
+    * Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode — alone or
+    * chained (e.g. [ASCII85Decode FlateDecode]). Unsupported filters, or a
+    * /DecodeParms predictor, yield (null, false): the stream stays
+    * metadata-only rather than risking corrupted text. Returns
+    * (decoded data, exact) where exact means data IS the file slice. */
+  private def applyFilters(b: Array[Byte], rawStart: Int, rawEnd: Int,
+      dict: Map[String, PVal]): (Array[Byte], Boolean) = {
+    val names: Option[Vector[String]] = dict.get("Filter") match {
+      case None                => Some(Vector.empty)
+      case Some(PName(n))      => Some(Vector(n))
+      case Some(PArr(vs)) =>
+        val ns = vs.collect { case PName(n) => n }
+        if (ns.length == vs.length) Some(ns) else None
+      case Some(_)             => None
+    }
+    val hasPredictor = (dict.get("DecodeParms") orElse dict.get("DP")) match {
+      case Some(PDict(m)) => m.get("Predictor") match {
+        case Some(PNum(p)) => p > 1
+        case _             => false
+      }
+      case Some(PArr(_)) => true // per-filter parms: out of scope, stay honest
+      case _             => false
+    }
+    names match {
+      case Some(Vector()) => (java.util.Arrays.copyOfRange(b, rawStart, rawEnd), true)
+      case Some(ns) if !hasPredictor && ns.forall(SupportedFilters) =>
+        var data: Array[Byte] = null
+        for (n <- ns) {
+          data = n match {
+            case "FlateDecode" =>
+              if (data == null) inflate(b, rawStart, rawEnd - rawStart)
+              else inflate(data, 0, data.length)
+            case "ASCIIHexDecode" =>
+              asciiHexDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
+            case "ASCII85Decode" =>
+              ascii85Decode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
+          }
+        }
+        (data, false)
+      case _ => (null, false) // unsupported filter / predictor: metadata only
+    }
+  }
+
+  private val SupportedFilters = Set("FlateDecode", "ASCIIHexDecode", "ASCII85Decode")
 
   private def inflate(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
@@ -388,21 +638,18 @@ object RealPdf {
                       if (e < 0) throw new PdfParseException("unterminated stream")
                       trimEol(b, e)
                   }
-                  val filter = dict.get("Filter")
-                  val (data, exact) = filter match {
-                    case None => (java.util.Arrays.copyOfRange(b, rawStart, rawEnd), true)
-                    case Some(PName("FlateDecode")) =>
-                      (inflate(b, rawStart, rawEnd - rawStart), false)
-                    case Some(PArr(Vector(PName("FlateDecode")))) =>
-                      (inflate(b, rawStart, rawEnd - rawStart), false)
-                    case Some(_) => (null, false) // unsupported filter: metadata only
-                  }
+                  val (data, exact) = applyFilters(b, rawStart, rawEnd, dict)
                   obj = PObj(num, dict, data, rawStart, rawEnd, exact)
                   val es = find(b, rawEnd, "endstream")
                   lx.pos = if (es >= 0) es + "endstream".length else rawEnd
                 } else obj = PObj(num, dict, null, start, start, exact = false)
                 objs += num -> obj
                 order += num
+                // PDF 1.5 object streams: the compressed objects join the
+                // pool here, in file order, so last-wins semantics match
+                // incremental updates (spec 7.5.7)
+                if (obj.dict.get("Type").contains(PName("ObjStm")) && obj.data != null)
+                  for (inner <- unpackObjStm(obj)) { objs += inner.num -> inner; order += inner.num }
                 if (bodyDone) Some(lx.pos)
                 else {
                   val eo = find(b, lx.pos, "endobj")
@@ -423,6 +670,51 @@ object RealPdf {
       }
     }
     (objs.result(), order.result(), trailer)
+  }
+
+  /** Unpack one /Type /ObjStm object stream (PDF 1.5+, spec 7.5.7): the
+    * decoded stream holds `/N` (num, offset) integer pairs, then the
+    * contained objects themselves starting at `/First`. Contained objects
+    * carry no streams by spec, so each becomes a data-less PObj. A malformed
+    * pair table or object is skipped, not fatal — the top-level scan already
+    * resyncs the same way. */
+  private[pdf] def unpackObjStm(o: PObj): Vector[PObj] = {
+    val out = Vector.newBuilder[PObj]
+    try {
+      val n = o.dict.get("N") match {
+        case Some(PNum(v)) if v >= 0 && v <= 65536 => v.toInt
+        case _                                     => return Vector.empty
+      }
+      val first = o.dict.get("First") match {
+        case Some(PNum(v)) if v >= 0 && v <= o.data.length => v.toInt
+        case _                                             => return Vector.empty
+      }
+      val hdr = new Lexer(o.data, 0, first)
+      val pairs = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      var ok = true
+      while (i < n && ok) {
+        try {
+          (hdr.parseValue(), hdr.parseValue()) match {
+            case (PNum(num), PNum(off)) if num >= 0 && off >= 0 =>
+              pairs += ((num.toInt, first + off.toInt))
+            case _ => ok = false
+          }
+        } catch { case _: PdfParseException => ok = false }
+        i += 1
+      }
+      for ((num, at) <- pairs.result() if at < o.data.length) {
+        try {
+          val lx = new Lexer(o.data, at, o.data.length)
+          val dict = lx.parseValue() match {
+            case PDict(m) => m
+            case _        => Map.empty[String, PVal] // scalar object
+          }
+          out += PObj(num, dict, null, 0, 0, exact = false)
+        } catch { case _: PdfParseException => () }
+      }
+    } catch { case _: PdfParseException => () }
+    out.result()
   }
 
   @inline private def startsWithAt(b: Array[Byte], at: Int, s: String): Boolean = {
@@ -449,7 +741,8 @@ object RealPdf {
 
   // ---- page tree -----------------------------------------------------------
 
-  private final case class PageRec(dict: Map[String, PVal], mediaBox: (Double, Double))
+  private final case class PageRec(dict: Map[String, PVal], mediaBox: (Double, Double),
+      resources: Map[String, PVal])
 
   private def mediaBoxOf(dict: Map[String, PVal], inherited: (Double, Double)): (Double, Double) =
     dict.get("MediaBox") match {
@@ -469,33 +762,48 @@ object RealPdf {
     }
     val out = Vector.newBuilder[PageRec]
     var found = false
-    def walk(node: Map[String, PVal], inherited: (Double, Double), depth: Int): Unit = {
+    def walk(node: Map[String, PVal], inherited: (Double, Double),
+        inhRes: Map[String, PVal], depth: Int): Unit = {
       if (depth > 32) return
       val mb = mediaBoxOf(node, inherited)
+      val res = node.get("Resources").flatMap(dictOf).getOrElse(inhRes)
       node.get("Type") match {
         case Some(PName("Pages")) =>
           node.get("Kids") match {
             case Some(PArr(kids)) =>
-              for (k <- kids; d <- dictOf(k)) walk(d, mb, depth + 1)
+              for (k <- kids; d <- dictOf(k)) walk(d, mb, res, depth + 1)
             case _ => ()
           }
-        case Some(PName("Page")) => out += PageRec(node, mb); found = true
+        case Some(PName("Page")) => out += PageRec(node, mb, res); found = true
         case _ => ()
       }
     }
+    // /Root from the trailer keyword; xref-stream files have no `trailer` —
+    // their trailer dict IS the /Type /XRef stream dict; failing both, any
+    // /Type /Catalog object anchors the walk (damaged-but-treed files)
+    val rootDict: Option[Map[String, PVal]] =
+      trailer.flatMap(t => t.m.get("Root").flatMap(dictOf))
+        .orElse(order.reverseIterator.map(objs)
+          .find(_.dict.get("Type").contains(PName("XRef")))
+          .flatMap(_.dict.get("Root")).flatMap(dictOf))
+        .orElse(order.reverseIterator.map(objs)
+          .find(_.dict.get("Type").contains(PName("Catalog"))).map(_.dict))
     for {
-      t <- trailer
-      rootRef <- t.m.get("Root")
-      root <- dictOf(rootRef)
+      root <- rootDict
       pagesRef <- root.get("Pages")
       pages <- dictOf(pagesRef)
-    } walk(pages, DefaultMediaBox, 0)
+    } walk(pages, DefaultMediaBox, Map.empty, 0)
     if (!found) {
-      // no walkable tree (missing/damaged trailer): file order of Page objects
-      for (n <- order) {
+      // no walkable tree at all: file order of Page objects. `order` lists
+      // every redefinition (incremental updates); keep only the LAST
+      // occurrence per object number, matching the map's last-wins semantics.
+      val seen = scala.collection.mutable.HashSet.empty[Int]
+      val lastWins = order.reverseIterator.filter(seen.add).toVector.reverse
+      for (n <- lastWins) {
         val o = objs(n)
         if (o.dict.get("Type").contains(PName("Page")))
-          out += PageRec(o.dict, mediaBoxOf(o.dict, DefaultMediaBox))
+          out += PageRec(o.dict, mediaBoxOf(o.dict, DefaultMediaBox),
+            o.dict.get("Resources").flatMap(dictOf).getOrElse(Map.empty))
       }
     }
     out.result()
@@ -514,16 +822,27 @@ object RealPdf {
     * offsets to file offsets when `exact`; otherwise every run carries the
     * raw stream range (rawStart, rawEnd). Painted `re` rectangles (committed
     * by a stroke/fill operator, discarded by `n`) are collected into `rects`
-    * for ruling-line table detection. */
+    * for ruling-line table detection. `fonts` are the page's resolved
+    * /Resources fonts: show-time strings re-decode through the active font's
+    * /ToUnicode CMap; a Type0 font without one throws (error-row contract).
+    * The CTM (cm, saved/restored by q/Q) is tracked and applied to emitted
+    * positions, sizes and rectangles, so translated/scaled content places
+    * correctly; all six coefficients compose, so rotated content lands at
+    * its rotated position (its box stays axis-aligned — documented bound). */
   private[pdf] def interpretContent(data: Array[Byte], base: Int, exact: Boolean,
       rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun],
-      rects: scala.collection.mutable.ArrayBuffer[PaintedRect] = scala.collection.mutable.ArrayBuffer.empty): Unit = {
+      rects: scala.collection.mutable.ArrayBuffer[PaintedRect] = scala.collection.mutable.ArrayBuffer.empty,
+      fonts: Map[String, FontInfo] = Map.empty): Unit = {
     val lx = new Lexer(data, 0, data.length)
     // text matrix (a b c d e f) and line matrix; leading; font size
     var a = 1.0; var bb = 0.0; var c = 0.0; var d = 1.0; var e = 0.0; var f = 0.0
     var la = 1.0; var lb = 0.0; var lc = 0.0; var ld = 1.0; var le = 0.0; var lf = 0.0
+    // current transformation matrix + q/Q save stack
+    var ca = 1.0; var cb = 0.0; var cc = 0.0; var cd = 1.0; var ce = 0.0; var cf = 0.0
+    val ctmStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var leading = 0.0
     var fontSize = 12.0
+    var curFont: FontInfo = null
     var operands = List.empty[PVal] // reversed
     val pendingRects = scala.collection.mutable.ArrayBuffer.empty[PaintedRect]
     def num(v: PVal): Double = v match { case PNum(x) => x; case _ => 0.0 }
@@ -540,11 +859,17 @@ object RealPdf {
     def offs(s: PStr): (Long, Long) =
       if (exact) ((base + s.b).toLong, (base + s.e).toLong)
       else (rawStart.toLong, rawEnd.toLong)
+    def showText(s: PStr): String =
+      if (curFont == null) s.s else curFont.decode(s.raw, s.s)
     def emit(text: String, b0: Long, e0: Long): Unit = {
       if (text.nonEmpty) {
-        val det = math.sqrt(math.abs(a * d - bb * c))
-        val effSize = if (det == 0.0) fontSize else fontSize * det
-        out += GlyphRun(e, f, effSize, text, b0, e0)
+        val detTm = math.sqrt(math.abs(a * d - bb * c))
+        val detCtm = math.sqrt(math.abs(ca * cd - cb * cc))
+        val scale = (if (detTm == 0.0) 1.0 else detTm) * (if (detCtm == 0.0) 1.0 else detCtm)
+        // device position = text-space origin through Tm (already in e,f) then CTM
+        val dx = e * ca + f * cc + ce
+        val dy = e * cb + f * cd + cf
+        out += GlyphRun(dx, dy, fontSize * scale, text, b0, e0)
         // advance the pen by the estimated run width (text-space x scale a)
         e += AvgGlyphWidthEm * fontSize * text.length * a
       }
@@ -564,8 +889,13 @@ object RealPdf {
               la = 1; lb = 0; lc = 0; ld = 1; le = 0; lf = 0
             case "ET" => ()
             case "Tf" => operands match {
-              case PNum(s) :: _ => fontSize = s
-              case _            => ()
+              case PNum(s) :: rest =>
+                fontSize = s
+                rest match {
+                  case PName(fn) :: _ => curFont = fonts.getOrElse(fn, null)
+                  case _              => ()
+                }
+              case _ => ()
             }
             case "TL" => operands match {
               case PNum(l) :: _ => leading = l
@@ -586,15 +916,15 @@ object RealPdf {
             }
             case "T*" => td(0, -leading)
             case "Tj" => operands match {
-              case (s: PStr) :: _ => val (b0, e0) = offs(s); emit(s.s, b0, e0)
+              case (s: PStr) :: _ => val (b0, e0) = offs(s); emit(showText(s), b0, e0)
               case _              => ()
             }
             case "'" => operands match {
-              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(s.s, b0, e0)
+              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(showText(s), b0, e0)
               case _              => ()
             }
             case "\"" => operands match {
-              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(s.s, b0, e0)
+              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(showText(s), b0, e0)
               case _              => ()
             }
             case "TJ" => operands match {
@@ -603,7 +933,7 @@ object RealPdf {
                 var b0 = -1L; var e0 = -1L
                 for (p <- parts) p match {
                   case s: PStr =>
-                    sb.append(s.s)
+                    sb.append(showText(s))
                     val (pb, pe) = offs(s)
                     if (b0 < 0) b0 = pb
                     e0 = pe
@@ -613,19 +943,40 @@ object RealPdf {
               case _ => ()
             }
             case "re" => operands match {
-              // current path gains a rectangle; committed only when painted
+              // current path gains a rectangle; committed only when painted.
+              // Corners map through the CTM; the kept rect is the bounding
+              // box (exact under translate/scale, the common real-PDF case).
               case PNum(h) :: PNum(w) :: PNum(y) :: PNum(x) :: _ =>
-                pendingRects += PaintedRect(x, y, w, h)
+                val x1 = x * ca + y * cc + ce; val y1 = x * cb + y * cd + cf
+                val x2 = (x + w) * ca + (y + h) * cc + ce
+                val y2 = (x + w) * cb + (y + h) * cd + cf
+                pendingRects += PaintedRect(math.min(x1, x2), math.min(y1, y2),
+                  math.abs(x2 - x1), math.abs(y2 - y1))
               case _ => ()
             }
             case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
               rects ++= pendingRects; pendingRects.clear()
             case "n" => pendingRects.clear() // no-paint (clip path): discard
+            case "q" => ctmStack += Array(ca, cb, cc, cd, ce, cf)
+            case "Q" =>
+              if (ctmStack.nonEmpty) {
+                val m = ctmStack.remove(ctmStack.length - 1)
+                ca = m(0); cb = m(1); cc = m(2); cd = m(3); ce = m(4); cf = m(5)
+              }
+            case "cm" => operands match {
+              // ctm' = M x ctm (new matrix composes BEFORE the old one)
+              case PNum(f6) :: PNum(e5) :: PNum(d4) :: PNum(c3) :: PNum(b2) :: PNum(a1) :: _ =>
+                val na = a1 * ca + b2 * cc; val nb = a1 * cb + b2 * cd
+                val nc = c3 * ca + d4 * cc; val nd = c3 * cb + d4 * cd
+                val ne = e5 * ca + f6 * cc + ce; val nf = e5 * cb + f6 * cd + cf
+                ca = na; cb = nb; cc = nc; cd = nd; ce = ne; cf = nf
+              case _ => ()
+            }
             case "BI" =>
               // inline image: skip to EI (binary payload would derail the lexer)
               val ei = find(data, lx.pos, "EI")
               lx.pos = if (ei >= 0) ei + 2 else data.length
-            case _ => () // cm/q/Q/W/m/l/gs/Do/color ops: consumed, ignored
+            case _ => () // W/m/l/gs/Do/color ops: consumed, ignored
           }
           operands = Nil
       }
@@ -730,14 +1081,17 @@ object RealPdf {
 
     val pages = Vector.newBuilder[PdfPage]
     var totalRuns = 0
-    val units: Vector[(Vector[PObj], (Double, Double))] =
-      if (orphanMode) orphanStreams.map(o => (Vector(o), DefaultMediaBox))
-      else pageRecs.map(r => (contentsOf(r), r.mediaBox))
-    for ((streams, (pw, ph)) <- units) {
+    // font maps are shared across pages with identical /Resources (the norm)
+    val fontCache = scala.collection.mutable.HashMap.empty[Map[String, PVal], Map[String, FontInfo]]
+    val units: Vector[(Vector[PObj], (Double, Double), Map[String, FontInfo])] =
+      if (orphanMode) orphanStreams.map(o => (Vector(o), DefaultMediaBox, Map.empty[String, FontInfo]))
+      else pageRecs.map(r => (contentsOf(r), r.mediaBox,
+        fontCache.getOrElseUpdate(r.resources, fontsOf(r.resources, objs))))
+    for ((streams, (pw, ph), fonts) <- units) {
       val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()
       val rects = new scala.collection.mutable.ArrayBuffer[PaintedRect]()
       for (o <- streams if o.data != null)
-        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs, rects)
+        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs, rects, fonts)
       totalRuns += runs.length
       val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L

@@ -160,6 +160,15 @@ object ExtractDemo {
               "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
               "4 0 obj\n<< /Length 20 /Filter /DCTDecode >>\nstream\nÿØimagebytesimage\nendstream\nendobj\n" +
               "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "en"),
+          // Type0/CID font without /ToUnicode: glyph indices are undecodable —
+          // must be an ERROR row, never silently-wrong mojibake text
+          Page("probe://realpdf-cid-no-tounicode", ts,
+            ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+              "2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n" +
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n" +
+              "4 0 obj\n<< /Length 52 >>\nstream\nBT /F1 12 Tf 1 0 0 1 50 700 Tm <00480069> Tj ET\nendstream\nendobj\n" +
+              "5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>\nendobj\n" +
+              "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "en"),
           Page("probe://boilerplate-only", ts,
             "<nav><a href='/'>x</a></nav><footer>y</footer>".getBytes, "", "en"),
           Page("probe://deep-nesting", ts,

@@ -209,4 +209,190 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.error == "", got.error)
     assert(got.text == "page one" + PdfParser.PageBreak + "page two")
   }
+
+  // ---- round 4: ObjStm / xref streams / fonts / filters / CTM --------------
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length)
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def ascii85Encode(raw: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(raw.length * 5 / 4 + 4)
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(4, raw.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < n) raw(i + k) & 0xFF else 0); k += 1 }
+      val cs = new Array[Char](5)
+      var m = 4
+      while (m >= 0) { cs(m) = ('!' + (v % 85).toInt).toChar; v /= 85; m -= 1 }
+      sb.append(cs, 0, n + 1)
+      i += 4
+    }
+    sb.append("~>").toString
+  }
+
+  test("ObjStm + xref-stream trailer: page tree inside an object stream, no trailer keyword") {
+    // catalog/pages/page dicts live compressed inside a /Type /ObjStm; the
+    // trailer dict is the /Type /XRef stream dict (PDF 1.5+ layout)
+    val inner1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val inner2 = "<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>"
+    val inner3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val hdr = s"1 0 2 ${inner1.length + 1} 3 ${inner1.length + inner2.length + 2} "
+    val stm = hdr + inner1 + " " + inner2 + " " + inner3
+    val comp = new String(deflateBytes(stm.getBytes(ISO_8859_1)), ISO_8859_1)
+    val content = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (modern objstm text) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${hdr.length} /Length ${comp.length} /Filter /FlateDecode >>\nstream\n")
+    sb.append(comp).append("\nendstream\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").append(content).append("\nendstream\nendobj\n")
+    sb.append("6 0 obj\n<< /Type /XRef /Root 1 0 R /Size 7 /Length 0 >>\nstream\nendstream\nendobj\n")
+    sb.append("startxref\n0\n%%EOF\n")
+    val got = Extractor.extract(Page("t://objstm", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "modern objstm text")
+  }
+
+  test("incremental update: twice-defined page object emits once, last definition wins") {
+    val cOld = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (stale content) Tj ET\n"
+    val cNew = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (fresh content) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    // original file: page 3 -> content 4; no catalog/trailer (file-order path)
+    sb.append("3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${cOld.length} >>\nstream\n").append(cOld).append("\nendstream\nendobj\n")
+    // incremental update: page 3 redefined -> content 5
+    sb.append("3 0 obj\n<< /Type /Page /Contents 5 0 R >>\nendobj\n")
+    sb.append(s"5 0 obj\n<< /Length ${cNew.length} >>\nstream\n").append(cNew).append("\nendstream\nendobj\n")
+    sb.append("%%EOF\n")
+    val got = Extractor.extract(Page("t://incr", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "fresh content", got.text)
+  }
+
+  /** Page with /Resources /Font; font obj 7, optional ToUnicode obj 8. */
+  private def fontPdf(content: String, fontDict: String, toUnicode: Option[String]): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F9 7 0 R >> >> >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").append(content).append("\nendstream\nendobj\n")
+    sb.append(s"7 0 obj\n$fontDict\nendobj\n")
+    for (tu <- toUnicode)
+      sb.append(s"8 0 obj\n<< /Length ${tu.length} >>\nstream\n").append(tu).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private val HelloCMap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |3 beginbfchar
+      |<0001> <0048>
+      |<0002> <0065>
+      |<0003> <006F>
+      |endbfchar
+      |1 beginbfrange
+      |<0010> <0012> <006C>
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
+
+  test("CID font with /ToUnicode decodes glyph indices to text exactly") {
+    // codes: 0001=H 0002=e 0003=o (bfchar); 0010..0012 = l,m,n (bfrange)
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm <00010002001000100003> Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /ToUnicode 8 0 R >>"
+    val got = Extractor.extract(Page("t://cid1", ts, fontPdf(content, font, Some(HelloCMap)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "Hello", got.text)
+  }
+
+  test("CID font without /ToUnicode is an ERROR row, never silent mojibake") {
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm <00480065006C006C006F> Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H >>"
+    val got = Extractor.extract(Page("t://cid2", ts, fontPdf(content, font, None), "", "en"))
+    assert(got.error.contains("Type0"), got.error)
+    assert(got.text == "")
+  }
+
+  test("simple font with /ToUnicode remaps 1-byte codes; without it, Latin-1 default") {
+    // a subsetted simple font mapping code 0x41 -> 'Z'
+    val cmap =
+      """begincmap
+        |1 beginbfchar
+        |<41> <005A>
+        |endbfchar
+        |endcmap""".stripMargin
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (A) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /ToUnicode 8 0 R >>"
+    val got = Extractor.extract(Page("t://simplecmap", ts, fontPdf(content, font, Some(cmap)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "Z", got.text)
+    // same font, no cmap: bytes stay Latin-1
+    val font2 = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake >>"
+    val got2 = Extractor.extract(Page("t://simpleplain", ts, fontPdf(content, font2, None), "", "en"))
+    assert(got2.error == "" && got2.text == "A")
+  }
+
+  test("ASCIIHexDecode and ASCII85Decode content streams decode; 85+Flate chains") {
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (filter chain works) Tj ET\n"
+    val hex = ops.getBytes(ISO_8859_1).map(b => f"${b & 0xFF}%02X").mkString + ">"
+    val gotHex = Extractor.extract(Page("t://hexf", ts,
+      minimalPdf(hex, filter = "ASCIIHexDecode", length = Some(hex.length)), "", "en"))
+    assert(gotHex.error == "", gotHex.error)
+    assert(gotHex.text == "filter chain works")
+    val a85 = ascii85Encode(ops.getBytes(ISO_8859_1))
+    val got85 = Extractor.extract(Page("t://a85", ts,
+      minimalPdf(a85, filter = "ASCII85Decode", length = Some(a85.length)), "", "en"))
+    assert(got85.error == "", got85.error)
+    assert(got85.text == "filter chain works")
+    // chained: stored bytes are ascii85(deflate(ops)); decode order 85 then flate
+    val chained = ascii85Encode(deflateBytes(ops.getBytes(ISO_8859_1)))
+    val body = new String(minimalPdf(chained, length = Some(chained.length)), ISO_8859_1)
+      .replace(s"<< /Length ${chained.length}",
+        s"<< /Length ${chained.length} /Filter [/ASCII85Decode /FlateDecode]")
+    val gotChain = Extractor.extract(Page("t://chain", ts, body.getBytes(ISO_8859_1), "", "en"))
+    assert(gotChain.error == "", gotChain.error)
+    assert(gotChain.text == "filter chain works")
+  }
+
+  test("cm translate/scale: offset content places correctly; q/Q restores; scaled run is a title") {
+    val ops =
+      // title: 12pt scaled x2 by the CTM -> 24pt effective, at device (50, 742)
+      "q 2 0 0 2 50 742 cm BT /F1 12 Tf 0 0 Td (big title here) Tj ET Q " +
+        // body line 1 untranslated at (50, 700)
+        "BT /F1 12 Tf 1 0 0 1 50 700 Tm (first line words) Tj ET " +
+        // body line 2 placed via a translated CTM: device y = 722 - 44 = 678
+        "q 1 0 0 1 0 -44 cm BT /F1 12 Tf 1 0 0 1 50 722 Tm (second line words) Tj ET Q\n"
+    val got = Extractor.extract(Page("t://ctm", ts, minimalPdf(ops), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text.contains("# big title here"), got.text)
+    assert(got.text.contains("first line words second line words"), got.text)
+  }
+
+  test("filter decoder unit vectors: asciiHex odd pad, ascii85 z-shortcut and partial group") {
+    assert(RealPdf.asciiHexDecode("48656C6C6F>".getBytes(ISO_8859_1)).sameElements("Hello".getBytes(ISO_8859_1)))
+    assert(RealPdf.asciiHexDecode("4 8 65 6C6C6F7>".getBytes(ISO_8859_1))
+      .sameElements("Hellop".getBytes(ISO_8859_1))) // odd digit 7 -> 0x70
+    assert(RealPdf.ascii85Decode("z~>".getBytes(ISO_8859_1)).sameElements(Array[Byte](0, 0, 0, 0)))
+    val roundTrip = "sample text for 85!"
+    assert(RealPdf.ascii85Decode(ascii85Encode(roundTrip.getBytes(ISO_8859_1)).getBytes(ISO_8859_1))
+      .sameElements(roundTrip.getBytes(ISO_8859_1)))
+  }
 }
