@@ -75,7 +75,8 @@ object Dedup {
     * so repeated calls in a long-lived session don't accumulate corpus-sized
     * cache entries; caller may `unpersist()` the (small) result. */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
-      bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64,
+      materialize: Boolean = true): DataFrame = {
     import spark.implicits._
     // persisted: feeds the banding pass AND both sides of the signature
     // verify join — without it the full shingle+64-permutation pass over
@@ -119,10 +120,13 @@ object Dedup {
           x => x)) / lit(64)).cast("int"))
       .filter(col("est_jaccard_pct") >= (threshold * 100).toInt)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_pct"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize so the signature cache can be released now
-    sigs.unpersist()
-    out
+    if (!materialize) out // plan-only: nothing executed, nothing cached yet
+    else {
+      val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize so the signature cache can be released now
+      sigs.unpersist()
+      cached
+    }
   }
 
   /** SimHash 64-bit signature of token features. */
@@ -206,7 +210,8 @@ object Dedup {
     * MEMORY_AND_DISK, already computed) with the per-doc gram-set cache
     * released before returning; caller may `unpersist()` the result. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
-      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 32): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 32,
+      materialize: Boolean = true): DataFrame = {
     import spark.implicits._
     // per-doc sorted distinct gram-hash sets; everything downstream derives
     // from this one narrow pass (persisted: feeds the df count, the blocking
@@ -252,9 +257,12 @@ object Dedup {
       }
       .toDF("doc_a", "doc_b", "jaccard_pct")
       .filter(col("jaccard_pct") >= (threshold * 100).toInt)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize so the gram-set cache can be released now
-    gsets.unpersist()
-    out
+    if (!materialize) out // plan-only: nothing executed, nothing cached yet
+    else {
+      val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize so the gram-set cache can be released now
+      gsets.unpersist()
+      cached
+    }
   }
 }

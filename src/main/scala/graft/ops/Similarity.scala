@@ -99,11 +99,10 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Random-hyperplane LSH: `bits`-bit signature; rows sharing a signature
-    * land in one bucket. Deterministic hyperplanes from a seeded xorshift. */
-  def signatureExpr(emb: Column, dim: Int, bits: Int, seed: Long): Column = {
-    // deterministic pseudo-gaussian hyperplanes via sum of 4 xorshift draws
-    val planes = Array.tabulate(bits, dim) { (b, d) =>
+  /** Deterministic pseudo-gaussian hyperplanes (sum of 4 xorshift draws),
+    * shared by the literal-expression and broadcast signature paths. */
+  private[ops] def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (b, d) =>
       var x = seed + b * 1341L + d * 7919L + 1
       var s = 0.0
       var k = 0
@@ -114,12 +113,64 @@ object Similarity {
       }
       s / 2.0
     }
+
+  /** Random-hyperplane LSH signature as a Catalyst column: rows sharing a
+    * signature land in one bucket.
+    *
+    * NOTE: inlines `bits * dim` plane coefficients as plan LITERALS — fine at
+    * test dims, but at production dims (768+) x 24 bits x several tables that
+    * is ~100k literals in one expression tree: plan bloat and codegen
+    * fallback (64KB method limit). The production paths ([[lshTopK]],
+    * [[nearDupPairsLsh]]) therefore compute signatures via
+    * [[withSignatures]] — a typed map over a BROADCAST plane matrix,
+    * bit-identical to this expression (OpsSpec asserts equality at dim 16
+    * and dim 768). Kept as the readable reference form and for SQL callers. */
+  def signatureExpr(emb: Column, dim: Int, bits: Int, seed: Long): Column = {
+    val planes = planesFor(dim, bits, seed)
     (0 until bits).map { b =>
       val proj = aggregate(
         zip_with(emb, lit(planes(b)), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** (vec_id, embedding) -> (vec_id, embedding, buckets ARRAY<LONG>) with one
+    * random-hyperplane signature per seed, computed in a typed narrow map
+    * over a broadcast plane matrix — constant plan size at any dim/bits
+    * (the scale-safe form of [[signatureExpr]]; same double multiply-add in
+    * index order, so signatures are bit-identical). */
+  def withSignatures(emb: DataFrame, dim: Int, bits: Int, seeds: Seq[Long]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(seeds.map(s => planesFor(dim, bits, s)).toArray)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val tables = bc.value
+        it.map { case (id, e) =>
+          val sigs = new Array[Long](tables.length)
+          var t = 0
+          while (t < tables.length) {
+            val tbl = tables(t)
+            var sig = 0L
+            var b = 0
+            while (b < tbl.length) {
+              val plane = tbl(b)
+              var s = 0.0
+              var d = 0
+              val n = math.min(plane.length, if (e == null) 0 else e.length)
+              while (d < n) { s += e(d).toDouble * plane(d); d += 1 }
+              if (s > 0) sig |= 1L << b
+              b += 1
+            }
+            sigs(t) = sig
+            t += 1
+          }
+          (id, e, sigs)
+        }
+      }
+      .toDF("vec_id", "embedding", "buckets")
   }
 
   /** Signature width scaled to the corpus: bits ≈ log2(n / targetBucket),
@@ -142,8 +193,10 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], dim: Int,
       k: Int = 10, bits: Int = 0, seed: Long = 42L): DataFrame = {
     val nBits = if (bits > 0) bits else autoBits(emb.count())
-    val sig = signatureExpr(col("embedding"), dim, nBits, seed)
-    val bucketed = emb.withColumn("bucket", sig)
+    // broadcast-plane signatures: constant plan size at any dim (see
+    // withSignatures; bit-identical to the signatureExpr literal form)
+    val bucketed = withSignatures(emb, dim, nBits, Seq(seed))
+      .select(col("vec_id"), col("embedding"), col("buckets").getItem(0).as("bucket"))
     val flips = array((0 until nBits).map(b => lit(1L << b)) :+ lit(0L): _*)
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -249,7 +302,7 @@ object Similarity {
     * don't pin the corpus. Caller may `unpersist()` the (small) result. */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
       bits: Int = 0, nTables: Int = 6, seed: Long = 42L,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024, materialize: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val nBits = if (bits > 0) bits else autoBits(emb.count())
@@ -258,11 +311,12 @@ object Similarity {
     // The explode keys on (table, bucket) so all tables ride one shuffle.
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = vecs.select(col("vec_id"),
-      explode(array((0 until nTables).map(t =>
-        struct(lit(t).as("tbl"),
-          signatureExpr(col("embedding"), dim, nBits, seed + t * 1000003L).as("bucket"))): _*)).as("tb"))
-      .select(col("tb.tbl"), col("tb.bucket"), col("vec_id"))
+    // one broadcast-plane pass computes ALL table signatures (constant plan
+    // size at any dim — the literal signatureExpr form would inline
+    // nTables x bits x dim coefficients here)
+    val banded = withSignatures(vecs, dim, nBits, (0 until nTables).map(t => seed + t * 1000003L))
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col("vec_id"))
     val candidates = banded
       .groupByKey(r => (r.getInt(0), r.getLong(1)))
       .flatMapGroups { (_: (Int, Long), it: Iterator[org.apache.spark.sql.Row]) =>
@@ -284,10 +338,13 @@ object Similarity {
       .join(va, "id_a").join(vb, "id_b")
       .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize so the corpus cache can be released now
-    vecs.unpersist()
-    out
+    if (!materialize) out // plan-only: nothing executed, nothing cached yet
+    else {
+      val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize so the corpus cache can be released now
+      vecs.unpersist()
+      cached
+    }
   }
 
   /** Exact near-duplicate pairs by embedding cosine >= threshold, upper

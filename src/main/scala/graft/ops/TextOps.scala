@@ -84,10 +84,21 @@ object TextOps {
     val cyr = cnt(s, "[\\x{0400}-\\x{04FF}]")
     val latin = cnt(s, "[A-Za-z\\x{00C0}-\\x{017F}]")
     val total = cjk + kana + hangul + arab + cyr + latin
-    val wEn = cnt(lower(s), "\\b(?:the|and|of|to|is)\\b")
-    val wDe = cnt(lower(s), "\\b(?:der|und|die|das|ist)\\b") + cnt(s, "[äöüß]")
-    val wFr = cnt(lower(s), "\\b(?:le|la|les|et|est)\\b")
-    val wEs = cnt(lower(s), "\\b(?:el|los|las|y|es)\\b")
+    // stopword counting matches the row kernel EXACTLY: the kernel counts
+    // literal " word " occurrences on a space-padded lowered string (so
+    // "the," adjacent to punctuation does NOT count, and adjacent words may
+    // share a delimiter space). Regex form: pad, then DOUBLE every space so
+    // non-overlapping "[ ]word[ ]" matches can't steal a shared delimiter —
+    // plain RE2-safe patterns, so the DuckDB oracle twin stays expressible
+    // (no lookahead).
+    val padded = regexp_replace(concat(lit(" "), lower(s), lit(" ")), " ", "  ")
+    def stops(ws: String*): Column = cnt(padded, "[ ](?:" + ws.mkString("|") + ")[ ]")
+    // diacritics counted on the LOWERED text like the kernel, so uppercase
+    // umlauts contribute too
+    val wEn = stops("the", "and", "of", "to", "is")
+    val wDe = stops("der", "und", "die", "das", "ist") + cnt(lower(s), "[äöüß]")
+    val wFr = stops("le", "la", "les", "et", "est")
+    val wEs = stops("el", "los", "las", "y", "es")
     val latinLang =
       when(greatest(wEn, wDe, wFr, wEs) === 0, lit("en"))
         .when(wEn >= wDe && wEn >= wFr && wEn >= wEs, lit("en"))

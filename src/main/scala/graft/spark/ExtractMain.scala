@@ -80,6 +80,37 @@ object ExtractMain {
 
   final class InjectedFailure(msg: String) extends RuntimeException(msg)
 
+  /** Per-unit lineage counters accumulated inside the scratch-write job
+    * (layout: rows, ok, err, bytesIn, chars). Keyed adds merge elementwise;
+    * the driver reads the final map once after the write action. */
+  final class UnitStatsAcc
+      extends org.apache.spark.util.AccumulatorV2[(Int, Array[Long]), Map[Int, Array[Long]]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): UnitStatsAcc = {
+      val c = new UnitStatsAcc
+      for ((k, v) <- m) c.m(k) = v.clone()
+      c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, Array[Long])): Unit = {
+      val arr = m.getOrElseUpdate(v._1, new Array[Long](5))
+      var i = 0
+      while (i < 5) { arr(i) += v._2(i); i += 1 }
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[(Int, Array[Long]), Map[Int, Array[Long]]]): Unit =
+      other match {
+        case o: UnitStatsAcc =>
+          for ((k, v) <- o.m) {
+            val arr = m.getOrElseUpdate(k, new Array[Long](5))
+            var i = 0
+            while (i < 5) { arr(i) += v(i); i += 1 }
+          }
+        case _ => throw new UnsupportedOperationException(s"cannot merge ${other.getClass}")
+      }
+    override def value: Map[Int, Array[Long]] = m.toMap
+  }
+
   /** Run (or resume) the job; returns the number of units committed by THIS
     * invocation. Separated from main() so tests drive it in-process. */
   def run(spark: SparkSession, a: Args): Int = {
@@ -106,25 +137,37 @@ object ExtractMain {
       if (committed.isEmpty) pages // fresh run: no filter at all
       else pages.filter(unitOf.isin(pending: _*)).as[Page]
     val extracted = ExtractJob.run(slice, a.salt, a.sizeSort)
-    extracted
+    // lineage counters ride INSIDE the write job via a per-unit accumulator
+    // on a pass-through row map — one pass over the output total, no
+    // second scan of scratch (result-stage accumulator updates are applied
+    // once per successful partition; speculation is off)
+    val acc = new UnitStatsAcc
+    spark.sparkContext.register(acc, "unit-lineage")
+    val out = extracted.toDF()
       .withColumn("unit", pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int"))
       .withColumn("crawl_date", to_date(col("warc_ts")))
+    val schema = out.schema
+    val (ui, ei, bi, ti) = (schema.fieldIndex("unit"), schema.fieldIndex("error"),
+      schema.fieldIndex("htmlBytes"), schema.fieldIndex("text"))
+    out.mapPartitions { it =>
+      it.map { r =>
+        val err = r.getString(ei)
+        val text = r.getString(ti)
+        val ok = err == null || err.isEmpty
+        acc.add((r.getInt(ui), Array(
+          1L,
+          if (ok) 1L else 0L,
+          if (ok) 0L else 1L,
+          r.getLong(bi),
+          // code points, matching SQL length() semantics
+          if (text == null) 0L else text.codePointCount(0, text.length).toLong)))
+        r
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("unit")
       .parquet(scratch)
-    // lineage counters from the scratch output in one aggregation (reads
-    // only the small columns; html never written)
-    val stats = spark.read.parquet(scratch)
-      .groupBy("unit")
-      .agg(
-        count(lit(1)).as("rows"),
-        sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
-        sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"),
-        sum(col("htmlBytes")).as("bytes"),
-        sum(length(col("text"))).as("chars"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
-      .toMap
+    val stats = acc.value.map { case (u, c) => u -> ((c(0), c(1), c(2), c(3), c(4))) }
     // publish in groups: a crash between group commits leaves a resumable
     // prefix (the --fail-after-groups injection point, ResumeSpec)
     var done = 0

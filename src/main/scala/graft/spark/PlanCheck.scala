@@ -69,20 +69,26 @@ object PlanCheck {
     // d04: the near-dup product is a blocked broadcast JOIN — the block is
     // built by the executors at execution time, never collected to the driver
     // — fed from the persisted (vec_id, embedding, nrm) projection so the
-    // B block branches scan the corpus once (InMemoryTableScan), not 2B times
-    val d04 = planOf("d04_embed_neardup")
-    check("d04_embed_neardup", d04, Seq("BroadcastNestedLoopJoin"), Seq("Window"))
+    // B block branches scan the corpus once (InMemoryTableScan), not 2B times.
+    // Audited on the LAZY plan (nearDupPairsPlan): planOf on the query itself
+    // would EXECUTE the whole materializing near-dup job just to read a plan.
     val (d04Union, d04Nd) = graft.ops.Similarity.nearDupPairsPlan(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), 0.45, maxBroadcast = 64)
-    val d04Blocked = d04Union.queryExecution
+    val d04 = d04Union.queryExecution
       .explainString(org.apache.spark.sql.execution.SimpleMode)
-    check("d04 blocked branches read cache", d04Blocked, Seq("InMemoryTableScan"))
+    check("d04_embed_neardup (lazy plan)", d04,
+      Seq("BroadcastNestedLoopJoin", "InMemoryTableScan"), Seq("Window"))
     d04Nd.unpersist()
 
     // d05: minhash signatures must come from the persisted relation (one
-    // shingle+permutation pass feeding banding AND both verify sides)
-    val d05 = planOf("d05_minhash")
-    check("d05_minhash", d05, Seq("InMemoryTableScan"))
+    // shingle+permutation pass feeding banding AND both verify sides) —
+    // audited on the lazy (materialize = false) plan, nothing executed
+    val d05 = graft.ops.Dedup.minhashPairs(spark,
+        spark.read.parquet(s"$sfDir/documents.parquet"), threshold = 0.7,
+        materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d05_minhash (lazy plan)", d05, Seq("InMemoryTableScan"))
+    spark.catalog.clearCache() // drop plan-only persist markers registered above
 
     if (args.contains("--print")) {
       println(r01); println(r02); println(d01); println(fp); println(d03)

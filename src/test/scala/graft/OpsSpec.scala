@@ -177,6 +177,34 @@ class OpsSpec extends AnyFunSuite {
     assert(occ <= 64L * 8, s"max bucket occupancy $occ with bits=$bits")
   }
 
+  test("broadcast-plane signatures are bit-identical to the literal expression, dim 16 and 768") {
+    import spark.implicits._
+    for (dim <- Seq(16, 768)) {
+      val r = new java.util.Random(7 + dim)
+      val rows = (0L until 50L).map { id =>
+        (id, Array.fill(dim)((r.nextFloat() - 0.5f) * 2f))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val bits = 24
+      val viaExpr = df
+        .select(col("vec_id"), Similarity.signatureExpr(col("embedding"), dim, bits, 42L).as("b"))
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      val viaBroadcast = Similarity.withSignatures(df, dim, bits, Seq(42L))
+        .select(col("vec_id"), col("buckets").getItem(0).as("b"))
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      assert(viaExpr == viaBroadcast, s"signature mismatch at dim $dim")
+      // multi-seed path: every table matches its per-seed expression twin
+      val seeds = Seq(42L, 42L + 1000003L)
+      val multi = Similarity.withSignatures(df, dim, bits, seeds)
+        .select(col("vec_id"), col("buckets")).collect()
+        .map(r0 => r0.getLong(0) -> r0.getSeq[Long](1)).toMap
+      val viaExpr2 = df
+        .select(col("vec_id"), Similarity.signatureExpr(col("embedding"), dim, bits, seeds(1)).as("b"))
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      assert(multi.forall { case (id, sigs) => sigs(0) == viaExpr(id) && sigs(1) == viaExpr2(id) })
+    }
+  }
+
   test("top-k rank ordering is deterministic: sim desc then neighbor_id asc") {
     // duplicate vectors force exact sim ties; ranks must break on neighbor_id
     import spark.implicits._
@@ -241,7 +269,15 @@ class OpsSpec extends AnyFunSuite {
       "こんにちは世界のみなさんお元気ですか",
       "Привет мир это русский текст для проверки",
       "le chat et la maison est grande et les arbres",
-      "12345 !!! ???")
+      "12345 !!! ???",
+      // punctuation-adjacent stopwords: the kernel counts only space-
+      // delimited " word ", so "the," must NOT count — with \b-boundary
+      // counting this vector flips to en; the space-exact rule says de
+      "the, the, the, the, und der",
+      // uppercase diacritics must count after lowering (Ä Ö Ü ß -> de)
+      "Ärzte Üben Öfter Große Dinge",
+      // adjacent stopwords share a delimiter space; overlap-safe counting
+      "is is is el la word words")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val colLang = TextOps.langIdDF(df, col("text")).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("detected_lang"))).toMap

@@ -34,9 +34,9 @@ class ResumeSpec extends AnyFunSuite {
     val units = 16
 
     val cleanArgs = ExtractMain.Args(in = in, out = clean, units = units, groupSize = 4)
-    // single-pass contract: one extraction+write job plus one stats
-    // aggregation per run, NOT one pair per group (the per-group loop ran
-    // 2 * units/groupSize jobs = 8 here, re-scanning the input each time)
+    // single-pass contract: ONE extraction+write job per run — lineage
+    // counters ride the write job in an accumulator, so there is no second
+    // stats scan of the output (nor the old per-group input re-scans)
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -55,7 +55,7 @@ class ResumeSpec extends AnyFunSuite {
       }
       spark.sparkContext.removeSparkListener(listener)
     }
-    assert(jobCount.get() <= 4, s"expected a single-pass run (<=4 Spark jobs), saw ${jobCount.get()}")
+    assert(jobCount.get() <= 2, s"expected a single-pass run (<=2 Spark jobs), saw ${jobCount.get()}")
     assert(TableIO.committedUnits(clean) == (0 until units).toSet)
 
     val crashArgs = ExtractMain.Args(in = in, out = crashy, units = units,
