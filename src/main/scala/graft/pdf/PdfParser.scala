@@ -448,7 +448,7 @@ object PdfParser {
     * unclip_boxes analogue; ratio order-of-magnitude per its defaults). */
   val TableUnclipRatio = 1.05
 
-  def renderPage(page: PdfPage): (String, Vector[(Long, Long)]) = {
+  def renderPage(page: PdfPage): (String, Vector[(Long, Long, String)]) = {
     val tableBoxes = Array.fill(page.tables.length)(Vector.newBuilder[TextBox])
     val bodyBoxes = Vector.newBuilder[TextBox]
     val unclipped = page.tables.map(t => Geom.unclip(t.box, TableUnclipRatio, TableUnclipRatio))
@@ -504,41 +504,44 @@ object PdfParser {
     val ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionsKept, floatingKept)
 
     val pieces = Vector.newBuilder[String]
-    val offs = Vector.newBuilder[(Long, Long)]
+    val offs = Vector.newBuilder[(Long, Long, String)]
     for (el <- ordered) elTable(el.payload) match {
       case RegionEl(r) =>
         val (txt, used) = sortAndJoin(r, union(r))
-        for (tb <- used) offs += ((tb.beginByte, tb.endByte))
+        for (tb <- used) offs += ((tb.beginByte, tb.endByte, "pdf_fragment"))
         // hard breaks become paragraph separators (structure.rs:382-389)
         txt.split('\n').filter(_.nonEmpty).foreach(pieces += _)
       case TitleEl(t) =>
         val lvl = TitleLevel.resolve(t.tb.text, t.level)
         pieces += ("#" * lvl) + " " + t.tb.text
-        offs += ((t.tb.beginByte, t.tb.endByte))
+        offs += ((t.tb.beginByte, t.tb.endByte, "pdf_fragment"))
       case FigureEl(f) =>
         pieces += s"![Figure](${f.text})"
-        offs += ((f.beginByte, f.endByte))
+        offs += ((f.beginByte, f.endByte, "pdf_fragment"))
       case FormulaEl(f) =>
+        // typed formula span: x05 counts formulas from THIS kind, never
+        // from a regex over the rendered text (body text may contain $$)
+        offs += ((f.beginByte, f.endByte, "pdf_formula"))
         pieces += "$$" + normalizeLatex(f.text) + "$$"
-        offs += ((f.beginByte, f.endByte))
       case TableEl(i) =>
         val (html, used) = assembleTable(page.tables(i), tableBoxes(i).result())
         if (html.nonEmpty) {
           pieces += html
-          for (tb <- used) offs += ((tb.beginByte, tb.endByte))
+          for (tb <- used) offs += ((tb.beginByte, tb.endByte, "pdf_fragment"))
         }
       case HeaderEl(h) =>
         pieces += s"<small>${h.text}</small>"
-        offs += ((h.beginByte, h.endByte))
+        offs += ((h.beginByte, h.endByte, "pdf_fragment"))
       case FooterEl(f) =>
         pieces += s"<small>${f.text}</small>"
-        offs += ((f.beginByte, f.endByte))
+        offs += ((f.beginByte, f.endByte, "pdf_fragment"))
     }
     (pieces.result().mkString("\n\n"), offs.result())
   }
 
   /** Full payload: pages joined by the page break; spans carry kind
-    * pdf_fragment with blockIdx = page index. Real `%PDF-1.x` bytes go
+    * pdf_fragment (pdf_formula for formula boxes) with blockIdx = page
+    * index. Real `%PDF-1.x` bytes go
     * through [[RealPdf]] (which throws on unparseable input → error row);
     * the synthetic dialect keeps its own parser. */
   def extract(bytes: Array[Byte]): (String, Array[Span]) = {
@@ -550,7 +553,7 @@ object PdfParser {
     for (p <- pages) {
       val (t, offs) = renderPage(p)
       texts += t
-      for ((b, e) <- offs) spans += Span(pi, b, e, "pdf_fragment")
+      for ((b, e, k) <- offs) spans += Span(pi, b, e, k)
       pi += 1
     }
     (texts.result().mkString(PageBreak), spans.result())

@@ -424,4 +424,19 @@ class KernelSpec extends AnyFunSuite {
       (s.endByte - s.beginByte).toInt, StandardCharsets.UTF_8)).toSet
     assert(spanned == Set("E  =\t m  c^2", "body text stays"), spanned)
   }
+
+  test("pdf formula count is typed: literal $$ in body text never counts as a formula") {
+    // one M formula + a body line containing literal $$ markers: the span
+    // surface must carry exactly ONE pdf_formula span (a regex over the
+    // rendered text would see 2 extra $$ and miscount)
+    val payload = ("%PDF-GRAFT v2\n" +
+      "P 612.0 792.0\n" +
+      "M 10.0 100.0 580.0 40.0 x + y\n" +
+      "T 10.0 300.0 300.0 12.0 price is $$ and more $$ here\n").getBytes(StandardCharsets.UTF_8)
+    val (text, spans) = graft.pdf.PdfParser.extract(payload)
+    assert(text.contains("$$x + y$$"), text)
+    assert(text.contains("price is $$ and more $$ here"), text)
+    assert(spans.count(_.kind == "pdf_formula") == 1, spans.map(_.kind).toSeq)
+    assert(spans.count(_.kind == "pdf_fragment") == 1, spans.map(_.kind).toSeq)
+  }
 }
