@@ -1067,9 +1067,13 @@ object RealPdf {
     val orphanMode = pageRecs.isEmpty
     // orphan fallback: no page tree at all — every BT-bearing stream is a page
     val orphanStreams: Vector[PObj] =
-      if (orphanMode)
-        order.map(objs).filter(o => o.data != null && find(o.data, 0, "BT") >= 0)
-      else Vector.empty
+      if (orphanMode) {
+        // incremental updates list a redefined object number twice in `order`;
+        // keep the last occurrence (matching the map's last-wins content)
+        val seen = scala.collection.mutable.HashSet.empty[Int]
+        order.reverseIterator.filter(seen.add).toVector.reverse
+          .map(objs).filter(o => o.data != null && find(o.data, 0, "BT") >= 0)
+      } else Vector.empty
     if (orphanMode && orphanStreams.isEmpty)
       throw new PdfParseException("real PDF: no page objects and no text-bearing streams")
 

@@ -279,6 +279,21 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.text == "fresh content", got.text)
   }
 
+  test("incremental update in orphan mode: twice-defined stream emits one page") {
+    val cOld = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (orphan stale) Tj ET\n"
+    val cNew = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (orphan fresh) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    // no catalog, no /Type /Page anywhere: BT-bearing streams ARE the pages
+    sb.append(s"4 0 obj\n<< /Length ${cOld.length} >>\nstream\n").append(cOld).append("\nendstream\nendobj\n")
+    // incremental update redefines the same stream object
+    sb.append(s"4 0 obj\n<< /Length ${cNew.length} >>\nstream\n").append(cNew).append("\nendstream\nendobj\n")
+    sb.append("%%EOF\n")
+    val got = Extractor.extract(Page("t://orphan-incr", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "orphan fresh", got.text)
+  }
+
   /** Page with /Resources /Font; font obj 7, optional ToUnicode obj 8. */
   private def fontPdf(content: String, fontDict: String, toUnicode: Option[String]): Array[Byte] = {
     val sb = new java.lang.StringBuilder
