@@ -136,6 +136,8 @@ object ScalingBench {
     val dir = args.drop(2).headOption
       .getOrElse(java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString)
     if (!new java.io.File(dir, "_SUCCESS").exists()) materialize(n, dir)
+    // corpus-prep mode for MultiJvmBench (which measures in child JVMs)
+    if (args.contains("--materialize-only")) return
 
     // global JIT warmup (high parallelism), discarded
     val w = session(32)
