@@ -21,7 +21,8 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *    /Pages -> /Kids walk, falling back to file order of /Type /Page
   *    objects (last definition wins on incremental updates), then to orphan
   *    BT-bearing streams.
-  *  - stream filters: FlateDecode, ASCIIHexDecode, ASCII85Decode, alone or
+  *  - stream filters: FlateDecode, LZWDecode (variable-width 9..12-bit
+  *    codes, /EarlyChange honored), ASCIIHexDecode, ASCII85Decode, alone or
   *    chained; other filters (or a /DecodeParms predictor) are skipped as
   *    metadata-only.
   *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ; the CTM
@@ -517,11 +518,61 @@ object RealPdf {
     out.toByteArray
   }
 
+  /** LZWDecode, PDF/TIFF variant (spec 7.4.4): MSB-first variable-width
+    * codes 9..12 bits, 256 = ClearTable, 257 = EOD, code width grows
+    * `earlyChange` entries before the table fills (PDF default 1). Truncated
+    * input (no EOD) decodes what is present, matching Flate leniency; an
+    * out-of-range code -> PdfParseException. */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 16)
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      var i = 0
+      while (i < 256) { table += Array(i.toByte); i += 1 }
+      table += null; table += null // 256 = clear, 257 = EOD (never dereferenced)
+    }
+    resetTable()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xFF); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) done = true
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 257) done = true
+        else if (code == 256) { resetTable(); width = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < table.length) table(code)
+            else if (code == table.length && prev != null) { // KwKwK
+              val e = java.util.Arrays.copyOf(prev, prev.length + 1); e(prev.length) = prev(0); e
+            } else throw new PdfParseException(s"LZWDecode: code $code outside table of ${table.length}")
+          out.write(entry, 0, entry.length)
+          if (prev != null && table.length < 4096) {
+            val ne = java.util.Arrays.copyOf(prev, prev.length + 1); ne(prev.length) = entry(0)
+            table += ne
+          }
+          prev = entry
+          while (width < 12 && table.length >= (1 << width) - earlyChange) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   /** Apply the stream's /Filter chain (left-to-right, per spec order).
-    * Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode — alone or
-    * chained (e.g. [ASCII85Decode FlateDecode]). Unsupported filters, or a
-    * /DecodeParms predictor, yield (null, false): the stream stays
-    * metadata-only rather than risking corrupted text. Returns
+    * Supported: FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode —
+    * alone or chained (e.g. [ASCII85Decode FlateDecode]). Unsupported
+    * filters, or a /DecodeParms predictor, yield (null, false): the stream
+    * stays metadata-only rather than risking corrupted text. Returns
     * (decoded data, exact) where exact means data IS the file slice. */
   private def applyFilters(b: Array[Byte], rawStart: Int, rawEnd: Int,
       dict: Map[String, PVal]): (Array[Byte], Boolean) = {
@@ -541,6 +592,13 @@ object RealPdf {
       case Some(PArr(_)) => true // per-filter parms: out of scope, stay honest
       case _             => false
     }
+    val earlyChange = (dict.get("DecodeParms") orElse dict.get("DP")) match {
+      case Some(PDict(m)) => m.get("EarlyChange") match {
+        case Some(PNum(v)) => v.toInt
+        case _             => 1
+      }
+      case _ => 1
+    }
     names match {
       case Some(Vector()) => (java.util.Arrays.copyOfRange(b, rawStart, rawEnd), true)
       case Some(ns) if !hasPredictor && ns.forall(SupportedFilters) =>
@@ -550,6 +608,8 @@ object RealPdf {
             case "FlateDecode" =>
               if (data == null) inflate(b, rawStart, rawEnd - rawStart)
               else inflate(data, 0, data.length)
+            case "LZWDecode" =>
+              lzwDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data, earlyChange)
             case "ASCIIHexDecode" =>
               asciiHexDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
             case "ASCII85Decode" =>
@@ -561,7 +621,7 @@ object RealPdf {
     }
   }
 
-  private val SupportedFilters = Set("FlateDecode", "ASCIIHexDecode", "ASCII85Decode")
+  private val SupportedFilters = Set("FlateDecode", "LZWDecode", "ASCIIHexDecode", "ASCII85Decode")
 
   private def inflate(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()

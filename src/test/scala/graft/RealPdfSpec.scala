@@ -410,4 +410,64 @@ class RealPdfSpec extends AnyFunSuite {
     assert(RealPdf.ascii85Decode(ascii85Encode(roundTrip.getBytes(ISO_8859_1)).getBytes(ISO_8859_1))
       .sameElements(roundTrip.getBytes(ISO_8859_1)))
   }
+
+  /** Test-local LZW encoder (PDF variant, EarlyChange=1): clear, 9..12-bit
+    * MSB-first codes, table capped at 4096 (re-clear), EOD. */
+  private def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    var next = 258
+    def codeOf(s: String): Option[Int] =
+      if (s.length == 1) Some(s.charAt(0) & 0xFF) else dict.get(s)
+    put(256)
+    var cur = ""
+    for (b <- raw) {
+      val c = ((b & 0xFF).toChar).toString
+      val cand = cur + c
+      if (codeOf(cand).isDefined) cur = cand
+      else {
+        put(codeOf(cur).get)
+        if (next < 4096) {
+          dict(cand) = next; next += 1
+          // the decoder's table lags one entry behind `next`, so with
+          // EarlyChange=1 the encoder widens at 2^width, the decoder at 2^width-1
+          while (width < 12 && next >= (1 << width)) width += 1
+        } else { put(256); dict.clear(); next = 258; width = 9 }
+        cur = c
+      }
+    }
+    if (cur.nonEmpty) put(codeOf(cur).get)
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("LZWDecode: spec vector, KwKwK, width growth round-trip") {
+    // PDF 32000-1 §7.4.4.2 worked example
+    val specEnc = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01).map(_.toByte)
+    val specDec = Array(45, 45, 45, 45, 45, 65, 45, 45, 45, 66).map(_.toByte)
+    assert(RealPdf.lzwDecode(specEnc).sameElements(specDec))
+    // KwKwK: a code consumed one step after the decoder creates it
+    val kwk = "abababababab".getBytes(ISO_8859_1)
+    assert(RealPdf.lzwDecode(lzwEncode(kwk)).sameElements(kwk))
+    // width growth past 511 entries: deterministic pseudo-random bytes build
+    // hundreds of dictionary entries, crossing the 9->10 bit boundary
+    var seed = 12345L
+    val big = Array.fill(4000) { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33).toByte }
+    assert(RealPdf.lzwDecode(lzwEncode(big)).sameElements(big))
+  }
+
+  test("LZWDecode content stream extracts end-to-end") {
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (lzw stream text) Tj ET\n"
+    val enc = new String(lzwEncode(ops.getBytes(ISO_8859_1)), ISO_8859_1)
+    val got = Extractor.extract(Page("t://lzw", ts,
+      minimalPdf(enc, filter = "LZWDecode", length = Some(enc.length)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "lzw stream text", got.text)
+  }
 }
