@@ -811,6 +811,7 @@ object FixtureGen {
         case 2     => 2 // ASCIIHexDecode
         case 3     => 3 // ASCII85Decode
         case 4     => 4 // [ASCII85Decode FlateDecode]
+        case 5     => 5 // LZWDecode
         case _     => 0 // plain
       }
       val cidEntries: Vector[(Char, Int)] =
@@ -853,6 +854,40 @@ object FixtureGen {
       }
       sb.append("~>").toString
     }
+    /** PDF-variant LZW (EarlyChange=1): MSB-first 9..12-bit codes, ClearTable
+      * first, EOD last. The decoder's table lags `next` by one entry, so the
+      * encoder widens at 2^width where the decoder widens at 2^width-1. */
+    def lzwEnc(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(raw.length + 16)
+      var bitBuf = 0L; var bitCnt = 0; var width = 9
+      def put(code: Int): Unit = {
+        bitBuf = (bitBuf << width) | code; bitCnt += width
+        while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8 }
+      }
+      val dict = scala.collection.mutable.HashMap.empty[String, Int]
+      var next = 258
+      def codeOf(s: String): Option[Int] =
+        if (s.length == 1) Some(s.charAt(0) & 0xFF) else dict.get(s)
+      put(256)
+      var cur = ""
+      for (b <- raw) {
+        val c = ((b & 0xFF).toChar).toString
+        val cand = cur + c
+        if (codeOf(cand).isDefined) cur = cand
+        else {
+          put(codeOf(cur).get)
+          if (next < 4096) {
+            dict(cand) = next; next += 1
+            while (width < 12 && next >= (1 << width)) width += 1
+          } else { put(256); dict.clear(); next = 258; width = 9 }
+          cur = c
+        }
+      }
+      if (cur.nonEmpty) put(codeOf(cur).get)
+      put(257)
+      if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+      out.toByteArray
+    }
     /** encode a content stream per its drawn encoding -> (bytes, filter clause) */
     def encodeStream(ops: String, enc: Int): (String, String) = {
       val raw = ops.getBytes(StandardCharsets.ISO_8859_1)
@@ -861,6 +896,7 @@ object FixtureGen {
         case 2 => (asciiHexEnc(raw), " /Filter /ASCIIHexDecode")
         case 3 => (ascii85Enc(raw), " /Filter /ASCII85Decode")
         case 4 => (ascii85Enc(deflate(raw)), " /Filter [/ASCII85Decode /FlateDecode]")
+        case 5 => (new String(lzwEnc(raw), StandardCharsets.ISO_8859_1), " /Filter /LZWDecode")
         case _ => (ops, "")
       }
     }
