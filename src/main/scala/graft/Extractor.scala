@@ -27,6 +27,14 @@ object Extractor {
     * column records which contract applies (see ExtractedPage.charset). */
   val MaxHtmlBytes: Int = 16 * 1024 * 1024
 
+  /** Work cap for `%PDF`-sniffed payloads. Unlike HTML — byte-prefix-stable,
+    * so clamping keeps a valid prefix — a PDF's page tree and xref live at
+    * the END of the file: truncating would silently drop or REORDER pages
+    * (orphan fallback is stream-order). An oversize PDF therefore becomes an
+    * ERROR row (never silently-partial text), and parse cost is bounded
+    * together with RealPdf.MaxResyncs. */
+  val MaxPdfBytes: Int = MaxHtmlBytes
+
   /** Sniff + normalize for the byte-level pipeline: UTF-16 pages (BOM or
     * parity-confirmed) are transcoded to UTF-8; for those pages span offsets
     * index the normalized stream (the recorded charset decision makes wire
@@ -48,10 +56,15 @@ object Extractor {
     val raw = if (p.html == null) Array.emptyByteArray else p.html
     try {
       if (PdfParser.isPdf(raw)) {
+        if (raw.length > MaxPdfBytes)
+          throw new graft.pdf.RealPdf.PdfParseException(
+            s"PDF payload ${raw.length} bytes exceeds MaxPdfBytes=$MaxPdfBytes")
         val (text, spans) = PdfParser.extract(raw)
+        // charset="pdf" keeps the offset-contract column total: PDF span
+        // offsets index the raw PDF bytes (or decoded streams, kind `_dec`)
         ExtractedPage(p.url, p.warc_ts, p.lang, text, spans,
           nBlocks = spans.length, nKept = spans.length,
-          htmlBytes = raw.length.toLong, isPdf = true, error = "", charset = "")
+          htmlBytes = raw.length.toLong, isPdf = true, error = "", charset = "pdf")
       } else {
         val clamped =
           if (raw.length > MaxHtmlBytes) java.util.Arrays.copyOf(raw, MaxHtmlBytes)

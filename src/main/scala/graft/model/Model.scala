@@ -81,6 +81,8 @@ final case class ExtractedPage(
       * offsets index the WIRE bytes; a value of the form "utf-16le->utf-8"
       * marks a transcoded page whose span offsets index the normalized UTF-8
       * stream instead (see Charset.normalize for the wire-offset recovery
-      * rule). "" for PDF payloads (spans index the raw PDF bytes). */
+      * rule). "pdf" for PDF payloads (spans index the raw PDF bytes, or —
+      * span kind suffix `_dec` — the page's decoded content streams).
+      * "" only on error rows. */
     charset: String
 )

@@ -39,7 +39,11 @@ import graft.model.Span
   */
 object PdfParser {
 
-  final case class TextBox(box: Box, text: String, beginByte: Long, endByte: Long)
+  /** `decoded` marks byte offsets in DECODED-stream space (real-PDF runs
+    * from compressed content streams — see RealPdf's span contract); false
+    * means raw-input byte offsets. Surfaced as span kind suffix `_dec`. */
+  final case class TextBox(box: Box, text: String, beginByte: Long, endByte: Long,
+      decoded: Boolean = false)
   final case class TitleBox(level: Int, tb: TextBox)
   final case class TableSpec(box: Box, rows: Int, cols: Int,
       structCells: Vector[Box], detCells: Vector[Box])
@@ -365,7 +369,7 @@ object PdfParser {
         val fx1 = math.max(tb.box.x1, ordered(k).x1)
         val fx2 = math.min(tb.box.x2, ordered(k).x2)
         out += TextBox(Box(fx1, tb.box.y1, fx2, tb.box.y2), frag,
-          tb.beginByte + byteOff, tb.beginByte + byteOff + fragBytes)
+          tb.beginByte + byteOff, tb.beginByte + byteOff + fragBytes, tb.decoded)
         byteOff += fragBytes
       }
     }
@@ -505,42 +509,47 @@ object PdfParser {
 
     val pieces = Vector.newBuilder[String]
     val offs = Vector.newBuilder[(Long, Long, String)]
+    // decoded-space runs (compressed real-PDF streams) carry the `_dec`
+    // coordinate-space flag in the span kind (RealPdf span contract)
+    @inline def fragKind(tb: TextBox): String =
+      if (tb.decoded) "pdf_fragment_dec" else "pdf_fragment"
     for (el <- ordered) elTable(el.payload) match {
       case RegionEl(r) =>
         val (txt, used) = sortAndJoin(r, union(r))
-        for (tb <- used) offs += ((tb.beginByte, tb.endByte, "pdf_fragment"))
+        for (tb <- used) offs += ((tb.beginByte, tb.endByte, fragKind(tb)))
         // hard breaks become paragraph separators (structure.rs:382-389)
         txt.split('\n').filter(_.nonEmpty).foreach(pieces += _)
       case TitleEl(t) =>
         val lvl = TitleLevel.resolve(t.tb.text, t.level)
         pieces += ("#" * lvl) + " " + t.tb.text
-        offs += ((t.tb.beginByte, t.tb.endByte, "pdf_fragment"))
+        offs += ((t.tb.beginByte, t.tb.endByte, fragKind(t.tb)))
       case FigureEl(f) =>
         pieces += s"![Figure](${f.text})"
-        offs += ((f.beginByte, f.endByte, "pdf_fragment"))
+        offs += ((f.beginByte, f.endByte, fragKind(f)))
       case FormulaEl(f) =>
         // typed formula span: x05 counts formulas from THIS kind, never
         // from a regex over the rendered text (body text may contain $$)
-        offs += ((f.beginByte, f.endByte, "pdf_formula"))
+        offs += ((f.beginByte, f.endByte, if (f.decoded) "pdf_formula_dec" else "pdf_formula"))
         pieces += "$$" + normalizeLatex(f.text) + "$$"
       case TableEl(i) =>
         val (html, used) = assembleTable(page.tables(i), tableBoxes(i).result())
         if (html.nonEmpty) {
           pieces += html
-          for (tb <- used) offs += ((tb.beginByte, tb.endByte, "pdf_fragment"))
+          for (tb <- used) offs += ((tb.beginByte, tb.endByte, fragKind(tb)))
         }
       case HeaderEl(h) =>
         pieces += s"<small>${h.text}</small>"
-        offs += ((h.beginByte, h.endByte, "pdf_fragment"))
+        offs += ((h.beginByte, h.endByte, fragKind(h)))
       case FooterEl(f) =>
         pieces += s"<small>${f.text}</small>"
-        offs += ((f.beginByte, f.endByte, "pdf_fragment"))
+        offs += ((f.beginByte, f.endByte, fragKind(f)))
     }
     (pieces.result().mkString("\n\n"), offs.result())
   }
 
   /** Full payload: pages joined by the page break; spans carry kind
-    * pdf_fragment (pdf_formula for formula boxes) with blockIdx = page
+    * pdf_fragment (pdf_formula for formula boxes; `_dec` suffix when offsets
+    * are in decoded-stream space) with blockIdx = page
     * index. Real `%PDF-1.x` bytes go
     * through [[RealPdf]] (which throws on unparseable input → error row);
     * the synthetic dialect keeps its own parser. */

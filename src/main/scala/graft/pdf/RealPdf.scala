@@ -23,8 +23,12 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *    BT-bearing streams.
   *  - stream filters: FlateDecode, LZWDecode (variable-width 9..12-bit
   *    codes, /EarlyChange honored), ASCIIHexDecode, ASCII85Decode, alone or
-  *    chained; other filters (or a /DecodeParms predictor) are skipped as
-  *    metadata-only.
+  *    chained, plus /DecodeParms predictors (TIFF 2 at 8 bpc, PNG 10..15 —
+  *    the Flate+Predictor-12 xref/ObjStm norm) on a single Flate/LZW filter;
+  *    other filters, unsupported predictor shapes, and indirect/per-filter
+  *    DecodeParms are skipped as metadata-only (never silently mis-decoded).
+  *  - /Encrypt files error cleanly ("encrypted PDF") before any stream
+  *    decode — never ciphertext-as-text.
   *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ; the CTM
   *    (cm, q/Q) is tracked and applied to positions/sizes/rects, so
   *    translated/scaled (and positionally, rotated) content places
@@ -33,11 +37,13 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *  - fonts: the page's /Resources /Font dict is resolved; strings shown in
   *    a font with a /ToUnicode CMap decode through its bfchar/bfrange
   *    mappings (1- or 2-byte codes). A Type0/CID font WITHOUT a parseable
-  *    ToUnicode throws -> ERROR row (never silent mojibake). Other strings
-  *    decode as Latin-1 (or UTF-16BE with a FE FF BOM). No font metrics:
-  *    glyph widths are estimated at [[AvgGlyphWidthEm]] em per glyph —
-  *    layout decisions downstream use coarse thresholds, so the estimate is
-  *    sufficient for region/line recovery.
+  *    ToUnicode throws -> ERROR row (never silent mojibake); a SIMPLE font
+  *    with a partial CMap falls back per-code to the default decode. Other
+  *    strings decode as Latin-1 (or UTF-16BE with a FE FF BOM). Width
+  *    metrics: /FirstChar+/Widths (simple) and /W+/DW (CID descendants) give
+  *    per-code advances; fonts declaring none are estimated at
+  *    [[AvgGlyphWidthEm]] em per glyph — layout decisions downstream use
+  *    coarse thresholds, so the estimate suffices for region/line recovery.
   *  - an unparseable PDF (no objects / no pages / no text operators) throws
   *    [[PdfParseException]] -> the extraction becomes an ERROR ROW, never a
   *    silent empty text (graceful-degradation contract, ocr.rs:510-523).
@@ -45,8 +51,12 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   * Spans: for uncompressed content streams every emitted box carries the
   * exact file byte range of its string literal's content (escapes included,
   * delimiters excluded), keeping the raw-byte offset discipline; boxes from
-  * Flate streams carry the enclosing raw (compressed) stream range — still
-  * in-bounds, documented coordinate-space fallback.
+  * compressed/encoded streams carry DECODED-space offsets — the byte range
+  * of the literal inside the concatenation of the page's decoded content
+  * streams — flagged via span kind `pdf_fragment_dec`/`pdf_formula_dec`
+  * (mirroring the `charset` column's coordinate-space contract for
+  * transcoded HTML; re-decoding the streams and slicing reproduces the
+  * literal's content bytes, asserted in RealPdfSpec).
   */
 object RealPdf {
 
@@ -111,9 +121,12 @@ object RealPdf {
   /** One indirect object. `data` is the stream content (inflated when the
     * filter was FlateDecode, null when absent or an unsupported filter);
     * rawStart/rawEnd bound the raw stream bytes in the file; `exact` means
-    * `data` IS the file slice, so content offsets map to file offsets. */
+    * `data` IS the file slice, so content offsets map to file offsets.
+    * `value` keeps a non-dict object body (e.g. an indirect /Widths array)
+    * so refs to scalar/array objects can be dereferenced; PNull for dicts. */
   private[pdf] final case class PObj(num: Int, dict: Map[String, PVal],
-      data: Array[Byte], rawStart: Int, rawEnd: Int, exact: Boolean)
+      data: Array[Byte], rawStart: Int, rawEnd: Int, exact: Boolean,
+      value: PVal = PNull)
 
   // ---- lexer ---------------------------------------------------------------
 
@@ -318,16 +331,25 @@ object RealPdf {
 
   /** What the parser knows about one page font. `cmap` maps code -> text from
     * the font's /ToUnicode CMap (empty when absent); `codeLen` is the code
-    * unit width in bytes (2 for composite Type0/CID fonts, else 1).
+    * unit width in bytes (2 for composite Type0/CID fonts, else 1); `widths`
+    * maps code -> advance in em (from /FirstChar+/Widths on simple fonts, /W
+    * on CID descendants, glyph-space units / 1000), `defaultWidthEm` fills
+    * unmapped codes (/DW for CID, else [[AvgGlyphWidthEm]]).
     *
     * Honesty contract: a Type0 font WITHOUT a parseable ToUnicode shows glyph
     * INDICES, not characters — decoding them as Latin-1 yields confident
     * mojibake, so [[decode]] throws [[PdfParseException]] (-> error row)
     * instead, per the repo's never-silently-wrong rule (the reference
     * rasterizes + OCRs, so it has no such failure mode,
-    * /root/reference/src/bin/server/pdf.rs:69-152). */
+    * /root/reference/src/bin/server/pdf.rs:69-152). A SIMPLE (non-Type0)
+    * font whose ToUnicode covers only some codes (subsetted fonts) falls
+    * back per-code to the default Latin-1 decode — the uncovered codes were
+    * never remapped, so the byte identity is the likely-correct reading
+    * (U+FFFD would discard available information). */
   private[pdf] final case class FontInfo(name: String, type0: Boolean,
-      codeLen: Int, cmap: Map[Int, String]) {
+      codeLen: Int, cmap: Map[Int, String],
+      widths: Map[Int, Double] = Map.empty,
+      defaultWidthEm: Double = AvgGlyphWidthEm) {
     def decode(raw: Array[Byte], default: String): String =
       if (cmap.nonEmpty) {
         val sb = new java.lang.StringBuilder(raw.length / codeLen + 1)
@@ -336,7 +358,13 @@ object RealPdf {
           var code = 0
           var k = 0
           while (k < codeLen) { code = (code << 8) | (raw(i + k) & 0xFF); k += 1 }
-          sb.append(cmap.getOrElse(code, "�"))
+          cmap.get(code) match {
+            case Some(s) => sb.append(s)
+            case None if type0 => sb.append('�') // unmapped CID: no byte identity to fall back on
+            case None => // simple font, partial CMap: per-code Latin-1 fallback
+              var k2 = 0
+              while (k2 < codeLen) { sb.append(((code >> (8 * (codeLen - 1 - k2))) & 0xFF).toChar); k2 += 1 }
+          }
           i += codeLen
         }
         sb.toString
@@ -345,13 +373,32 @@ object RealPdf {
         else throw new PdfParseException(
           s"Type0 font /$name without a parseable /ToUnicode: cannot decode glyph indices")
       } else default
+
+    /** Advance of a shown string in em: real per-code metrics when the font
+      * declared any, else the [[AvgGlyphWidthEm]] estimate over the DECODED
+      * text length (the pre-metrics behavior, kept bit-stable for fonts
+      * without /Widths so golden layouts are unchanged). */
+    def widthEm(raw: Array[Byte], decodedLen: Int): Double =
+      if (widths.isEmpty) AvgGlyphWidthEm * decodedLen
+      else {
+        var w = 0.0
+        var i = 0
+        while (i + codeLen <= raw.length) {
+          var code = 0
+          var k = 0
+          while (k < codeLen) { code = (code << 8) | (raw(i + k) & 0xFF); k += 1 }
+          w += widths.getOrElse(code, defaultWidthEm)
+          i += codeLen
+        }
+        w
+      }
   }
 
   /** Parse a /ToUnicode CMap stream: `beginbfchar`/`beginbfrange` sections
     * map source codes (hex strings, big-endian) to UTF-16BE target text.
     * Returns (code -> text, code byte width); an unparseable stream yields
     * an empty map (the caller then applies the Type0 honesty rule). */
-  private[pdf] def parseToUnicode(data: Array[Byte]): (Map[Int, String], Int) = {
+  private[graft] def parseToUnicode(data: Array[Byte]): (Map[Int, String], Int) = {
     val m = Map.newBuilder[Int, String]
     var codeLen = 0
     def noteLen(n: Int): Unit = if (n > codeLen) codeLen = n
@@ -388,14 +435,25 @@ object RealPdf {
                 val from = codeOf(lo); val to = codeOf(hi)
                 if (to >= from && to - from <= 65535) dst match {
                   case d: PStr =>
-                    // increment the last UTF-16 code unit across the range
+                    // increment the last CODE POINT across the range
+                    // (surrogate-safe: a non-BMP target increments the astral
+                    // code point, not its low surrogate; an increment that
+                    // would land IN the surrogate range or past U+10FFFF
+                    // keeps the base text — spec leaves it undefined)
                     val base = textOf(d)
+                    val lastCp = if (base.isEmpty) 0 else base.codePointBefore(base.length)
+                    val head =
+                      if (base.isEmpty) ""
+                      else base.substring(0, base.length - Character.charCount(lastCp))
                     var c = from
                     while (c <= to) {
+                      val ncp = lastCp + (c - from)
                       val s =
                         if (base.isEmpty) ""
-                        else base.substring(0, base.length - 1) +
-                          (base.charAt(base.length - 1) + (c - from)).toChar
+                        else if (Character.isValidCodePoint(ncp) &&
+                          !(ncp >= Character.MIN_SURROGATE && ncp <= Character.MAX_SURROGATE))
+                          head + new String(Character.toChars(ncp))
+                        else base
                       m += c -> s
                       c += 1
                     }
@@ -418,10 +476,48 @@ object RealPdf {
     (m.result(), math.max(codeLen, 1))
   }
 
-  /** Resolve a page's /Resources /Font dict into FontInfo per font name. */
+  /** Parse a CID /W width array (`[c [w1 .. wn] | cFirst cLast w ...]`,
+    * glyph-space units) into code -> em. Malformed tails stop the walk. */
+  private[pdf] def parseCidWidths(v: PVal): Map[Int, Double] = v match {
+    case PArr(vs) =>
+      val m = Map.newBuilder[Int, Double]
+      var i = 0
+      var ok = true
+      while (ok && i < vs.length) {
+        (vs(i), if (i + 1 < vs.length) vs(i + 1) else PNull) match {
+          case (PNum(c), PArr(ws)) =>
+            var k = 0
+            while (k < ws.length) {
+              ws(k) match { case PNum(w) => m += (c.toInt + k) -> w / 1000.0; case _ => () }
+              k += 1
+            }
+            i += 2
+          case (PNum(c1), PNum(c2)) if i + 2 < vs.length =>
+            vs(i + 2) match {
+              case PNum(w) =>
+                var c = c1.toInt
+                val hi = math.min(c2.toInt, c1.toInt + 65535) // range cap
+                while (c <= hi) { m += c -> w / 1000.0; c += 1 }
+              case _ => ()
+            }
+            i += 3
+          case _ => ok = false
+        }
+      }
+      m.result()
+    case _ => Map.empty
+  }
+
+  /** Resolve a page's /Resources /Font dict into FontInfo per font name,
+    * including width metrics: /FirstChar+/Widths on simple fonts and
+    * /DescendantFonts[0] /W (+/DW default) on Type0 — advances in em (glyph
+    * space / 1000). Fonts declaring no widths keep the flat
+    * [[AvgGlyphWidthEm]] estimate (FontInfo.widthEm). */
   private def fontsOf(resources: Map[String, PVal], objs: Map[Int, PObj]): Map[String, FontInfo] = {
+    // general deref: dict objects surface as PDict, scalar/array objects as
+    // their stored body (PObj.value) — indirect /Widths arrays resolve too
     def deref(v: PVal): Option[PVal] = v match {
-      case PRef(n) => objs.get(n).map(o => PDict(o.dict))
+      case PRef(n) => objs.get(n).map(o => if (o.dict.nonEmpty) PDict(o.dict) else o.value)
       case other   => Some(other)
     }
     resources.get("Font").flatMap(deref) match {
@@ -437,7 +533,41 @@ object RealPdf {
             case _ => (Map.empty[Int, String], 1)
           }
           val codeLen = if (cmap.nonEmpty) seenLen else if (type0) 2 else 1
-          out += fname -> FontInfo(fname, type0, codeLen, cmap)
+          val (widths, defaultW) =
+            if (type0) {
+              // descendant CIDFont carries /W and /DW
+              val desc = fd.get("DescendantFonts").flatMap(deref) match {
+                case Some(PArr(ds)) if ds.nonEmpty => deref(ds.head)
+                case other                         => other
+              }
+              desc match {
+                case Some(PDict(dfd)) =>
+                  val w = dfd.get("W").flatMap(deref).map(parseCidWidths).getOrElse(Map.empty)
+                  val dw = dfd.get("DW").flatMap(deref) match {
+                    case Some(PNum(v)) if v > 0 => v / 1000.0
+                    case _                      => if (w.nonEmpty) 1.0 else AvgGlyphWidthEm // spec DW default 1000
+                  }
+                  (w, dw)
+                case _ => (Map.empty[Int, Double], AvgGlyphWidthEm)
+              }
+            } else {
+              (fd.get("FirstChar"), fd.get("Widths").flatMap(deref)) match {
+                case (Some(PNum(fc)), Some(PArr(ws))) =>
+                  val m = Map.newBuilder[Int, Double]
+                  var k = 0
+                  while (k < ws.length) {
+                    ws(k) match {
+                      // a 0 width means "use MissingWidth"; our fallback is the estimate
+                      case PNum(w) if w > 0 => m += (fc.toInt + k) -> w / 1000.0
+                      case _                => ()
+                    }
+                    k += 1
+                  }
+                  (m.result(), AvgGlyphWidthEm)
+                case _ => (Map.empty[Int, Double], AvgGlyphWidthEm)
+              }
+            }
+          out += fname -> FontInfo(fname, type0, codeLen, cmap, widths, defaultW)
         }
         out.result()
       case _ => Map.empty
@@ -568,11 +698,79 @@ object RealPdf {
     out.toByteArray
   }
 
+  /** Undo a /DecodeParms predictor over already-decompressed bytes
+    * (spec 7.4.4.4): predictor 2 = TIFF horizontal differencing (8-bit
+    * components only here), predictors 10..15 = PNG row filters (None / Sub /
+    * Up / Average / Paeth, per-row tag byte — the value 10..15 only selects
+    * the ENCODER default; every decoded row honors its own tag). Real-world
+    * xref/ObjStm streams are near-universally Flate + Predictor 12 (Up).
+    * A trailing partial row is dropped (truncation leniency, matching the
+    * inflate path); a malformed layout throws -> metadata-only upstream. */
+  private[graft] def applyPredictor(data: Array[Byte], predictor: Int,
+      colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    if (colors < 1 || colors > 64 || columns < 1 || columns > (1 << 24))
+      throw new PdfParseException(s"predictor: implausible Colors=$colors/Columns=$columns")
+    if (predictor == 2) {
+      if (bpc != 8) throw new PdfParseException(s"TIFF predictor with BitsPerComponent=$bpc unsupported")
+      val rowLen = colors * columns
+      val out = java.util.Arrays.copyOf(data, data.length - data.length % rowLen)
+      var row = 0
+      while (row + rowLen <= out.length) {
+        var i = row + colors
+        while (i < row + rowLen) { out(i) = ((out(i) + out(i - colors)) & 0xFF).toByte; i += 1 }
+        row += rowLen
+      }
+      out
+    } else if (predictor >= 10 && predictor <= 15) {
+      if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8 && bpc != 16)
+        throw new PdfParseException(s"PNG predictor with BitsPerComponent=$bpc unsupported")
+      val rowLen = (colors * bpc * columns + 7) / 8
+      val bpp = math.max(1, colors * bpc / 8) // left-neighbor distance in bytes
+      val nRows = data.length / (rowLen + 1)  // each row: 1 tag byte + rowLen
+      val out = new Array[Byte](nRows * rowLen)
+      val prior = new Array[Byte](rowLen)     // zero row above the first
+      var r = 0
+      while (r < nRows) {
+        val src = r * (rowLen + 1)
+        val dst = r * rowLen
+        val tag = data(src) & 0xFF
+        var i = 0
+        while (i < rowLen) {
+          val x = data(src + 1 + i) & 0xFF
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+          val above = prior(i) & 0xFF
+          val upLeft = if (i >= bpp) prior(i - bpp) & 0xFF else 0
+          val v = tag match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + above
+            case 3 => x + ((left + above) >> 1)
+            case 4 => // Paeth
+              val p = left + above - upLeft
+              val pa = math.abs(p - left); val pb = math.abs(p - above); val pc = math.abs(p - upLeft)
+              x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft)
+            case other => throw new PdfParseException(s"PNG predictor: unknown row tag $other")
+          }
+          out(dst + i) = (v & 0xFF).toByte
+          i += 1
+        }
+        System.arraycopy(out, dst, prior, 0, rowLen)
+        r += 1
+      }
+      out
+    } else throw new PdfParseException(s"unsupported /Predictor $predictor")
+  }
+
   /** Apply the stream's /Filter chain (left-to-right, per spec order).
     * Supported: FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode —
-    * alone or chained (e.g. [ASCII85Decode FlateDecode]). Unsupported
-    * filters, or a /DecodeParms predictor, yield (null, false): the stream
-    * stays metadata-only rather than risking corrupted text. Returns
+    * alone or chained (e.g. [ASCII85Decode FlateDecode]) — plus a
+    * /DecodeParms /Predictor (TIFF 2 at 8 bpc, PNG 10..15) on a SINGLE
+    * Flate/LZW filter, the real-world xref/ObjStm norm. Unsupported filters,
+    * an unsupported predictor shape, an INDIRECT DecodeParms (a ref cannot be
+    * dereferenced during the scan — treated as predictor-present, never
+    * silently skipped), or per-filter parms arrays yield (null, false): the
+    * stream stays metadata-only rather than risking corrupted text. Returns
     * (decoded data, exact) where exact means data IS the file slice. */
   private def applyFilters(b: Array[Byte], rawStart: Int, rawEnd: Int,
       dict: Map[String, PVal]): (Array[Byte], Boolean) = {
@@ -584,24 +782,42 @@ object RealPdf {
         if (ns.length == vs.length) Some(ns) else None
       case Some(_)             => None
     }
-    val hasPredictor = (dict.get("DecodeParms") orElse dict.get("DP")) match {
-      case Some(PDict(m)) => m.get("Predictor") match {
-        case Some(PNum(p)) => p > 1
-        case _             => false
+    // (predictor, colors, bpc, columns, earlyChange); None = parms present
+    // but not interpretable here (indirect ref / per-filter array / non-
+    // numeric fields) -> conservative metadata-only when a predictor may hide
+    val parms: Option[(Int, Int, Int, Int, Int)] =
+      (dict.get("DecodeParms") orElse dict.get("DP")) match {
+        case None => Some((1, 1, 8, 1, 1))
+        case Some(PDict(m)) =>
+          def num(k: String, d: Int): Option[Int] = m.get(k) match {
+            case Some(PNum(v)) => Some(v.toInt)
+            case None          => Some(d)
+            case _             => None // non-numeric (e.g. indirect) field
+          }
+          for {
+            p <- num("Predictor", 1); c <- num("Colors", 1)
+            bits <- num("BitsPerComponent", 8); cols <- num("Columns", 1)
+            ec <- num("EarlyChange", 1)
+          } yield (p, c, bits, cols, ec)
+        case Some(_) => None // PArr per-filter parms or PRef indirect: out of scope
       }
-      case Some(PArr(_)) => true // per-filter parms: out of scope, stay honest
-      case _             => false
+    val predictorOk = parms match {
+      case Some((p, c, bits, cols, _)) =>
+        p <= 1 || {
+          // predictor only defined for a single decompression filter
+          val single = names.exists(ns => ns.length == 1 &&
+            (ns.head == "FlateDecode" || ns.head == "LZWDecode"))
+          val shape =
+            (p == 2 && bits == 8) || (p >= 10 && p <= 15 &&
+              (bits == 1 || bits == 2 || bits == 4 || bits == 8 || bits == 16))
+          single && shape && c >= 1 && c <= 64 && cols >= 1 && cols <= (1 << 24)
+        }
+      case None => false
     }
-    val earlyChange = (dict.get("DecodeParms") orElse dict.get("DP")) match {
-      case Some(PDict(m)) => m.get("EarlyChange") match {
-        case Some(PNum(v)) => v.toInt
-        case _             => 1
-      }
-      case _ => 1
-    }
+    val earlyChange = parms.map(_._5).getOrElse(1)
     names match {
       case Some(Vector()) => (java.util.Arrays.copyOfRange(b, rawStart, rawEnd), true)
-      case Some(ns) if !hasPredictor && ns.forall(SupportedFilters) =>
+      case Some(ns) if predictorOk && ns.forall(SupportedFilters) =>
         var data: Array[Byte] = null
         for (n <- ns) {
           data = n match {
@@ -616,6 +832,8 @@ object RealPdf {
               ascii85Decode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
           }
         }
+        for ((p, c, bits, cols, _) <- parms if p > 1)
+          data = applyPredictor(data, p, c, bits, cols)
         (data, false)
       case _ => (null, false) // unsupported filter / predictor: metadata only
     }
@@ -641,15 +859,78 @@ object RealPdf {
     } finally inf.end()
   }
 
-  /** Scan every `N G obj ... endobj` in file order, resyncing line-by-line on
-    * junk (xref tables, binary garbage, truncation). Also captures the last
-    * `trailer` dictionary. */
+  /** Cost guard for [[scanObjects]]: after this many resyncs the scan stops
+    * with whatever parsed (a genuinely damaged file needs a handful; hundreds
+    * means adversarial bytes, where each failed attempt can cost a scan — the
+    * per-row tensor-size-guard discipline, constants.rs:59 analogue). */
+  val MaxResyncs = 256
+
+  /** Start of the `N G obj` header whose ` obj` separator-space is at
+    * `spaceAt`: walk back over ws, gen digits, ws, num digits. -1 when the
+    * bytes before the match do not form a header (e.g. `endobj`). */
+  private def headerStart(b: Array[Byte], spaceAt: Int): Int = {
+    var p = spaceAt
+    while (p > 0 && isWs(b(p - 1))) p -= 1
+    val genEnd = p
+    while (p > 0 && b(p - 1) >= '0' && b(p - 1) <= '9') p -= 1
+    if (p == genEnd) return -1
+    val genStart = p
+    while (p > 0 && isWs(b(p - 1))) p -= 1
+    if (p == genStart) return -1 // no ws between num and gen
+    val numEnd = p
+    while (p > 0 && b(p - 1) >= '0' && b(p - 1) <= '9') p -= 1
+    if (p == numEnd) -1 else p
+  }
+
+  /** Next resync anchor at or after `from`: the start of the next plausible
+    * `N G obj` header or a token-boundary `trailer` keyword, whichever comes
+    * first; b.length when neither exists. Skipping straight to the next
+    * anchor (instead of the next LINE) makes a 10k-entry xref table or a run
+    * of binary garbage cost ONE resync, and bounds the attempt count by the
+    * number of genuine-looking headers. */
+  private[pdf] def resyncTarget(b: Array[Byte], from: Int): Int = {
+    var objAt = b.length
+    var search = from
+    var guard = 0
+    var done = false
+    while (!done && guard < 256) {
+      guard += 1
+      val o = find(b, search, " obj")
+      if (o < 0) done = true
+      else {
+        val after = o + 4
+        val okAfter = after >= b.length || isWs(b(after)) || isDelim(b(after))
+        val hs = if (okAfter) headerStart(b, o) else -1
+        if (hs >= from) { objAt = hs; done = true }
+        else search = after
+      }
+    }
+    var trAt = b.length
+    search = from
+    guard = 0
+    done = false
+    while (!done && guard < 256) {
+      guard += 1
+      val t = find(b, search, "trailer")
+      if (t < 0) done = true
+      else if ((t == 0 || isWs(b(t - 1)) || isDelim(b(t - 1))) &&
+        (t + 7 >= b.length || isWs(b(t + 7)) || isDelim(b(t + 7)))) { trAt = t; done = true }
+      else search = t + 7
+    }
+    math.min(objAt, trAt)
+  }
+
+  /** Scan every `N G obj ... endobj` in file order, resyncing on junk (xref
+    * tables, binary garbage, truncation) by skipping to the next plausible
+    * object header / trailer keyword, with a [[MaxResyncs]] cost cap. Also
+    * captures the last `trailer` dictionary. */
   private[pdf] def scanObjects(b: Array[Byte]): (Map[Int, PObj], Vector[Int], Option[PDict]) = {
     val objs = Map.newBuilder[Int, PObj]
     val order = Vector.newBuilder[Int]
     var trailer: Option[PDict] = None
     val lx = new Lexer(b, 0, b.length)
     var pos = 0
+    var resyncs = 0
     while (pos < b.length) {
       lx.pos = pos
       val parsed: Option[Int] =
@@ -677,9 +958,10 @@ object RealPdf {
                 }
                 val num = numV.toInt
                 var bodyDone = false // true when the body token was `endobj` itself
+                var bodyVal: PVal = PNull // non-dict body (scalar/array), kept derefable
                 val dict: Map[String, PVal] = lx.nextToken() match {
                   case Left(PDict(m))  => m
-                  case Left(_)         => Map.empty // scalar object (e.g. a Length int)
+                  case Left(v)         => bodyVal = v; Map.empty // scalar/array object (e.g. a /Widths array)
                   case Right("endobj") => bodyDone = true; Map.empty // empty body
                   case Right(_)        => throw new PdfParseException("bad object body")
                 }
@@ -702,7 +984,7 @@ object RealPdf {
                   obj = PObj(num, dict, data, rawStart, rawEnd, exact)
                   val es = find(b, rawEnd, "endstream")
                   lx.pos = if (es >= 0) es + "endstream".length else rawEnd
-                } else obj = PObj(num, dict, null, start, start, exact = false)
+                } else obj = PObj(num, dict, null, start, start, exact = false, bodyVal)
                 objs += num -> obj
                 order += num
                 // PDF 1.5 object streams: the compressed objects join the
@@ -723,10 +1005,9 @@ object RealPdf {
       pos = parsed match {
         case Some(next) if next > pos => next
         case _ =>
-          // resync: skip to the next line
-          var p = pos
-          while (p < b.length && b(p) != '\n') p += 1
-          p + 1
+          resyncs += 1
+          if (resyncs > MaxResyncs) b.length // cost cap: keep what parsed
+          else math.max(pos + 1, resyncTarget(b, pos + 1))
       }
     }
     (objs.result(), order.result(), trailer)
@@ -766,11 +1047,11 @@ object RealPdf {
       for ((num, at) <- pairs.result() if at < o.data.length) {
         try {
           val lx = new Lexer(o.data, at, o.data.length)
-          val dict = lx.parseValue() match {
-            case PDict(m) => m
-            case _        => Map.empty[String, PVal] // scalar object
+          val (dict, value) = lx.parseValue() match {
+            case PDict(m) => (m, PNull: PVal)
+            case other    => (Map.empty[String, PVal], other) // scalar/array object
           }
-          out += PObj(num, dict, null, 0, 0, exact = false)
+          out += PObj(num, dict, null, 0, 0, exact = false, value)
         } catch { case _: PdfParseException => () }
       }
     } catch { case _: PdfParseException => () }
@@ -871,16 +1152,27 @@ object RealPdf {
 
   // ---- content interpretation ----------------------------------------------
 
-  /** One recognized text run in page space (PDF coords, y up, baseline). */
+  /** One recognized text run in page space (PDF coords, y up, baseline).
+    * `widthEm` is the run's advance in em (real /Widths//W metrics when the
+    * font declared any, else [[AvgGlyphWidthEm]] per decoded char); `decoded`
+    * marks byte offsets in DECODED-stream space (compressed content — the
+    * offsets index the concatenation of the page's decoded content streams)
+    * instead of raw-file space. */
   private[pdf] final case class GlyphRun(x: Double, yBase: Double, size: Double,
-      text: String, beginByte: Long, endByte: Long)
+      text: String, widthEm: Double, beginByte: Long, endByte: Long,
+      decoded: Boolean)
 
   /** One painted `re` rectangle in PDF user space (x, y, w, h; y up). */
   private[pdf] final case class PaintedRect(x: Double, y: Double, w: Double, h: Double)
 
   /** Interpret one content stream's text operators. `base` maps content
-    * offsets to file offsets when `exact`; otherwise every run carries the
-    * raw stream range (rawStart, rawEnd). Painted `re` rectangles (committed
+    * offsets to file offsets when `exact`; otherwise every run carries
+    * DECODED-stream offsets (`decodedBase` + its range inside this stream's
+    * decoded bytes, where decodedBase is the cumulative decoded length of the
+    * page's earlier content streams) and is flagged `decoded` — the
+    * coordinate-space contract surfaces as span kind `*_dec` downstream,
+    * mirroring the `charset` column precedent for transcoded HTML.
+    * Painted `re` rectangles (committed
     * by a stroke/fill operator, discarded by `n`) are collected into `rects`
     * for ruling-line table detection. `fonts` are the page's resolved
     * /Resources fonts: show-time strings re-decode through the active font's
@@ -892,7 +1184,7 @@ object RealPdf {
   private[pdf] def interpretContent(data: Array[Byte], base: Int, exact: Boolean,
       rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun],
       rects: scala.collection.mutable.ArrayBuffer[PaintedRect] = scala.collection.mutable.ArrayBuffer.empty,
-      fonts: Map[String, FontInfo] = Map.empty): Unit = {
+      fonts: Map[String, FontInfo] = Map.empty, decodedBase: Long = 0L): Unit = {
     val lx = new Lexer(data, 0, data.length)
     // text matrix (a b c d e f) and line matrix; leading; font size
     var a = 1.0; var bb = 0.0; var c = 0.0; var d = 1.0; var e = 0.0; var f = 0.0
@@ -918,10 +1210,13 @@ object RealPdf {
     }
     def offs(s: PStr): (Long, Long) =
       if (exact) ((base + s.b).toLong, (base + s.e).toLong)
-      else (rawStart.toLong, rawEnd.toLong)
+      else (decodedBase + s.b, decodedBase + s.e)
     def showText(s: PStr): String =
       if (curFont == null) s.s else curFont.decode(s.raw, s.s)
-    def emit(text: String, b0: Long, e0: Long): Unit = {
+    def widthOf(s: PStr, text: String): Double =
+      if (curFont == null) AvgGlyphWidthEm * text.length
+      else curFont.widthEm(s.raw, text.length)
+    def emit(text: String, widthEm: Double, b0: Long, e0: Long): Unit = {
       if (text.nonEmpty) {
         val detTm = math.sqrt(math.abs(a * d - bb * c))
         val detCtm = math.sqrt(math.abs(ca * cd - cb * cc))
@@ -929,9 +1224,9 @@ object RealPdf {
         // device position = text-space origin through Tm (already in e,f) then CTM
         val dx = e * ca + f * cc + ce
         val dy = e * cb + f * cd + cf
-        out += GlyphRun(dx, dy, fontSize * scale, text, b0, e0)
-        // advance the pen by the estimated run width (text-space x scale a)
-        e += AvgGlyphWidthEm * fontSize * text.length * a
+        out += GlyphRun(dx, dy, fontSize * scale, text, widthEm, b0, e0, !exact)
+        // advance the pen by the run width (text-space x scale a)
+        e += widthEm * fontSize * a
       }
     }
     var guard = 0
@@ -976,30 +1271,36 @@ object RealPdf {
             }
             case "T*" => td(0, -leading)
             case "Tj" => operands match {
-              case (s: PStr) :: _ => val (b0, e0) = offs(s); emit(showText(s), b0, e0)
-              case _              => ()
+              case (s: PStr) :: _ =>
+                val (b0, e0) = offs(s); val t = showText(s); emit(t, widthOf(s, t), b0, e0)
+              case _ => ()
             }
             case "'" => operands match {
-              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(showText(s), b0, e0)
-              case _              => ()
+              case (s: PStr) :: _ =>
+                td(0, -leading); val (b0, e0) = offs(s); val t = showText(s); emit(t, widthOf(s, t), b0, e0)
+              case _ => ()
             }
             case "\"" => operands match {
-              case (s: PStr) :: _ => td(0, -leading); val (b0, e0) = offs(s); emit(showText(s), b0, e0)
-              case _              => ()
+              case (s: PStr) :: _ =>
+                td(0, -leading); val (b0, e0) = offs(s); val t = showText(s); emit(t, widthOf(s, t), b0, e0)
+              case _ => ()
             }
             case "TJ" => operands match {
               case PArr(parts) :: _ =>
                 val sb = new java.lang.StringBuilder(32)
+                var w = 0.0
                 var b0 = -1L; var e0 = -1L
                 for (p <- parts) p match {
                   case s: PStr =>
-                    sb.append(showText(s))
+                    val t = showText(s)
+                    sb.append(t)
+                    w += widthOf(s, t)
                     val (pb, pe) = offs(s)
                     if (b0 < 0) b0 = pb
                     e0 = pe
                   case _ => () // kerning adjustment: ignored in the estimate
                 }
-                if (sb.length > 0) emit(sb.toString, b0, e0)
+                if (sb.length > 0) emit(sb.toString, w, b0, e0)
               case _ => ()
             }
             case "re" => operands match {
@@ -1123,6 +1424,16 @@ object RealPdf {
     val (objs, order, trailer) = scanObjects(bytes)
     if (objs.isEmpty)
       throw new PdfParseException("real PDF: no parseable objects (truncated or binary-damaged)")
+    // /Encrypt honesty gate: encrypted streams would either fail as "corrupt
+    // FlateDecode" or — worse — surface ciphertext as text from an
+    // unencrypted-looking literal. Detect the trailer /Encrypt (keyword
+    // trailer or xref-stream dict) and error CLEANLY before touching content.
+    if (trailer.exists(_.m.contains("Encrypt")) ||
+      order.exists { n =>
+        val d = objs(n).dict
+        d.get("Type").contains(PName("XRef")) && d.contains("Encrypt")
+      })
+      throw new PdfParseException("encrypted PDF (/Encrypt present): decryption not supported")
     val pageRecs = collectPages(objs, order, trailer)
     val orphanMode = pageRecs.isEmpty
     // orphan fallback: no page tree at all — every BT-bearing stream is a page
@@ -1154,8 +1465,13 @@ object RealPdf {
     for ((streams, (pw, ph), fonts) <- units) {
       val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()
       val rects = new scala.collection.mutable.ArrayBuffer[PaintedRect]()
-      for (o <- streams if o.data != null)
-        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs, rects, fonts)
+      // decoded-space offsets are cumulative over the page's content streams
+      // (in /Contents order), so multi-stream pages keep a total contract
+      var decBase = 0L
+      for (o <- streams if o.data != null) {
+        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs, rects, fonts, decBase)
+        decBase += o.data.length
+      }
       totalRuns += runs.length
       val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L
@@ -1171,9 +1487,9 @@ object RealPdf {
           sorted((sorted.length - 1) / 2)
         }
       for (r <- runs) {
-        val w = AvgGlyphWidthEm * r.size * r.text.length
+        val w = r.widthEm * r.size
         val yTop = ph - r.yBase - AscentEm * r.size
-        val tb = TextBox(Box(r.x, yTop, r.x + w, yTop + r.size), r.text, r.beginByte, r.endByte)
+        val tb = TextBox(Box(r.x, yTop, r.x + w, yTop + r.size), r.text, r.beginByte, r.endByte, r.decoded)
         val inTable = tables.exists(t =>
           tb.box.cx >= t.box.x1 && tb.box.cx <= t.box.x2 &&
             tb.box.cy >= t.box.y1 && tb.box.cy <= t.box.y2)

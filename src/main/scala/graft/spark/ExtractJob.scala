@@ -169,6 +169,25 @@ object ExtractDemo {
               "4 0 obj\n<< /Length 52 >>\nstream\nBT /F1 12 Tf 1 0 0 1 50 700 Tm <00480069> Tj ET\nendstream\nendobj\n" +
               "5 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>\nendobj\n" +
               "trailer\n<< /Root 1 0 R >>\n%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "en"),
+          // round 5 hardening rows: /Encrypt, oversize payload, adversarial
+          // resync bytes — all must be clean ERROR rows within bounded time
+          Page("probe://realpdf-encrypted", ts,
+            ("%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+              "2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n" +
+              "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+              "4 0 obj\n<< /Length 10 >>\nstream\nciphertext\nendstream\nendobj\n" +
+              "trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n")
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "en"),
+          Page("probe://realpdf-oversize", ts, {
+            val b = new Array[Byte](graft.Extractor.MaxPdfBytes + 1)
+            System.arraycopy("%PDF-1.4\n".getBytes, 0, b, 0, 9)
+            b
+          }, "", "en"),
+          Page("probe://realpdf-pathological", ts, {
+            val sb = new java.lang.StringBuilder("%PDF-1.4\n")
+            for (_ <- 0 until 5000) sb.append("1 0 obj (").append("x" * 100).append("\n")
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          }, "", "en"),
           Page("probe://boilerplate-only", ts,
             "<nav><a href='/'>x</a></nav><footer>y</footer>".getBytes, "", "en"),
           Page("probe://deep-nesting", ts,

@@ -36,7 +36,11 @@ class GoldenSpec extends AnyFunSuite {
       val got = Extractor.extract(fx.page)
       val n = fx.page.html.length
       for (s <- got.spans) {
-        assert(s.beginByte >= 0 && s.endByte <= n && s.beginByte < s.endByte,
+        // `_dec` spans index DECODED content-stream space (real-PDF
+        // compressed streams), which can legitimately exceed the file length;
+        // all other spans index the raw input bytes
+        val bound = if (s.kind.endsWith("_dec")) Long.MaxValue else n.toLong
+        assert(s.beginByte >= 0 && s.endByte <= bound && s.beginByte < s.endByte,
           s"${fx.page.url}: span out of bounds $s (html $n bytes)")
       }
       assert(got.spans.length == fx.expectedSpanCount,

@@ -470,4 +470,255 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.error == "", got.error)
     assert(got.text == "lzw stream text", got.text)
   }
+
+  // ---- round 5: predictors / encrypt / widths / decoded spans / hardening --
+
+  /** Test-local PNG row filter (bpp = 1 byte): raw must be full rows. */
+  private def pngPredict(raw: Array[Byte], columns: Int, tag: Int): Array[Byte] = {
+    val nRows = raw.length / columns
+    val out = new Array[Byte]((columns + 1) * nRows)
+    val prior = new Array[Byte](columns)
+    for (r <- 0 until nRows) {
+      out(r * (columns + 1)) = tag.toByte
+      for (i <- 0 until columns) {
+        val x = raw(r * columns + i) & 0xFF
+        val left = if (i >= 1) raw(r * columns + i - 1) & 0xFF else 0
+        val above = prior(i) & 0xFF
+        val upLeft = if (i >= 1) prior(i - 1) & 0xFF else 0
+        val pred = tag match {
+          case 0 => 0
+          case 1 => left
+          case 2 => above
+          case 3 => (left + above) >> 1
+          case _ =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above); val pc = math.abs(p - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft
+        }
+        out(r * (columns + 1) + 1 + i) = ((x - pred) & 0xFF).toByte
+      }
+      System.arraycopy(raw, r * columns, prior, 0, columns)
+    }
+    out
+  }
+
+  test("applyPredictor: PNG None/Sub/Up/Average/Paeth round-trip; TIFF 2; bad shapes throw") {
+    var seed = 777L
+    val data = Array.fill(24 * 10) { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33).toByte }
+    for (tag <- 0 to 4)
+      assert(RealPdf.applyPredictor(pngPredict(data, 24, tag), 10 + tag, 1, 8, 24).sameElements(data),
+        s"PNG tag $tag")
+    // TIFF predictor 2: horizontal differencing, colors=3
+    val tiff = data.clone()
+    val rowLen = 3 * 8 // colors=3, columns=8
+    for (row <- 0 until tiff.length / rowLen; i <- (row * rowLen + rowLen - 1) to (row * rowLen + 3) by -1)
+      tiff(i) = ((tiff(i) - tiff(i - 3)) & 0xFF).toByte
+    assert(RealPdf.applyPredictor(tiff, 2, 3, 8, 8).sameElements(data))
+    intercept[RealPdf.PdfParseException](RealPdf.applyPredictor(data, 2, 3, 4, 8)) // TIFF bpc!=8
+    intercept[RealPdf.PdfParseException](RealPdf.applyPredictor(data, 7, 1, 8, 24)) // unknown predictor
+  }
+
+  test("Flate + PNG Predictor 12 ObjStm: page tree decodes, tree page order wins") {
+    // the modern real-PDF norm: catalog/pages/pages packed in a predictor-12
+    // Flate ObjStm, kids in REVERSE file order so only the decoded tree can
+    // order the pages correctly
+    val inner1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val inner2 = "<< /Type /Pages /Count 2 /Kids [3 0 R 7 0 R] /MediaBox [0 0 612 792] >>"
+    val inner3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val inner7 = "<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>"
+    val hdr = s"1 0 2 ${inner1.length + 1} 3 ${inner1.length + inner2.length + 2} " +
+      s"7 ${inner1.length + inner2.length + inner3.length + 3} "
+    val cols = 24
+    val stm0 = hdr + inner1 + " " + inner2 + " " + inner3 + " " + inner7
+    val stm = stm0 + " " * ((cols - stm0.length % cols) % cols) // full rows
+    val comp = new String(deflateBytes(pngPredict(stm.getBytes(ISO_8859_1), cols, 2)), ISO_8859_1)
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (predictor page one) Tj ET\n"
+    val c2 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (predictor page two) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append(s"8 0 obj\n<< /Length ${c2.length} >>\nstream\n").append(c2).append("\nendstream\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n").append(c1).append("\nendstream\nendobj\n")
+    sb.append(s"5 0 obj\n<< /Type /ObjStm /N 4 /First ${hdr.length} /Length ${comp.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n")
+    sb.append(comp).append("\nendstream\nendobj\n")
+    sb.append("6 0 obj\n<< /Type /XRef /Root 1 0 R /Size 9 /Length 0 >>\nstream\nendstream\nendobj\n")
+    sb.append("startxref\n0\n%%EOF\n")
+    val got = Extractor.extract(Page("t://pred12", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "predictor page one" + PdfParser.PageBreak + "predictor page two", got.text)
+  }
+
+  test("unsupported predictor shape and INDIRECT DecodeParms skip as metadata-only, never mis-decode") {
+    // TIFF predictor at 4 bpc: honest skip -> stream metadata-only -> no text
+    // operators -> clean ERROR row (never silently-corrupt text)
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (should not surface) Tj ET\n"
+    val comp = new String(deflateBytes(ops.getBytes(ISO_8859_1)), ISO_8859_1)
+    val base = new String(minimalPdf(comp, length = Some(comp.length)), ISO_8859_1)
+    val badShape = base.replace(s"<< /Length ${comp.length}",
+      s"<< /Length ${comp.length} /Filter /FlateDecode /DecodeParms << /Predictor 2 /BitsPerComponent 4 >>")
+    val got1 = Extractor.extract(Page("t://badpred", ts, badShape.getBytes(ISO_8859_1), "", "en"))
+    assert(got1.error.nonEmpty && got1.text == "", s"'${got1.text}' / ${got1.error}")
+    // indirect /DecodeParms (ADVICE): a ref cannot be dereferenced during the
+    // scan — the stream must NOT be Flate-decoded without its predictor
+    val indirect = base.replace(s"<< /Length ${comp.length}",
+      s"<< /Length ${comp.length} /Filter /FlateDecode /DecodeParms 9 0 R")
+    val got2 = Extractor.extract(Page("t://indirectparms", ts, indirect.getBytes(ISO_8859_1), "", "en"))
+    assert(got2.error.nonEmpty && got2.text == "", s"'${got2.text}' / ${got2.error}")
+  }
+
+  test("/Encrypt in the trailer is a clean 'encrypted PDF' error row") {
+    val base = new String(minimalPdf("BT /F1 12 Tf 1 0 0 1 50 700 Tm (cipher) Tj ET\n"), ISO_8859_1)
+    val enc = base.replace("<< /Size 5 /Root 1 0 R >>", "<< /Size 5 /Root 1 0 R /Encrypt 9 0 R >>")
+    val got = Extractor.extract(Page("t://encrypted", ts, enc.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("encrypted"), got.error)
+    assert(got.text == "")
+  }
+
+  test("partial /ToUnicode on a SIMPLE font falls back per-code to the default decode") {
+    // subsetted TrueType whose CMap remaps only 0x41 -> 'Z'; the uncovered
+    // codes keep their Latin-1 identity instead of becoming U+FFFD
+    val cmap =
+      """begincmap
+        |1 beginbfchar
+        |<41> <005A>
+        |endbfchar
+        |endcmap""".stripMargin
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (Arcade) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /ToUnicode 8 0 R >>"
+    val got = Extractor.extract(Page("t://partialcmap", ts, fontPdf(content, font, Some(cmap)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "Zrcade", got.text)
+  }
+
+  test("partial CMap on a Type0 font still yields U+FFFD for unmapped CIDs (no byte identity)") {
+    val cmap =
+      """begincmap
+        |1 beginbfchar
+        |<0001> <0048>
+        |endbfchar
+        |endcmap""".stripMargin
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm <00010002> Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /ToUnicode 8 0 R >>"
+    val got = Extractor.extract(Page("t://cidpartial", ts, fontPdf(content, font, Some(cmap)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "H\uFFFD", got.text)
+  }
+
+  test("bfrange with a non-BMP target increments the code point, not the low surrogate") {
+    val cmap =
+      """begincmap
+        |1 beginbfrange
+        |<01> <03> <D83DDE00>
+        |endbfrange
+        |endcmap""".stripMargin.getBytes(ISO_8859_1)
+    val (m, len) = RealPdf.parseToUnicode(cmap)
+    assert(len == 1)
+    assert(m(1) == "\uD83D\uDE00") // U+1F600
+    assert(m(2) == "\uD83D\uDE01")
+    assert(m(3) == "\uD83D\uDE02")
+    // an increment that would land in the surrogate range keeps the base
+    val cmap2 =
+      """begincmap
+        |1 beginbfrange
+        |<01> <03> <D7FF>
+        |endbfrange
+        |endcmap""".stripMargin.getBytes(ISO_8859_1)
+    val (m2, _) = RealPdf.parseToUnicode(cmap2)
+    assert(m2(1) == "\uD7FF" && m2(2) == "\uD7FF" && m2(3) == "\uD7FF")
+  }
+
+  test("/FirstChar+/Widths metrics size the run box; indirect /Widths array derefs") {
+    // a=0.2em, b=1.0em at 12pt -> "ab" box width 14.4
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (ab) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [200 1000] >>"
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    assert(pages.length == 1 && pages(0).boxes.length == 1)
+    assert(math.abs(pages(0).boxes(0).box.w - 14.4) < 1e-9, pages(0).boxes(0).box.w.toString)
+    // same metrics through an indirect /Widths array object
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F9 7 0 R >> >> >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").append(content).append("\nendstream\nendobj\n")
+    sb.append("7 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths 9 0 R >>\nendobj\n")
+    sb.append("9 0 obj\n[200 1000]\nendobj\n")
+    sb.append("trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n")
+    val pages2 = RealPdf.parse(sb.toString.getBytes(ISO_8859_1))
+    assert(math.abs(pages2(0).boxes(0).box.w - 14.4) < 1e-9, pages2(0).boxes(0).box.w.toString)
+  }
+
+  test("CID /W + /DW metrics size the run box") {
+    val cmap =
+      """begincmap
+        |2 beginbfchar
+        |<0001> <0041>
+        |<0002> <0042>
+        |endbfchar
+        |endcmap""".stripMargin
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm <00010002> Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /ToUnicode 8 0 R " +
+      "/DescendantFonts [ << /Subtype /CIDFontType2 /W [1 [600 800]] /DW 1000 >> ] >>"
+    val pages = RealPdf.parse(fontPdf(content, font, Some(cmap)))
+    assert(pages(0).boxes.length == 1 && pages(0).boxes(0).text == "AB")
+    assert(math.abs(pages(0).boxes(0).box.w - 16.8) < 1e-9, pages(0).boxes(0).box.w.toString)
+  }
+
+  test("width metrics change the soft-wrap/hard-break layout decision correctly") {
+    // two stacked lines: narrow 'a' glyphs (0.2em) + wide 'b' glyphs (1.0em).
+    // With metrics the first line ends 24pt short of the 48pt-wide container
+    // (> 30%) -> hard paragraph break; with the flat 0.5em estimate the first
+    // line IS the right edge -> soft wrap with a space.
+    val content =
+      "BT /F9 12 Tf 1 0 0 1 50 700 Tm (aaaaaaaaaa) Tj ET\n" +
+        "BT /F9 12 Tf 1 0 0 1 50 678 Tm (bbbb) Tj ET\n"
+    val withW = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [200 1000] >>"
+    val noW = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake >>"
+    val gotW = Extractor.extract(Page("t://widths1", ts, fontPdf(content, withW, None), "", "en"))
+    assert(gotW.error == "", gotW.error)
+    assert(gotW.text == "aaaaaaaaaa\n\nbbbb", gotW.text)
+    val gotN = Extractor.extract(Page("t://widths2", ts, fontPdf(content, noW, None), "", "en"))
+    assert(gotN.error == "", gotN.error)
+    assert(gotN.text == "aaaaaaaaaa bbbb", gotN.text)
+  }
+
+  test("compressed-stream spans carry DECODED-space offsets (kind pdf_fragment_dec) that slice back") {
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (compressed words inside) Tj ET\n"
+    val comp = new String(deflateBytes(ops.getBytes(ISO_8859_1)), ISO_8859_1)
+    val got = Extractor.extract(Page("t://decspan", ts,
+      minimalPdf(comp, filter = "FlateDecode", length = Some(comp.length)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "compressed words inside")
+    assert(got.spans.length == 1)
+    val s = got.spans(0)
+    assert(s.kind == "pdf_fragment_dec", s.kind)
+    // re-decoding the stream and slicing reproduces the literal's content
+    val decoded = ops.getBytes(ISO_8859_1)
+    val lit = new String(decoded, s.beginByte.toInt, (s.endByte - s.beginByte).toInt, ISO_8859_1)
+    assert(lit == "compressed words inside", lit)
+    // uncompressed streams keep exact FILE offsets (kind without _dec)
+    val plain = Extractor.extract(Page("t://rawspan", ts, minimalPdf(ops), "", "en"))
+    assert(plain.spans.length == 1 && plain.spans(0).kind == "pdf_fragment")
+  }
+
+  test("PDF rows surface charset=pdf; oversize PDFs are a clean error row") {
+    val ok = Extractor.extract(Page("t://cs", ts,
+      minimalPdf("BT /F1 12 Tf 1 0 0 1 50 700 Tm (tiny) Tj ET\n"), "", "en"))
+    assert(ok.charset == "pdf", ok.charset)
+    val big = new Array[Byte](Extractor.MaxPdfBytes + 1)
+    System.arraycopy("%PDF-1.4\n".getBytes(ISO_8859_1), 0, big, 0, 9)
+    val over = Extractor.extract(Page("t://oversize", ts, big, "", "en"))
+    assert(over.error.contains("MaxPdfBytes"), over.error)
+    assert(over.text == "")
+  }
+
+  test("adversarial resync bytes (many unterminated strings) complete bounded as an error row") {
+    val sb = new java.lang.StringBuilder("%PDF-1.4\n")
+    for (_ <- 0 until 5000) sb.append("1 0 obj (").append("x" * 100).append("\n")
+    val t0 = System.nanoTime()
+    val got = Extractor.extract(Page("t://pathological", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.error.nonEmpty && got.text == "")
+    assert(secs < 20.0, s"pathological parse took $secs s") // MaxResyncs cap engaged
+  }
 }
