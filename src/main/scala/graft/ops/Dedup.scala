@@ -73,7 +73,13 @@ object Dedup {
     * The returned pair set is MATERIALIZED (persisted MEMORY_AND_DISK and
     * already computed) and the signature cache is released before returning,
     * so repeated calls in a long-lived session don't accumulate corpus-sized
-    * cache entries; caller may `unpersist()` the (small) result. */
+    * cache entries; caller may `unpersist()` the (small) result.
+    *
+    * `materialize = false` returns the UNEXECUTED plan for explain/audit
+    * ONLY (PlanCheck): its upstream persist() markers (the signature cache)
+    * have no owner on that path, so EXECUTING the returned plan would build
+    * a corpus-sized cache nothing ever releases — audit the plan, then call
+    * again with materialize = true to actually compute. */
   def minhashPairs(spark: SparkSession, docs: DataFrame,
       bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64,
       materialize: Boolean = true): DataFrame = {
@@ -208,7 +214,9 @@ object Dedup {
     * common-shingle tail would explode quadratically), then exact Jaccard on
     * the pair. Returns (doc_a, doc_b, jaccard_pct), MATERIALIZED (persisted
     * MEMORY_AND_DISK, already computed) with the per-doc gram-set cache
-    * released before returning; caller may `unpersist()` the result. */
+    * released before returning; caller may `unpersist()` the result.
+    * `materialize = false` is explain/audit-only — executing that plan
+    * builds an ownerless gram-set cache (see minhashPairs). */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 32,
       materialize: Boolean = true): DataFrame = {

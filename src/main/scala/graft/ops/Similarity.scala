@@ -139,7 +139,11 @@ object Similarity {
     * random-hyperplane signature per seed, computed in a typed narrow map
     * over a broadcast plane matrix — constant plan size at any dim/bits
     * (the scale-safe form of [[signatureExpr]]; same double multiply-add in
-    * index order, so signatures are bit-identical). */
+    * index order, so signatures are bit-identical — INCLUDING ragged rows: a
+    * null or wrong-length embedding null-poisons the expression's zip_with
+    * projection, so every bit is 0 there; this path emits signature 0 for
+    * exactly those rows instead of folding the available dims, keeping the
+    * two forms interchangeable at any input shape). */
   def withSignatures(emb: DataFrame, dim: Int, bits: Int, seeds: Seq[Long]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -150,22 +154,24 @@ object Similarity {
         val tables = bc.value
         it.map { case (id, e) =>
           val sigs = new Array[Long](tables.length)
-          var t = 0
-          while (t < tables.length) {
-            val tbl = tables(t)
-            var sig = 0L
-            var b = 0
-            while (b < tbl.length) {
-              val plane = tbl(b)
-              var s = 0.0
-              var d = 0
-              val n = math.min(plane.length, if (e == null) 0 else e.length)
-              while (d < n) { s += e(d).toDouble * plane(d); d += 1 }
-              if (s > 0) sig |= 1L << b
-              b += 1
+          // ragged guard: sigs stay 0, matching signatureExpr's null semantics
+          if (e != null && e.length == dim) {
+            var t = 0
+            while (t < tables.length) {
+              val tbl = tables(t)
+              var sig = 0L
+              var b = 0
+              while (b < tbl.length) {
+                val plane = tbl(b)
+                var s = 0.0
+                var d = 0
+                while (d < dim) { s += e(d).toDouble * plane(d); d += 1 }
+                if (s > 0) sig |= 1L << b
+                b += 1
+              }
+              sigs(t) = sig
+              t += 1
             }
-            sigs(t) = sig
-            t += 1
           }
           (id, e, sigs)
         }
@@ -299,7 +305,9 @@ object Similarity {
     * Returns the MATERIALIZED pair set (persisted MEMORY_AND_DISK, already
     * computed); the corpus-side cache used during candidate generation is
     * released before returning, so repeated invocations in a long session
-    * don't pin the corpus. Caller may `unpersist()` the (small) result. */
+    * don't pin the corpus. Caller may `unpersist()` the (small) result.
+    * `materialize = false` is explain/audit-only — executing that plan
+    * builds an ownerless corpus cache (see Dedup.minhashPairs). */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
       bits: Int = 0, nTables: Int = 6, seed: Long = 42L,
       maxBucket: Int = 1024, materialize: Boolean = true): DataFrame = {

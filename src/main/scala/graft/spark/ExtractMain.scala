@@ -111,6 +111,27 @@ object ExtractMain {
     override def value: Map[Int, Array[Long]] = m.toMap
   }
 
+  /** Exact per-unit lineage recomputed from the written scratch output (one
+    * aggregation scan) — the fallback when the in-flight accumulator
+    * disagrees with the written row count (a stage retry applied a partition
+    * twice, or a plan change moved the counting map out of the result
+    * stage). Slower but ground truth: it aggregates what is ON DISK. */
+  private[graft] def readbackStats(spark: SparkSession,
+      scratch: String): Map[Int, (Long, Long, Long, Long, Long)] =
+    spark.read.parquet(scratch)
+      .groupBy("unit")
+      .agg(count(lit(1)).as("rows"),
+        sum(when(col("error") === "", 1L).otherwise(0L)).as("ok"),
+        sum(when(col("error") =!= "", 1L).otherwise(0L)).as("err"),
+        sum(col("htmlBytes")).as("bytes"),
+        // length() counts code points on UTF8String, matching the
+        // accumulator's codePointCount
+        sum(length(col("text")).cast("long")).as("chars"))
+      .collect()
+      .map(r => r.getAs[Int]("unit") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+
   /** Run (or resume) the job; returns the number of units committed by THIS
     * invocation. Separated from main() so tests drive it in-process. */
   def run(spark: SparkSession, a: Args): Int = {
@@ -140,7 +161,9 @@ object ExtractMain {
     // lineage counters ride INSIDE the write job via a per-unit accumulator
     // on a pass-through row map — one pass over the output total, no
     // second scan of scratch (result-stage accumulator updates are applied
-    // once per successful partition; speculation is off)
+    // once per successful partition; speculation is off). Exactly-once is
+    // AUDITED after the write: acc row total vs the footer-metadata count of
+    // what was written, with readbackStats as the exact fallback on mismatch.
     val acc = new UnitStatsAcc
     spark.sparkContext.register(acc, "unit-lineage")
     val out = extracted.toDF()
@@ -167,7 +190,19 @@ object ExtractMain {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("unit")
       .parquet(scratch)
-    val stats = acc.value.map { case (u, c) => u -> ((c(0), c(1), c(2), c(3), c(4))) }
+    // exactly-once audit: accumulator updates apply once per successful
+    // result-stage partition, but a stage RETRY (fetch failure on a real
+    // cluster) or a future plan change inserting a shuffle between the map
+    // and the write would silently inflate rows/ok/err/bytes/chars. The
+    // written row count is free from parquet footers; on mismatch fall back
+    // to an exact readback aggregation over scratch (the pre-r4 path).
+    val accStats = acc.value
+    val accRows = accStats.valuesIterator.map(_(0)).sum
+    val written = spark.read.parquet(scratch).count() // parquet footers: metadata-only
+    val stats: Map[Int, (Long, Long, Long, Long, Long)] =
+      if (accRows == written)
+        accStats.map { case (u, c) => u -> ((c(0), c(1), c(2), c(3), c(4))) }
+      else readbackStats(spark, scratch)
     // publish in groups: a crash between group commits leaves a resumable
     // prefix (the --fail-after-groups injection point, ResumeSpec)
     var done = 0

@@ -205,6 +205,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ragged rows (null / wrong-dim embeddings) match the expression's null semantics: sig 0") {
+    import spark.implicits._
+    val dim = 16
+    val r = new java.util.Random(99)
+    def vec(n: Int) = Array.fill(n)((r.nextFloat() - 0.5f) * 2f)
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      (0L, vec(dim)),        // well-formed
+      (1L, null),            // null embedding
+      (2L, vec(dim - 3)),    // too short
+      (3L, vec(dim + 5)),    // too long
+      (4L, Array.empty[Float]))
+    val df = rows.toDF("vec_id", "embedding")
+    val viaExpr = df
+      .select(col("vec_id"), Similarity.signatureExpr(col("embedding"), dim, 24, 42L).as("b"))
+      .collect().map(r0 => r0.getLong(0) -> (if (r0.isNullAt(1)) 0L else r0.getLong(1))).toMap
+    val viaBroadcast = Similarity.withSignatures(df, dim, 24, Seq(42L))
+      .select(col("vec_id"), col("buckets").getItem(0).as("b"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(viaExpr == viaBroadcast, s"$viaExpr vs $viaBroadcast")
+    assert(viaBroadcast(1L) == 0L && viaBroadcast(2L) == 0L && viaBroadcast(3L) == 0L && viaBroadcast(4L) == 0L)
+    assert(viaBroadcast(0L) != 0L) // the well-formed row actually hashes
+  }
+
   test("top-k rank ordering is deterministic: sim desc then neighbor_id asc") {
     // duplicate vectors force exact sim ties; ranks must break on neighbor_id
     import spark.implicits._

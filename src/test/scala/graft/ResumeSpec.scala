@@ -34,9 +34,12 @@ class ResumeSpec extends AnyFunSuite {
     val units = 16
 
     val cleanArgs = ExtractMain.Args(in = in, out = clean, units = units, groupSize = 4)
-    // single-pass contract: ONE extraction+write job per run — lineage
+    // single-pass contract: ONE extraction+write DATA job per run — lineage
     // counters ride the write job in an accumulator, so there is no second
-    // stats scan of the output (nor the old per-group input re-scans)
+    // stats scan of the output (nor the old per-group input re-scans). The
+    // exactly-once audit adds metadata-only jobs (parquet footer count +
+    // schema read of scratch), so the budget is 4, not 2 — still zero
+    // re-scans of row data on the happy path.
     val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -55,7 +58,7 @@ class ResumeSpec extends AnyFunSuite {
       }
       spark.sparkContext.removeSparkListener(listener)
     }
-    assert(jobCount.get() <= 2, s"expected a single-pass run (<=2 Spark jobs), saw ${jobCount.get()}")
+    assert(jobCount.get() <= 4, s"expected a single-pass run (<=4 Spark jobs incl. metadata audit), saw ${jobCount.get()}")
     assert(TableIO.committedUnits(clean) == (0 until units).toSet)
 
     val crashArgs = ExtractMain.Args(in = in, out = crashy, units = units,
@@ -85,5 +88,24 @@ class ResumeSpec extends AnyFunSuite {
   test("manifest json round-trips") {
     val m = TableIO.UnitManifest(7, "abc123", 10, 9, 1, 12345L, 999L, 1700000000000L)
     assert(TableIO.parseManifest(TableIO.renderManifest(m)) == m)
+  }
+
+  test("readbackStats fallback computes the same per-unit lineage the accumulator would") {
+    // ground-truth equivalence of the audit fallback: hand-built rows written
+    // partitioned by unit, aggregated back — must match exact expectations
+    // (incl. code-point char counting for non-BMP text)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-readback").toString + "/scratch"
+    val ts = new java.sql.Timestamp(0L)
+    val rows = Seq(
+      ("u://1", 0, "", 100L, "hello"),            // unit 0, ok, 5 chars
+      ("u://2", 0, "Boom: x", 50L, ""),           // unit 0, err
+      ("u://3", 1, "", 10L, "ab\uD83D\uDE00"),    // unit 1, ok, 3 code points
+      ("u://4", 1, "", 40L, "xyz")                // unit 1, ok
+    ).toDF("url", "unit", "error", "htmlBytes", "text")
+    rows.write.partitionBy("unit").parquet(dir)
+    val stats = ExtractMain.readbackStats(spark, dir)
+    assert(stats(0) == ((2L, 1L, 1L, 150L, 5L)), stats(0).toString)
+    assert(stats(1) == ((2L, 2L, 0L, 50L, 6L)), stats(1).toString)
   }
 }
