@@ -806,12 +806,13 @@ object FixtureGen {
       val body =
         if (offX != 0 || offY != 0) s"q 1 0 0 1 $offX $offY cm\n" + blocks.mkString + "Q\n"
         else blocks.mkString
-      val enc = r.nextInt(8) match {
+      val enc = r.nextInt(10) match {
         case 0 | 1 => 1 // FlateDecode
         case 2     => 2 // ASCIIHexDecode
         case 3     => 3 // ASCII85Decode
         case 4     => 4 // [ASCII85Decode FlateDecode]
         case 5     => 5 // LZWDecode
+        case 6     => 6 // FlateDecode + PNG Predictor 12
         case _     => 0 // plain
       }
       val cidEntries: Vector[(Char, Int)] =
@@ -888,6 +889,24 @@ object FixtureGen {
       if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
       out.toByteArray
     }
+    /** PNG Up-filter (row tag 2) over rows of `cols` bytes — the encoder side
+      * of the real-world Flate+Predictor-12 stream layout; caller pads to
+      * full rows (the decoder drops a trailing partial row). */
+    def pngUp(raw: Array[Byte], cols: Int): Array[Byte] = {
+      val nRows = raw.length / cols
+      val out = new Array[Byte]((cols + 1) * nRows)
+      for (r <- 0 until nRows) {
+        out(r * (cols + 1)) = 2
+        for (i <- 0 until cols) {
+          val above = if (r == 0) 0 else raw((r - 1) * cols + i) & 0xFF
+          out(r * (cols + 1) + 1 + i) = (((raw(r * cols + i) & 0xFF) - above) & 0xFF).toByte
+        }
+      }
+      out
+    }
+    /** pad with spaces to full predictor rows (ws-transparent to the lexer) */
+    def padRows(raw: Array[Byte], cols: Int): Array[Byte] =
+      raw ++ Array.fill((cols - raw.length % cols) % cols)(' '.toByte)
     /** encode a content stream per its drawn encoding -> (bytes, filter clause) */
     def encodeStream(ops: String, enc: Int): (String, String) = {
       val raw = ops.getBytes(StandardCharsets.ISO_8859_1)
@@ -897,6 +916,10 @@ object FixtureGen {
         case 3 => (ascii85Enc(raw), " /Filter /ASCII85Decode")
         case 4 => (ascii85Enc(deflate(raw)), " /Filter [/ASCII85Decode /FlateDecode]")
         case 5 => (new String(lzwEnc(raw), StandardCharsets.ISO_8859_1), " /Filter /LZWDecode")
+        case 6 => // the real-world xref/ObjStm norm applied to content
+          val cols = 32
+          (new String(deflate(pngUp(padRows(raw, cols), cols)), StandardCharsets.ISO_8859_1),
+            s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>")
         case _ => (ops, "")
       }
     }
@@ -927,6 +950,9 @@ object FixtureGen {
       else { val f = nextFont; nextFont += 2; Some((f, f + 1)) }
     }
     val useObjStm = r.nextInt(5) == 0
+    // half the ObjStm files store the stream Flate+Predictor-12 — the layout
+    // real PDF writers emit for object/xref streams (the round-4 decode gap)
+    val objStmPred = useObjStm && r.nextInt(2) == 0
     val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
     val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
     val pagesDict = s"<< /Type /Pages /Count $nPages /Kids [$kids] /MediaBox [0 0 612 792] >>"
@@ -944,10 +970,15 @@ object FixtureGen {
       val offsets = packed.map(_._2).scanLeft(0)((acc, s) => acc + s.length + 1)
       val hdr = packed.zip(offsets).map { case ((num, _), off) => s"$num $off" }.mkString("", " ", " ")
       val stm = hdr + body
-      val comp = new String(deflate(stm.getBytes(StandardCharsets.ISO_8859_1)), StandardCharsets.ISO_8859_1)
+      val stmBytes = stm.getBytes(StandardCharsets.ISO_8859_1)
+      val predCols = 24
+      val comp = new String(
+        if (objStmPred) deflate(pngUp(padRows(stmBytes, predCols), predCols))
+        else deflate(stmBytes), StandardCharsets.ISO_8859_1)
+      val parms = if (objStmPred) s" /DecodeParms << /Predictor 12 /Columns $predCols >>" else ""
       val objStmNum = nextFont
       file.append(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${hdr.length} " +
-        s"/Length ${comp.length} /Filter /FlateDecode >>\nstream\n")
+        s"/Length ${comp.length} /Filter /FlateDecode$parms >>\nstream\n")
       file.append(comp).append("\nendstream\nendobj\n")
     } else {
       file.append(s"1 0 obj\n$catalogDict\nendobj\n")

@@ -712,6 +712,20 @@ class RealPdfSpec extends AnyFunSuite {
     assert(over.text == "")
   }
 
+  test("fixture corpus exercises both predictor-12 variants (content stream and ObjStm)") {
+    // guard against silent death of the generator's draw paths: the golden
+    // suite only proves predictor decode if predictor'd fixtures exist
+    var content = 0
+    var objstm = 0
+    for (row <- 26L until 2000L by 50L) {
+      val s = new String(graft.fixtures.FixtureGen.fixture(row).page.html, ISO_8859_1)
+      if (s.contains("/Predictor 12 /Columns 32")) content += 1
+      if (s.contains("/Type /ObjStm") && s.contains("/Predictor 12 /Columns 24")) objstm += 1
+    }
+    assert(content > 0, "no predictor-12 content streams in the 2000-row corpus")
+    assert(objstm > 0, "no predictor-12 ObjStm files in the 2000-row corpus")
+  }
+
   test("adversarial resync bytes (many unterminated strings) complete bounded as an error row") {
     val sb = new java.lang.StringBuilder("%PDF-1.4\n")
     for (_ <- 0 until 5000) sb.append("1 0 obj (").append("x" * 100).append("\n")
