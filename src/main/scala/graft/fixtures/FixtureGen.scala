@@ -617,6 +617,11 @@ object FixtureGen {
     // font-aware decode path; the decoded text — and so the oracle — is
     // unchanged
     var cidMap: java.util.LinkedHashMap[Character, Integer] = null
+    // WinAnsi pages (en/de, non-CID): the font declares /Encoding
+    // /WinAnsiEncoding and every string is emitted as cp1252 bytes — titles
+    // gain typographic chars (0x80-0x9F range) the default Latin-1 decode
+    // would mangle; the decoded text, and so the oracle, is unchanged
+    var winAnsi = false
     def pdfStr(t: String): String =
       if (cidMap != null) {
         val sb = new StringBuilder("<")
@@ -626,6 +631,15 @@ object FixtureGen {
           sb.append(f"${code.intValue}%04X")
         }
         sb.append('>').toString
+      } else if (winAnsi) {
+        val bs = t.getBytes("windows-1252") // en/de fixture text is encodable
+        val sb = new StringBuilder("(")
+        for (b <- bs) {
+          val c = (b & 0xFF).toChar
+          if (c == '(' || c == ')' || c == '\\') sb.append('\\')
+          sb.append(c)
+        }
+        sb.append(')').toString
       } else if (needsHexStr(t)) {
         val sb = new StringBuilder("<FEFF")
         t.foreach(c => sb.append(f"${c.toInt}%04X"))
@@ -673,15 +687,22 @@ object FixtureGen {
     }
 
     val nPages = 1 + r.nextInt(2)
-    /** (ops, encoding 0=plain 1=flate 2=asciihex 3=ascii85 4=a85+flate,
-      * cid char->code entries or empty) */
-    val pageStreams = Vector.newBuilder[(String, Int, Vector[(Char, Int)])]
+    /** (ops, encoding 0=plain 1=flate 2=asciihex 3=ascii85 4=a85+flate
+      * 5=lzw 6=flate+pred12, cid char->code entries or empty, winAnsi page,
+      * form-XObject ops — "" when the page draws no form) */
+    val pageStreams = Vector.newBuilder[(String, Int, Vector[(Char, Int)], Boolean, String)]
     val pageTexts = Vector.newBuilder[String]
 
     for (_ <- 0 until nPages) {
       val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
+      // doc titles occasionally route into a /Subtype /Form XObject invoked
+      // via `/FmH Do` (identity matrix): device geometry — and the oracle —
+      // are unchanged, but the engine must execute the form to see the title
+      val formBlocks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var sink = blocks
       val pieces = Vector.newBuilder[String]
       cidMap = if (r.nextInt(6) == 0) new java.util.LinkedHashMap[Character, Integer] else null
+      winAnsi = cidMap == null && (lang == "en" || lang == "de") && r.nextInt(6) == 0
       // 1/6 of pages place all content through a translated CTM: the stream
       // opens with `q 1 0 0 1 offX offY cm`, and every baked coordinate is
       // pre-shifted by the inverse so DEVICE positions — and the oracle —
@@ -690,7 +711,7 @@ object FixtureGen {
         if (r.nextInt(6) == 0) (10 + r.nextInt(60), -(10 + r.nextInt(60))) else (0, 0)
 
       def tmRun(x: Int, yb: Int, size: Int, t: String): Unit = {
-        blocks += s"BT /F1 $size Tf 1 0 0 1 ${x - offX} ${yb - offY} Tm ${pdfStr(t)} Tj ET\n"
+        sink += s"BT /F1 $size Tf 1 0 0 1 ${x - offX} ${yb - offY} Tm ${pdfStr(t)} Tj ET\n"
         spanCount += 1
       }
       def tmRunTJ(x: Int, yb: Int, t: String): Unit = {
@@ -741,7 +762,10 @@ object FixtureGen {
       }
 
       def emitTitle(x0: Int, yb: Int, level: Int): Unit = {
-        val t = (0 until 2 + r.nextInt(3)).map(_ => wordFor(lang, r.nextInt(4096))).mkString(" ")
+        val base = (0 until 2 + r.nextInt(3)).map(_ => wordFor(lang, r.nextInt(4096))).mkString(" ")
+        // WinAnsi pages decorate titles with cp1252 0x80-0x9F typographic
+        // chars — the range a Latin-1 decode silently mangles
+        val t = if (winAnsi) "“" + base + "” — " + wordFor(lang, r.nextInt(4096)) else base
         tmRun(x0, yb, if (level == 1) 24 else 18, t)
         pieces += ("#" * level) + " " + t
       }
@@ -786,7 +810,14 @@ object FixtureGen {
         // single-column page with font-size-promoted titles
         val x0 = 50
         var cursor = 742
-        if (r.nextInt(10) < 8) { emitTitle(x0, cursor, 1); cursor -= 56 }
+        if (r.nextInt(10) < 8) {
+          // 1/4 of doc titles live in a Form XObject invoked via Do
+          val intoForm = r.nextInt(4) == 0
+          if (intoForm) sink = formBlocks
+          emitTitle(x0, cursor, 1)
+          if (intoForm) { sink = blocks; blocks += "/FmH Do\n" }
+          cursor -= 56
+        }
         for (s <- 0 until 1 + r.nextInt(2) if s == 0 || cursor > 240) {
           if (r.nextInt(10) < 7) { emitTitle(x0, cursor, 2); cursor -= 48 }
           val paras = (0 until 1 + r.nextInt(2)).map(_ => para(2 + r.nextInt(2))).toVector
@@ -822,10 +853,11 @@ object FixtureGen {
           cidMap.forEach((c, code) => b += ((c.charValue, code.intValue)))
           b.result()
         }
-      pageStreams += ((body, enc, cidEntries))
+      pageStreams += ((body, enc, cidEntries, winAnsi, formBlocks.mkString))
       pageTexts += pieces.result().mkString("\n\n")
     }
     cidMap = null
+    winAnsi = false
 
     def deflate(bytes: Array[Byte]): Array[Byte] = {
       val d = new java.util.zip.Deflater()
@@ -938,17 +970,21 @@ object FixtureGen {
     }
 
     // file assembly: obj 1 catalog, obj 2 page tree, (page, content)* at
-    // 3+2i/4+2i, then CID font + ToUnicode objects. 1/5 of files use the
-    // modern PDF 1.5+ layout: catalog/pages/page dicts packed into a
-    // /Type /ObjStm and the trailer dict carried by a /Type /XRef object
-    // (no `trailer` keyword at all).
+    // 3+2i/4+2i, then per-page aux objects (CID font + ToUnicode | WinAnsi
+    // font, and/or a /Subtype /Form XObject). 1/5 of files use the modern
+    // PDF 1.5+ layout: catalog/pages/page dicts packed into a /Type /ObjStm
+    // and the trailer dict carried by a /Type /XRef object (no `trailer`
+    // keyword at all).
     val streams = pageStreams.result()
-    val fontBase = 3 + 2 * nPages
-    var nextFont = fontBase
-    val fontNums: Vector[Option[(Int, Int)]] = streams.map { case (_, _, cid) =>
-      if (cid.isEmpty) None
-      else { val f = nextFont; nextFont += 2; Some((f, f + 1)) }
-    }
+    var nextAux = 3 + 2 * nPages
+    // per page: (cid font+toUnicode, winAnsi font, form xobject) obj numbers
+    val alloc: Vector[(Option[(Int, Int)], Option[Int], Option[Int])] =
+      streams.map { case (_, _, cid, win, form) =>
+        val cidN = if (cid.isEmpty) None else { val f = nextAux; nextAux += 2; Some((f, f + 1)) }
+        val winN = if (win) { val f = nextAux; nextAux += 1; Some(f) } else None
+        val formN = if (form.nonEmpty) { val f = nextAux; nextAux += 1; Some(f) } else None
+        (cidN, winN, formN)
+      }
     val useObjStm = r.nextInt(5) == 0
     // half the ObjStm files store the stream Flate+Predictor-12 — the layout
     // real PDF writers emit for object/xref streams (the round-4 decode gap)
@@ -957,7 +993,12 @@ object FixtureGen {
     val catalogDict = "<< /Type /Catalog /Pages 2 0 R >>"
     val pagesDict = s"<< /Type /Pages /Count $nPages /Kids [$kids] /MediaBox [0 0 612 792] >>"
     def pageDict(i: Int): String = {
-      val res = fontNums(i).map { case (f, _) => s" /Resources << /Font << /F1 $f 0 R >> >>" }.getOrElse("")
+      val (cidN, winN, formN) = alloc(i)
+      val fontPart = cidN.map { case (f, _) => s"/Font << /F1 $f 0 R >> " }
+        .orElse(winN.map(f => s"/Font << /F1 $f 0 R >> ")).getOrElse("")
+      val xobjPart = formN.map(n => s"/XObject << /FmH $n 0 R >> ").getOrElse("")
+      val res = if (fontPart.isEmpty && xobjPart.isEmpty) ""
+        else s" /Resources << $fontPart$xobjPart>>"
       s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R$res >>"
     }
 
@@ -976,7 +1017,7 @@ object FixtureGen {
         if (objStmPred) deflate(pngUp(padRows(stmBytes, predCols), predCols))
         else deflate(stmBytes), StandardCharsets.ISO_8859_1)
       val parms = if (objStmPred) s" /DecodeParms << /Predictor 12 /Columns $predCols >>" else ""
-      val objStmNum = nextFont
+      val objStmNum = nextAux
       file.append(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${packed.length} /First ${hdr.length} " +
         s"/Length ${comp.length} /Filter /FlateDecode$parms >>\nstream\n")
       file.append(comp).append("\nendstream\nendobj\n")
@@ -985,24 +1026,31 @@ object FixtureGen {
       file.append(s"2 0 obj\n$pagesDict\nendobj\n")
     }
     for (i <- 0 until nPages) {
-      val (ops, enc, cid) = streams(i)
+      val (ops, enc, cid, _, form) = streams(i)
       if (!useObjStm)
         file.append(s"${3 + 2 * i} 0 obj\n${pageDict(i)}\nendobj\n")
       val (raw, filterClause) = encodeStream(ops, enc)
       file.append(s"${4 + 2 * i} 0 obj\n<< /Length ${raw.length}$filterClause")
       file.append(" >>\nstream\n").append(raw).append("\nendstream\nendobj\n")
-      for ((fNum, tuNum) <- fontNums(i)) {
+      val (cidN, winN, formN) = alloc(i)
+      for ((fNum, tuNum) <- cidN) {
         file.append(s"$fNum 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID " +
           s"/Encoding /Identity-H /ToUnicode $tuNum 0 R >>\nendobj\n")
         val tu = cmapOf(cid)
         file.append(s"$tuNum 0 obj\n<< /Length ${tu.length} >>\nstream\n")
           .append(tu).append("\nendstream\nendobj\n")
       }
+      for (fNum <- winN)
+        file.append(s"$fNum 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Synth-Win " +
+          "/Encoding /WinAnsiEncoding >>\nendobj\n")
+      for (fmNum <- formN)
+        file.append(s"$fmNum 0 obj\n<< /Type /XObject /Subtype /Form /Length ${form.length} >>\nstream\n")
+          .append(form).append("\nendstream\nendobj\n")
     }
     if (r.nextInt(6) == 0) // junk the object scan must resync over
       file.append("xref\n0 6\n0000000000 65535 f \n0000000100 00000 n \n")
     if (useObjStm) {
-      file.append(s"${nextFont + 1} 0 obj\n<< /Type /XRef /Root 1 0 R /Size ${nextFont + 2} " +
+      file.append(s"${nextAux + 1} 0 obj\n<< /Type /XRef /Root 1 0 R /Size ${nextAux + 2} " +
         "/Length 0 >>\nstream\nendstream\nendobj\nstartxref\n0\n")
     } else if (r.nextInt(8) != 0) // 1/8 of files drop the trailer: page-tree-less
       file.append(s"trailer\n<< /Size ${3 + 2 * nPages} /Root 1 0 R >>\n") // file-order fallback

@@ -349,7 +349,13 @@ object RealPdf {
   private[pdf] final case class FontInfo(name: String, type0: Boolean,
       codeLen: Int, cmap: Map[Int, String],
       widths: Map[Int, Double] = Map.empty,
-      defaultWidthEm: Double = AvgGlyphWidthEm) {
+      defaultWidthEm: Double = AvgGlyphWidthEm,
+      /** byte→text table from /Encoding (WinAnsi/MacRoman/Differences) on
+        * simple fonts — null when the font declares none (Latin-1 default) */
+      enc: Array[String] = null) {
+    /** per-byte decode through the declared simple-font encoding */
+    @inline private def encByte(b: Int): String =
+      if (enc != null) enc(b & 0xFF) else (b & 0xFF).toChar.toString
     def decode(raw: Array[Byte], default: String): String =
       if (cmap.nonEmpty) {
         val sb = new java.lang.StringBuilder(raw.length / codeLen + 1)
@@ -361,9 +367,9 @@ object RealPdf {
           cmap.get(code) match {
             case Some(s) => sb.append(s)
             case None if type0 => sb.append('�') // unmapped CID: no byte identity to fall back on
-            case None => // simple font, partial CMap: per-code Latin-1 fallback
+            case None => // simple font, partial CMap: per-code encoding/Latin-1 fallback
               var k2 = 0
-              while (k2 < codeLen) { sb.append(((code >> (8 * (codeLen - 1 - k2))) & 0xFF).toChar); k2 += 1 }
+              while (k2 < codeLen) { sb.append(encByte(code >> (8 * (codeLen - 1 - k2)))); k2 += 1 }
           }
           i += codeLen
         }
@@ -372,6 +378,12 @@ object RealPdf {
         if (raw.isEmpty) ""
         else throw new PdfParseException(
           s"Type0 font /$name without a parseable /ToUnicode: cannot decode glyph indices")
+      } else if (enc != null) {
+        // declared simple-font encoding: strings are per-byte font codes
+        val sb = new java.lang.StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) { sb.append(enc(raw(i) & 0xFF)); i += 1 }
+        sb.toString
       } else default
 
     /** Advance of a shown string in em: real per-code metrics when the font
@@ -567,7 +579,38 @@ object RealPdf {
                 case _ => (Map.empty[Int, Double], AvgGlyphWidthEm)
               }
             }
-          out += fname -> FontInfo(fname, type0, codeLen, cmap, widths, defaultW)
+          // simple-font /Encoding: named base (WinAnsi = windows-1252 — its
+          // 0x80-0x9F typographic range is what Latin-1 silently mangles) or
+          // a dict with /BaseEncoding + /Differences glyph-name overrides.
+          // Unknown Differences names become U+FFFD (marked, never wrong).
+          val enc: Array[String] =
+            if (type0) null
+            else fd.get("Encoding").flatMap(deref) match {
+              case Some(PName(n)) => Glyphs.baseTable(n)
+              case Some(PDict(ed)) =>
+                val base = ed.get("BaseEncoding") match {
+                  case Some(PName(n)) => n
+                  case _              => ""
+                }
+                val t = Glyphs.baseTable(base)
+                ed.get("Differences").flatMap(deref) match {
+                  case Some(PArr(vs)) =>
+                    var code = -1
+                    for (v <- vs) v match {
+                      case PNum(c)  => code = c.toInt
+                      case PName(g) =>
+                        if (code >= 0 && code <= 255) {
+                          t(code) = Glyphs.resolve(g).getOrElse("�")
+                          code += 1
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                t
+              case _ => null
+            }
+          out += fname -> FontInfo(fname, type0, codeLen, cmap, widths, defaultW, enc)
         }
         out.result()
       case _ => Map.empty
@@ -1152,6 +1195,58 @@ object RealPdf {
 
   // ---- content interpretation ----------------------------------------------
 
+  /** Allocator for the page's decoded-offset space: every decoded (non-exact)
+    * stream claims a contiguous range in interpretation order, so `_dec` span
+    * offsets stay total even when Form XObjects interleave with the page's
+    * own content streams. */
+  private[pdf] final class DecodedSpace {
+    private var next = 0L
+    def claim(n: Int): Long = { val b = next; next += n; b }
+  }
+
+  /** One resolved /Subtype /Form XObject: its stream, placement /Matrix, and
+    * its own resolved resources (empty maps inherit the caller's). */
+  private[pdf] final case class XForm(obj: PObj, matrix: Array[Double],
+      fonts: Map[String, FontInfo], xobjs: Map[String, XForm])
+
+  /** Max form-recursion depth (resolution AND interpretation) — real nesting
+    * is 1-2 deep; a reference cycle is adversarial. */
+  private val MaxFormDepth = 4
+
+  /** Resolve a /Resources /XObject dict into Form XObjects (images and other
+    * subtypes are ignored — no raster path here). Nested form resources
+    * resolve recursively, depth-capped. */
+  private def xobjectsOf(resources: Map[String, PVal], objs: Map[Int, PObj],
+      depth: Int): Map[String, XForm] = {
+    if (depth >= MaxFormDepth) return Map.empty
+    def dictOf(v: PVal): Option[Map[String, PVal]] = v match {
+      case PRef(n)  => objs.get(n).map(_.dict)
+      case PDict(m) => Some(m)
+      case _        => None
+    }
+    resources.get("XObject").flatMap(dictOf) match {
+      case Some(xd) =>
+        val out = Map.newBuilder[String, XForm]
+        for ((name, ref) <- xd) ref match {
+          case PRef(n) => objs.get(n) match {
+            case Some(o) if o.dict.get("Subtype").contains(PName("Form")) && o.data != null =>
+              val matrix = o.dict.get("Matrix") match {
+                case Some(PArr(Vector(PNum(a), PNum(b), PNum(c), PNum(d), PNum(e), PNum(f)))) =>
+                  Array(a, b, c, d, e, f)
+                case _ => Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+              }
+              val res = o.dict.get("Resources").flatMap(dictOf).getOrElse(Map.empty)
+              out += name -> XForm(o, matrix, fontsOf(res, objs),
+                xobjectsOf(res, objs, depth + 1))
+            case _ => () // image/other XObjects: no raster path, skipped
+          }
+          case _ => ()
+        }
+        out.result()
+      case _ => Map.empty
+    }
+  }
+
   /** One recognized text run in page space (PDF coords, y up, baseline).
     * `widthEm` is the run's advance in em (real /Widths//W metrics when the
     * font declared any, else [[AvgGlyphWidthEm]] per decoded char); `decoded`
@@ -1167,9 +1262,9 @@ object RealPdf {
 
   /** Interpret one content stream's text operators. `base` maps content
     * offsets to file offsets when `exact`; otherwise every run carries
-    * DECODED-stream offsets (`decodedBase` + its range inside this stream's
-    * decoded bytes, where decodedBase is the cumulative decoded length of the
-    * page's earlier content streams) and is flagged `decoded` — the
+    * DECODED-stream offsets (a range claimed from `space`, the page's
+    * decoded-offset allocator covering content streams and executed Form
+    * XObjects in interpretation order) and is flagged `decoded` — the
     * coordinate-space contract surfaces as span kind `*_dec` downstream,
     * mirroring the `charset` column precedent for transcoded HTML.
     * Painted `re` rectangles (committed
@@ -1184,13 +1279,20 @@ object RealPdf {
   private[pdf] def interpretContent(data: Array[Byte], base: Int, exact: Boolean,
       rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun],
       rects: scala.collection.mutable.ArrayBuffer[PaintedRect] = scala.collection.mutable.ArrayBuffer.empty,
-      fonts: Map[String, FontInfo] = Map.empty, decodedBase: Long = 0L): Unit = {
+      fonts: Map[String, FontInfo] = Map.empty,
+      xobjs: Map[String, XForm] = Map.empty,
+      space: DecodedSpace = new DecodedSpace,
+      ctm0: Array[Double] = null, formDepth: Int = 0): Unit = {
+    // decoded streams claim their offset range on entry (interpretation order)
+    val decodedBase = if (exact) 0L else space.claim(data.length)
     val lx = new Lexer(data, 0, data.length)
     // text matrix (a b c d e f) and line matrix; leading; font size
     var a = 1.0; var bb = 0.0; var c = 0.0; var d = 1.0; var e = 0.0; var f = 0.0
     var la = 1.0; var lb = 0.0; var lc = 0.0; var ld = 1.0; var le = 0.0; var lf = 0.0
-    // current transformation matrix + q/Q save stack
+    // current transformation matrix + q/Q save stack; a Form XObject starts
+    // from the caller's CTM composed with its /Matrix (passed via ctm0)
     var ca = 1.0; var cb = 0.0; var cc = 0.0; var cd = 1.0; var ce = 0.0; var cf = 0.0
+    if (ctm0 != null) { ca = ctm0(0); cb = ctm0(1); cc = ctm0(2); cd = ctm0(3); ce = ctm0(4); cf = ctm0(5) }
     val ctmStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var leading = 0.0
     var fontSize = 12.0
@@ -1333,11 +1435,32 @@ object RealPdf {
                 ca = na; cb = nb; cc = nc; cd = nd; ce = ne; cf = nf
               case _ => ()
             }
+            case "Do" => operands match {
+              // Form XObject execution: real generators put headers, stamps,
+              // and sometimes ALL content in forms; the form's content runs
+              // under CTM' = /Matrix × CTM with its own resources (falling
+              // back to the caller's), depth-capped against cycles. Image
+              // XObjects are not in `xobjs` and are ignored.
+              case PName(nm) :: _ => xobjs.get(nm) match {
+                case Some(xf) if formDepth < MaxFormDepth =>
+                  val m = xf.matrix
+                  val na = m(0) * ca + m(1) * cc; val nb = m(0) * cb + m(1) * cd
+                  val nc = m(2) * ca + m(3) * cc; val nd = m(2) * cb + m(3) * cd
+                  val ne = m(4) * ca + m(5) * cc + ce; val nf = m(4) * cb + m(5) * cd + cf
+                  interpretContent(xf.obj.data, xf.obj.rawStart, xf.obj.exact,
+                    xf.obj.rawStart, xf.obj.rawEnd, out, rects,
+                    if (xf.fonts.nonEmpty) xf.fonts else fonts,
+                    if (xf.xobjs.nonEmpty) xf.xobjs else xobjs,
+                    space, Array(na, nb, nc, nd, ne, nf), formDepth + 1)
+                case _ => ()
+              }
+              case _ => ()
+            }
             case "BI" =>
               // inline image: skip to EI (binary payload would derail the lexer)
               val ei = find(data, lx.pos, "EI")
               lx.pos = if (ei >= 0) ei + 2 else data.length
-            case _ => () // W/m/l/gs/Do/color ops: consumed, ignored
+            case _ => () // W/m/l/gs/color ops: consumed, ignored
           }
           operands = Nil
       }
@@ -1458,20 +1581,22 @@ object RealPdf {
     var totalRuns = 0
     // font maps are shared across pages with identical /Resources (the norm)
     val fontCache = scala.collection.mutable.HashMap.empty[Map[String, PVal], Map[String, FontInfo]]
-    val units: Vector[(Vector[PObj], (Double, Double), Map[String, FontInfo])] =
-      if (orphanMode) orphanStreams.map(o => (Vector(o), DefaultMediaBox, Map.empty[String, FontInfo]))
+    val units: Vector[(Vector[PObj], (Double, Double), Map[String, FontInfo], Map[String, XForm])] =
+      if (orphanMode) orphanStreams.map(o =>
+        (Vector(o), DefaultMediaBox, Map.empty[String, FontInfo], Map.empty[String, XForm]))
       else pageRecs.map(r => (contentsOf(r), r.mediaBox,
-        fontCache.getOrElseUpdate(r.resources, fontsOf(r.resources, objs))))
-    for ((streams, (pw, ph), fonts) <- units) {
+        fontCache.getOrElseUpdate(r.resources, fontsOf(r.resources, objs)),
+        xobjectsOf(r.resources, objs, 0)))
+    for ((streams, (pw, ph), fonts, xobjs) <- units) {
       val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()
       val rects = new scala.collection.mutable.ArrayBuffer[PaintedRect]()
-      // decoded-space offsets are cumulative over the page's content streams
-      // (in /Contents order), so multi-stream pages keep a total contract
-      var decBase = 0L
-      for (o <- streams if o.data != null) {
-        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd, runs, rects, fonts, decBase)
-        decBase += o.data.length
-      }
+      // decoded-space offsets accumulate over the page's decoded streams in
+      // interpretation order (content streams AND executed forms), so
+      // multi-stream pages keep a total `_dec` contract (DecodedSpace)
+      val space = new DecodedSpace
+      for (o <- streams if o.data != null)
+        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
+          runs, rects, fonts, xobjs, space)
       totalRuns += runs.length
       val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L

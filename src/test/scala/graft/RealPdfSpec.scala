@@ -712,18 +712,136 @@ class RealPdfSpec extends AnyFunSuite {
     assert(over.text == "")
   }
 
+  test("/Encoding /WinAnsiEncoding decodes the 0x80-0x9F typographic range correctly") {
+    // bytes 93 48 69 94 = “Hi” in windows-1252; Latin-1 would yield C1 controls
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (\u0093Hi\u0094 \u0097 dash) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /Encoding /WinAnsiEncoding >>"
+    val got = Extractor.extract(Page("t://winansi", ts, fontPdf(content, font, None), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "\u201CHi\u201D \u2014 dash", got.text)
+    // same bytes with NO declared encoding keep the Latin-1 default (collapse
+    // of C1 bytes is whatever the default path does — here identity chars)
+    val plainFont = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake >>"
+    val got2 = Extractor.extract(Page("t://noenc", ts, fontPdf(content, plainFont, None), "", "en"))
+    assert(got2.error == "" && got2.text != got.text)
+  }
+
+  test("/Encoding /Differences remaps codes by glyph name; unknown names mark U+FFFD") {
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (AB C D) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Fake " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [65 /quoteright /uni20AC 67 /emdash 68 /nosuchglyphname] >> >>"
+    val got = Extractor.extract(Page("t://diffs", ts, fontPdf(content, font, None), "", "en"))
+    assert(got.error == "", got.error)
+    // A->’  B->€ (consecutive code after 65)  C->—  D->U+FFFD; space untouched
+    assert(got.text == "\u2019\u20AC \u2014 \uFFFD", got.text)
+  }
+
+  test("Glyphs.resolve: single-char, uniXXXX, uXXXXX and named forms") {
+    assert(graft.pdf.Glyphs.resolve("a").contains("a"))
+    assert(graft.pdf.Glyphs.resolve("uni20AC").contains("€"))
+    assert(graft.pdf.Glyphs.resolve("u1F600").contains(new String(Character.toChars(0x1F600))))
+    assert(graft.pdf.Glyphs.resolve("eacute").contains("é"))
+    assert(graft.pdf.Glyphs.resolve("quotedblleft").contains("“"))
+    assert(graft.pdf.Glyphs.resolve("bogusname").isEmpty)
+    assert(graft.pdf.Glyphs.resolve("uniD800").isEmpty) // surrogate guard
+  }
+
+  /** Page whose /Contents invokes a /Subtype /Form XObject (obj 7) via Do. */
+  private def formPdf(pageOps: String, formOps: String, formDict: String = ""): Array[Byte] = {
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fm1 7 0 R >> >> >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${pageOps.length} >>\nstream\n").append(pageOps).append("\nendstream\nendobj\n")
+    sb.append(s"7 0 obj\n<< /Type /XObject /Subtype /Form$formDict /Length ${formOps.length} >>\nstream\n")
+      .append(formOps).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  test("Form XObject content executes via Do and places under the current CTM") {
+    // body text in the page stream; a headline drawn by a form invoked ABOVE
+    // it — reading order must interleave the form's runs with the page's
+    val pageOps =
+      "BT /F1 12 Tf 1 0 0 1 50 700 Tm (body from the page stream) Tj ET " +
+        "q 1 0 0 1 0 40 cm /Fm1 Do Q\n"
+    val formOps = "BT /F1 12 Tf 1 0 0 1 50 702 Tm (form headline text) Tj ET\n"
+    val got = Extractor.extract(Page("t://xobj1", ts, formPdf(pageOps, formOps), "", "en"))
+    assert(got.error == "", got.error)
+    // form run lands at y=742 (702+40) above the body at 700: reads first
+    assert(got.text == "form headline text\n\nbody from the page stream", got.text)
+    // both streams uncompressed -> spans carry exact FILE offsets
+    val bytes = formPdf(pageOps, formOps)
+    assert(got.spans.length == 2)
+    for (s <- got.spans) {
+      val lit = new String(bytes, s.beginByte.toInt, (s.endByte - s.beginByte).toInt, ISO_8859_1)
+      assert(lit == "form headline text" || lit == "body from the page stream", lit)
+    }
+  }
+
+  test("Form /Matrix composes with the CTM; form fonts and nested depth are bounded") {
+    // /Matrix scales 2x: a 12pt run inside the form renders at 24pt and
+    // becomes a title over the 12pt body runs
+    val pageOps =
+      "/Fm1 Do " +
+        "BT /F1 12 Tf 1 0 0 1 50 700 Tm (body line one here) Tj ET " +
+        "BT /F1 12 Tf 1 0 0 1 50 678 Tm (body line two here) Tj ET " +
+        "BT /F1 12 Tf 1 0 0 1 50 656 Tm (body line three here) Tj ET\n"
+    val formOps = "BT /F1 12 Tf 0 0 Td (Scaled Form Title) Tj ET\n"
+    val got = Extractor.extract(Page("t://xobj2", ts,
+      formPdf(pageOps, formOps, formDict = " /Matrix [2 0 0 2 25 730]"), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text.startsWith("# Scaled Form Title"), got.text)
+    // self-referencing form: depth cap must terminate, not recurse forever
+    val cyc = formPdf("/Fm1 Do BT /F1 12 Tf 1 0 0 1 50 700 Tm (page text stays) Tj ET\n",
+      "/Fm1 Do BT /F1 12 Tf 1 0 0 1 50 600 Tm (cycle) Tj ET\n")
+    // the cyclic form has no own /Resources: it inherits the caller's map
+    // (which contains itself) — MaxFormDepth bounds the recursion
+    val gotCyc = Extractor.extract(Page("t://xobjcycle", ts, cyc, "", "en"))
+    assert(gotCyc.error == "", gotCyc.error)
+    assert(gotCyc.text.contains("page text stays"))
+  }
+
+  test("compressed Form XObject runs carry decoded-space offsets that slice back") {
+    val formOps = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (deflated form words) Tj ET\n"
+    val comp = new String(deflateBytes(formOps.getBytes(ISO_8859_1)), ISO_8859_1)
+    val pageOps = "/Fm1 Do\n"
+    val base = new String(formPdf(pageOps, comp), ISO_8859_1)
+    val patched = base.replace(s"/Subtype /Form /Length ${comp.length}",
+      s"/Subtype /Form /Filter /FlateDecode /Length ${comp.length}")
+    val got = Extractor.extract(Page("t://xobjflate", ts, patched.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "deflated form words", got.text)
+    assert(got.spans.length == 1 && got.spans(0).kind == "pdf_fragment_dec")
+    val s = got.spans(0)
+    // decoded space: page stream is exact (claims nothing); the form's
+    // decoded bytes start at offset 0 of the page's decoded space
+    val lit = new String(formOps.getBytes(ISO_8859_1), s.beginByte.toInt,
+      (s.endByte - s.beginByte).toInt, ISO_8859_1)
+    assert(lit == "deflated form words", lit)
+  }
+
   test("fixture corpus exercises both predictor-12 variants (content stream and ObjStm)") {
     // guard against silent death of the generator's draw paths: the golden
     // suite only proves predictor decode if predictor'd fixtures exist
     var content = 0
     var objstm = 0
+    var winAnsi = 0
+    var forms = 0
     for (row <- 26L until 2000L by 50L) {
       val s = new String(graft.fixtures.FixtureGen.fixture(row).page.html, ISO_8859_1)
       if (s.contains("/Predictor 12 /Columns 32")) content += 1
       if (s.contains("/Type /ObjStm") && s.contains("/Predictor 12 /Columns 24")) objstm += 1
+      if (s.contains("/Encoding /WinAnsiEncoding")) winAnsi += 1
+      if (s.contains("/Subtype /Form")) forms += 1
     }
     assert(content > 0, "no predictor-12 content streams in the 2000-row corpus")
     assert(objstm > 0, "no predictor-12 ObjStm files in the 2000-row corpus")
+    assert(winAnsi > 0, "no WinAnsi-encoded pages in the 2000-row corpus")
+    assert(forms > 0, "no Form-XObject pages in the 2000-row corpus")
   }
 
   test("adversarial resync bytes (many unterminated strings) complete bounded as an error row") {
