@@ -29,11 +29,16 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *    DecodeParms are skipped as metadata-only (never silently mis-decoded).
   *  - /Encrypt files error cleanly ("encrypted PDF") before any stream
   *    decode — never ciphertext-as-text.
-  *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ; the CTM
-  *    (cm, q/Q) is tracked and applied to positions/sizes/rects, so
-  *    translated/scaled (and positionally, rotated) content places
-  *    correctly; boxes stay axis-aligned (the reference rasterizes, so it
-  *    has no such limit).
+  *  - text operators BT/ET, Tf, Td, TD, Tm, TL, T*, Tj, ', ", TJ (kerning
+  *    applied under real width metrics); the CTM (cm, q/Q) is tracked and
+  *    applied to positions/sizes/rects, so translated/scaled (and
+  *    positionally, rotated) content places correctly; boxes stay
+  *    axis-aligned (the reference rasterizes, so it has no such limit).
+  *    /Subtype /Form XObjects execute via `Do` under /Matrix × CTM with
+  *    their own (or inherited) resources, depth-capped. MediaBox origins
+  *    and the /Rotate page attribute fold into the initial CTM — the
+  *    orientation-correction analogue (preprocess.rs:101-143) — so rotated
+  *    or origin-shifted pages read upright.
   *  - fonts: the page's /Resources /Font dict is resolved; strings shown in
   *    a font with a /ToUnicode CMap decode through its bfchar/bfrange
   *    mappings (1- or 2-byte codes). A Type0/CID font WITHOUT a parseable
@@ -1125,17 +1130,41 @@ object RealPdf {
 
   // ---- page tree -----------------------------------------------------------
 
-  private final case class PageRec(dict: Map[String, PVal], mediaBox: (Double, Double),
-      resources: Map[String, PVal])
+  /** MediaBox with its origin — real cropped/offset files have non-zero
+    * lower-left corners, which shift every coordinate. */
+  private[pdf] final case class MBox(x0: Double, y0: Double, w: Double, h: Double)
 
-  private def mediaBoxOf(dict: Map[String, PVal], inherited: (Double, Double)): (Double, Double) =
+  private final case class PageRec(dict: Map[String, PVal], mediaBox: MBox,
+      resources: Map[String, PVal], rotate: Int)
+
+  private def mediaBoxOf(dict: Map[String, PVal], inherited: MBox): MBox =
     dict.get("MediaBox") match {
-      case Some(PArr(Vector(PNum(x0), PNum(y0), PNum(x1), PNum(y1)))) =>
-        (math.abs(x1 - x0), math.abs(y1 - y0))
+      case Some(PArr(Vector(PNum(ax), PNum(ay), PNum(bx), PNum(by)))) =>
+        MBox(math.min(ax, bx), math.min(ay, by), math.abs(bx - ax), math.abs(by - ay))
       case _ => inherited
     }
 
-  private val DefaultMediaBox = (612.0, 792.0)
+  private def rotateOf(dict: Map[String, PVal], inherited: Int): Int =
+    dict.get("Rotate") match {
+      case Some(PNum(r)) => (((r.toInt % 360) + 360) % 360) / 90 * 90
+      case _             => inherited
+    }
+
+  private val DefaultMediaBox = MBox(0, 0, 612.0, 792.0)
+
+  /** Upright page dims + the normalization CTM for a page's MediaBox origin
+    * and /Rotate attribute — the analogue of the reference's orientation
+    * classify/correct stage (preprocess.rs:101-143: rotate the image back,
+    * keep the corrected dims). Content interpreted under this initial CTM
+    * lands in upright (0,0)-origin coordinates; null when it is identity. */
+  private[pdf] def normalizeCtm(mb: MBox, rot: Int): ((Double, Double), Array[Double]) = rot match {
+    case 90  => ((mb.h, mb.w), Array(0.0, -1.0, 1.0, 0.0, -mb.y0, mb.w + mb.x0))
+    case 180 => ((mb.w, mb.h), Array(-1.0, 0.0, 0.0, -1.0, mb.w + mb.x0, mb.h + mb.y0))
+    case 270 => ((mb.h, mb.w), Array(0.0, 1.0, -1.0, 0.0, mb.h + mb.y0, -mb.x0))
+    case _ =>
+      ((mb.w, mb.h),
+        if (mb.x0 == 0 && mb.y0 == 0) null else Array(1.0, 0.0, 0.0, 1.0, -mb.x0, -mb.y0))
+  }
 
   private def collectPages(objs: Map[Int, PObj], order: Vector[Int],
       trailer: Option[PDict]): Vector[PageRec] = {
@@ -1146,19 +1175,20 @@ object RealPdf {
     }
     val out = Vector.newBuilder[PageRec]
     var found = false
-    def walk(node: Map[String, PVal], inherited: (Double, Double),
-        inhRes: Map[String, PVal], depth: Int): Unit = {
+    def walk(node: Map[String, PVal], inherited: MBox,
+        inhRes: Map[String, PVal], inhRot: Int, depth: Int): Unit = {
       if (depth > 32) return
       val mb = mediaBoxOf(node, inherited)
       val res = node.get("Resources").flatMap(dictOf).getOrElse(inhRes)
+      val rot = rotateOf(node, inhRot)
       node.get("Type") match {
         case Some(PName("Pages")) =>
           node.get("Kids") match {
             case Some(PArr(kids)) =>
-              for (k <- kids; d <- dictOf(k)) walk(d, mb, res, depth + 1)
+              for (k <- kids; d <- dictOf(k)) walk(d, mb, res, rot, depth + 1)
             case _ => ()
           }
-        case Some(PName("Page")) => out += PageRec(node, mb, res); found = true
+        case Some(PName("Page")) => out += PageRec(node, mb, res, rot); found = true
         case _ => ()
       }
     }
@@ -1176,7 +1206,7 @@ object RealPdf {
       root <- rootDict
       pagesRef <- root.get("Pages")
       pages <- dictOf(pagesRef)
-    } walk(pages, DefaultMediaBox, Map.empty, 0)
+    } walk(pages, DefaultMediaBox, Map.empty, 0, 0)
     if (!found) {
       // no walkable tree at all: file order of Page objects. `order` lists
       // every redefinition (incremental updates); keep only the LAST
@@ -1187,7 +1217,8 @@ object RealPdf {
         val o = objs(n)
         if (o.dict.get("Type").contains(PName("Page")))
           out += PageRec(o.dict, mediaBoxOf(o.dict, DefaultMediaBox),
-            o.dict.get("Resources").flatMap(dictOf).getOrElse(Map.empty))
+            o.dict.get("Resources").flatMap(dictOf).getOrElse(Map.empty),
+            rotateOf(o.dict, 0))
       }
     }
     out.result()
@@ -1327,8 +1358,10 @@ object RealPdf {
         val dx = e * ca + f * cc + ce
         val dy = e * cb + f * cd + cf
         out += GlyphRun(dx, dy, fontSize * scale, text, widthEm, b0, e0, !exact)
-        // advance the pen by the run width (text-space x scale a)
+        // advance the pen by the run width along the text-space x axis —
+        // BOTH Tm components, so rotated text matrices advance correctly
         e += widthEm * fontSize * a
+        f += widthEm * fontSize * bb
       }
     }
     var guard = 0
@@ -1391,6 +1424,11 @@ object RealPdf {
               case PArr(parts) :: _ =>
                 val sb = new java.lang.StringBuilder(32)
                 var w = 0.0
+                // kerning adjustments (thousandths of text space, subtracted
+                // from the advance) are applied only under REAL width metrics
+                // — in flat-estimate mode the coarse 0.5 em grid is the whole
+                // geometry and kerning would just add noise to it
+                val kern = curFont != null && curFont.widths.nonEmpty
                 var b0 = -1L; var e0 = -1L
                 for (p <- parts) p match {
                   case s: PStr =>
@@ -1400,8 +1438,10 @@ object RealPdf {
                     val (pb, pe) = offs(s)
                     if (b0 < 0) b0 = pb
                     e0 = pe
-                  case _ => () // kerning adjustment: ignored in the estimate
+                  case PNum(adj) if kern => w -= adj / 1000.0
+                  case _                 => ()
                 }
+                if (w < 0) w = 0 // adversarial positive adjustments
                 if (sb.length > 0) emit(sb.toString, w, b0, e0)
               case _ => ()
             }
@@ -1581,13 +1621,19 @@ object RealPdf {
     var totalRuns = 0
     // font maps are shared across pages with identical /Resources (the norm)
     val fontCache = scala.collection.mutable.HashMap.empty[Map[String, PVal], Map[String, FontInfo]]
-    val units: Vector[(Vector[PObj], (Double, Double), Map[String, FontInfo], Map[String, XForm])] =
+    val units: Vector[(Vector[PObj], (Double, Double), Map[String, FontInfo], Map[String, XForm], Array[Double])] =
       if (orphanMode) orphanStreams.map(o =>
-        (Vector(o), DefaultMediaBox, Map.empty[String, FontInfo], Map.empty[String, XForm]))
-      else pageRecs.map(r => (contentsOf(r), r.mediaBox,
-        fontCache.getOrElseUpdate(r.resources, fontsOf(r.resources, objs)),
-        xobjectsOf(r.resources, objs, 0)))
-    for ((streams, (pw, ph), fonts, xobjs) <- units) {
+        (Vector(o), (DefaultMediaBox.w, DefaultMediaBox.h),
+          Map.empty[String, FontInfo], Map.empty[String, XForm], null))
+      else pageRecs.map { r =>
+        // orientation normalization: MediaBox origin + /Rotate fold into the
+        // initial CTM so every run lands in upright (0,0)-origin coordinates
+        val (dims, ctm0) = normalizeCtm(r.mediaBox, r.rotate)
+        (contentsOf(r), dims,
+          fontCache.getOrElseUpdate(r.resources, fontsOf(r.resources, objs)),
+          xobjectsOf(r.resources, objs, 0), ctm0)
+      }
+    for ((streams, (pw, ph), fonts, xobjs, ctm0) <- units) {
       val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()
       val rects = new scala.collection.mutable.ArrayBuffer[PaintedRect]()
       // decoded-space offsets accumulate over the page's decoded streams in
@@ -1596,7 +1642,7 @@ object RealPdf {
       val space = new DecodedSpace
       for (o <- streams if o.data != null)
         interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
-          runs, rects, fonts, xobjs, space)
+          runs, rects, fonts, xobjs, space, ctm0)
       totalRuns += runs.length
       val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L

@@ -824,6 +824,57 @@ class RealPdfSpec extends AnyFunSuite {
     assert(lit == "deflated form words", lit)
   }
 
+  test("MediaBox origin offsets normalize away (cropped/offset pages)") {
+    val base = new String(minimalPdf(
+      // baked at (150, 750): normalized (50, 700) under origin (100, 50)
+      "BT /F1 12 Tf 1 0 0 1 150 750 Tm (origin shifted body) Tj ET\n"), ISO_8859_1)
+    val shifted = base.replace("/MediaBox [0 0 612 792]", "/MediaBox [100 50 712 842]")
+    val got = Extractor.extract(Page("t://mbox", ts, shifted.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "origin shifted body", got.text)
+    val pages = RealPdf.parse(shifted.getBytes(ISO_8859_1))
+    assert(pages(0).width == 612.0 && pages(0).height == 792.0)
+    assert(math.abs(pages(0).boxes(0).box.x1 - 50.0) < 1e-9, pages(0).boxes(0).box.toString)
+  }
+
+  test("/Rotate 90 and 180 pages normalize to upright reading order") {
+    // landscape 792x612 page rotated 90 CW for display; text drawn with a
+    // rotated Tm so it reads upright in the rotated view. Upright target:
+    // line1 at (50,742), line2 at (50,720) -> user (x = 792-y'', y = x'')
+    def rotPdf(rot: Int, ops: String): Array[Byte] = {
+      val base = new String(minimalPdf(ops), ISO_8859_1)
+      base.replace("/MediaBox [0 0 612 792]",
+        if (rot == 90) "/MediaBox [0 0 792 612]" else "/MediaBox [0 0 612 792]")
+        .replace("/Type /Page /Parent 2 0 R", s"/Type /Page /Rotate $rot /Parent 2 0 R")
+        .getBytes(ISO_8859_1)
+    }
+    val ops90 =
+      "BT /F1 12 Tf 0 1 -1 0 50 50 Tm (rotated line one) Tj ET " +
+        "BT /F1 12 Tf 0 1 -1 0 72 50 Tm (rotated line two) Tj ET\n"
+    val got90 = Extractor.extract(Page("t://rot90", ts, rotPdf(90, ops90), "", "en"))
+    assert(got90.error == "", got90.error)
+    assert(got90.text == "rotated line one rotated line two", got90.text)
+    // /Rotate 180: content drawn upside down at (612-x, 792-y)
+    val ops180 =
+      "BT /F1 12 Tf -1 0 0 -1 562 50 Tm (flipped line one) Tj ET " +
+        "BT /F1 12 Tf -1 0 0 -1 562 72 Tm (flipped line two) Tj ET\n"
+    val got180 = Extractor.extract(Page("t://rot180", ts, rotPdf(180, ops180), "", "en"))
+    assert(got180.error == "", got180.error)
+    assert(got180.text == "flipped line one flipped line two", got180.text)
+  }
+
+  test("TJ kerning adjusts the run width under real metrics; ignored in estimate mode") {
+    // a=b=0.5em; TJ [(ab) -1000 (ab)] -> 0.5+0.5 +1.0 +0.5+0.5 = 3em = 36pt
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm [(ab) -1000 (ab)] TJ ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [500 500] >>"
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    assert(math.abs(pages(0).boxes(0).box.w - 36.0) < 1e-9, pages(0).boxes(0).box.w.toString)
+    // no metrics: kerning ignored, flat estimate 4 glyphs x 0.5em x 12 = 24pt
+    val noW = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake >>"
+    val pages2 = RealPdf.parse(fontPdf(content, noW, None))
+    assert(math.abs(pages2(0).boxes(0).box.w - 24.0) < 1e-9, pages2(0).boxes(0).box.w.toString)
+  }
+
   test("fixture corpus exercises both predictor-12 variants (content stream and ObjStm)") {
     // guard against silent death of the generator's draw paths: the golden
     // suite only proves predictor decode if predictor'd fixtures exist
