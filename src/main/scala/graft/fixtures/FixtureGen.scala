@@ -689,8 +689,8 @@ object FixtureGen {
     val nPages = 1 + r.nextInt(2)
     /** (ops, encoding 0=plain 1=flate 2=asciihex 3=ascii85 4=a85+flate
       * 5=lzw 6=flate+pred12, cid char->code entries or empty, winAnsi page,
-      * form-XObject ops — "" when the page draws no form) */
-    val pageStreams = Vector.newBuilder[(String, Int, Vector[(Char, Int)], Boolean, String)]
+      * form-XObject ops — "" when the page draws no form, /Rotate 0|90|180) */
+    val pageStreams = Vector.newBuilder[(String, Int, Vector[(Char, Int)], Boolean, String, Int)]
     val pageTexts = Vector.newBuilder[String]
 
     for (_ <- 0 until nPages) {
@@ -703,6 +703,32 @@ object FixtureGen {
       val pieces = Vector.newBuilder[String]
       cidMap = if (r.nextInt(6) == 0) new java.util.LinkedHashMap[Character, Integer] else null
       winAnsi = cidMap == null && (lang == "en" || lang == "de") && r.nextInt(6) == 0
+      // 1/8 of pages carry a /Rotate attribute (90 = landscape sheet rotated
+      // for display, 180 = upside-down scan): every baked coordinate is
+      // pre-mapped into the ROTATED user space and text matrices rotate with
+      // it, so the normalized page — and the oracle — are unchanged; the
+      // engine must fold /Rotate + MediaBox into its initial CTM to read it
+      val pageRot = if (r.nextInt(8) == 0) (if (r.nextBoolean()) 90 else 180) else 0
+      val tmPrefix = pageRot match {
+        case 90  => "0 1 -1 0"
+        case 180 => "-1 0 0 -1"
+        case _   => "1 0 0 1"
+      }
+      def userX(x: Int, y: Int): Int = pageRot match {
+        case 90  => 792 - y
+        case 180 => 612 - x
+        case _   => x
+      }
+      def userY(x: Int, y: Int): Int = pageRot match {
+        case 90  => x
+        case 180 => 792 - y
+        case _   => y
+      }
+      def userRect(x: Int, y: Int, w: Int, h: Int): (Int, Int, Int, Int) = pageRot match {
+        case 90  => (792 - y - h, x, h, w)
+        case 180 => (612 - x - w, 792 - y - h, w, h)
+        case _   => (x, y, w, h)
+      }
       // 1/6 of pages place all content through a translated CTM: the stream
       // opens with `q 1 0 0 1 offX offY cm`, and every baked coordinate is
       // pre-shifted by the inverse so DEVICE positions — and the oracle —
@@ -711,12 +737,12 @@ object FixtureGen {
         if (r.nextInt(6) == 0) (10 + r.nextInt(60), -(10 + r.nextInt(60))) else (0, 0)
 
       def tmRun(x: Int, yb: Int, size: Int, t: String): Unit = {
-        sink += s"BT /F1 $size Tf 1 0 0 1 ${x - offX} ${yb - offY} Tm ${pdfStr(t)} Tj ET\n"
+        sink += s"BT /F1 $size Tf $tmPrefix ${userX(x, yb) - offX} ${userY(x, yb) - offY} Tm ${pdfStr(t)} Tj ET\n"
         spanCount += 1
       }
       def tmRunTJ(x: Int, yb: Int, t: String): Unit = {
         val m = 1 + r.nextInt(t.length - 1)
-        blocks += s"BT /F1 12 Tf 1 0 0 1 ${x - offX} ${yb - offY} Tm [${pdfStr(t.substring(0, m))} " +
+        blocks += s"BT /F1 12 Tf $tmPrefix ${userX(x, yb) - offX} ${userY(x, yb) - offY} Tm [${pdfStr(t.substring(0, m))} " +
           s"-${40 + r.nextInt(200)} ${pdfStr(t.substring(m))}] TJ ET\n"
         spanCount += 1
       }
@@ -745,7 +771,7 @@ object FixtureGen {
             yb -= 22
           }
         } else { // one BT block driven by TL / ' / " line advances
-          val sbb = new StringBuilder(s"BT /F1 12 Tf 22 TL 1 0 0 1 ${x0 - offX} ${yb0 - offY} Tm ")
+          val sbb = new StringBuilder(s"BT /F1 12 Tf 22 TL $tmPrefix ${userX(x0, yb0) - offX} ${userY(x0, yb0) - offY} Tm ")
           for ((line, li) <- lines.zipWithIndex) {
             if (li == 0) sbb.append(pdfStr(line(0))).append(" Tj ")
             else if (line.length == 1 && r.nextInt(5) == 0)
@@ -779,8 +805,14 @@ object FixtureGen {
         val nCols = 2 + r.nextInt(2)
         val cw = 100; val ch = 24
         val sbb = new StringBuilder
-        for (i <- 0 to nRows) sbb.append(s"${x0 - offX} ${yTop - i * ch - offY} ${cw * nCols} 1 re ")
-        for (j <- 0 to nCols) sbb.append(s"${x0 + j * cw - offX} ${yTop - nRows * ch - offY} 1 ${nRows * ch} re ")
+        for (i <- 0 to nRows) {
+          val (rx, ry, rw, rh) = userRect(x0, yTop - i * ch, cw * nCols, 1)
+          sbb.append(s"${rx - offX} ${ry - offY} $rw $rh re ")
+        }
+        for (j <- 0 to nCols) {
+          val (rx, ry, rw, rh) = userRect(x0 + j * cw, yTop - nRows * ch, 1, nRows * ch)
+          sbb.append(s"${rx - offX} ${ry - offY} $rw $rh re ")
+        }
         sbb.append("S\n")
         blocks += sbb.toString
         val gridRows = Vector.newBuilder[Vector[(Int, Int, Boolean, String)]]
@@ -853,7 +885,7 @@ object FixtureGen {
           cidMap.forEach((c, code) => b += ((c.charValue, code.intValue)))
           b.result()
         }
-      pageStreams += ((body, enc, cidEntries, winAnsi, formBlocks.mkString))
+      pageStreams += ((body, enc, cidEntries, winAnsi, formBlocks.mkString, pageRot))
       pageTexts += pieces.result().mkString("\n\n")
     }
     cidMap = null
@@ -979,7 +1011,7 @@ object FixtureGen {
     var nextAux = 3 + 2 * nPages
     // per page: (cid font+toUnicode, winAnsi font, form xobject) obj numbers
     val alloc: Vector[(Option[(Int, Int)], Option[Int], Option[Int])] =
-      streams.map { case (_, _, cid, win, form) =>
+      streams.map { case (_, _, cid, win, form, _) =>
         val cidN = if (cid.isEmpty) None else { val f = nextAux; nextAux += 2; Some((f, f + 1)) }
         val winN = if (win) { val f = nextAux; nextAux += 1; Some(f) } else None
         val formN = if (form.nonEmpty) { val f = nextAux; nextAux += 1; Some(f) } else None
@@ -999,7 +1031,14 @@ object FixtureGen {
       val xobjPart = formN.map(n => s"/XObject << /FmH $n 0 R >> ").getOrElse("")
       val res = if (fontPart.isEmpty && xobjPart.isEmpty) ""
         else s" /Resources << $fontPart$xobjPart>>"
-      s"<< /Type /Page /Parent 2 0 R /Contents ${4 + 2 * i} 0 R$res >>"
+      // per-page /Rotate (+ landscape MediaBox for 90, overriding the
+      // Pages-level portrait box)
+      val rotPart = streams(i)._6 match {
+        case 90  => " /Rotate 90 /MediaBox [0 0 792 612]"
+        case 180 => " /Rotate 180"
+        case _   => ""
+      }
+      s"<< /Type /Page /Parent 2 0 R$rotPart /Contents ${4 + 2 * i} 0 R$res >>"
     }
 
     val file = new java.lang.StringBuilder(4096)
@@ -1026,7 +1065,7 @@ object FixtureGen {
       file.append(s"2 0 obj\n$pagesDict\nendobj\n")
     }
     for (i <- 0 until nPages) {
-      val (ops, enc, cid, _, form) = streams(i)
+      val (ops, enc, cid, _, form, _) = streams(i)
       if (!useObjStm)
         file.append(s"${3 + 2 * i} 0 obj\n${pageDict(i)}\nendobj\n")
       val (raw, filterClause) = encodeStream(ops, enc)

@@ -882,17 +882,22 @@ class RealPdfSpec extends AnyFunSuite {
     var objstm = 0
     var winAnsi = 0
     var forms = 0
+    var rot90 = 0
+    var rot180 = 0
     for (row <- 26L until 2000L by 50L) {
       val s = new String(graft.fixtures.FixtureGen.fixture(row).page.html, ISO_8859_1)
       if (s.contains("/Predictor 12 /Columns 32")) content += 1
       if (s.contains("/Type /ObjStm") && s.contains("/Predictor 12 /Columns 24")) objstm += 1
       if (s.contains("/Encoding /WinAnsiEncoding")) winAnsi += 1
       if (s.contains("/Subtype /Form")) forms += 1
+      if (s.contains("/Rotate 90")) rot90 += 1
+      if (s.contains("/Rotate 180")) rot180 += 1
     }
     assert(content > 0, "no predictor-12 content streams in the 2000-row corpus")
     assert(objstm > 0, "no predictor-12 ObjStm files in the 2000-row corpus")
     assert(winAnsi > 0, "no WinAnsi-encoded pages in the 2000-row corpus")
     assert(forms > 0, "no Form-XObject pages in the 2000-row corpus")
+    assert(rot90 + rot180 > 0, "no /Rotate pages in the 2000-row corpus")
   }
 
   test("adversarial resync bytes (many unterminated strings) complete bounded as an error row") {
