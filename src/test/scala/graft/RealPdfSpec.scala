@@ -900,6 +900,39 @@ class RealPdfSpec extends AnyFunSuite {
     assert(rot90 + rot180 > 0, "no /Rotate pages in the 2000-row corpus")
   }
 
+  test("byte-flip fuzz: mutated real-PDF fixtures and random bytes never crash or hang") {
+    // crawl-contract robustness: every %PDF-sniffed row must produce EITHER
+    // extracted text or a clean error row, in bounded time, for arbitrary
+    // damage. 120 mutants of real fixture PDFs (seeded byte flips at random
+    // offsets) + 30 pure-garbage bodies.
+    val rnd = new java.util.Random(4242L)
+    val seeds = (26L until 1026L by 50L).map(graft.fixtures.FixtureGen.fixture(_).page.html).toArray
+    val t0 = System.nanoTime()
+    var errs = 0
+    var oks = 0
+    for (k <- 0 until 120) {
+      val base = seeds(k % seeds.length)
+      val mut = java.util.Arrays.copyOf(base, base.length)
+      // flip 1..16 bytes anywhere after the magic
+      for (_ <- 0 to rnd.nextInt(16))
+        mut(4 + rnd.nextInt(mut.length - 4)) = rnd.nextInt(256).toByte
+      val got = Extractor.extract(Page(s"t://fuzz$k", ts, mut, "", "en"))
+      if (got.error.isEmpty) oks += 1 else errs += 1
+      // graceful degradation invariant: an error row has empty text
+      if (got.error.nonEmpty) assert(got.text == "")
+    }
+    for (k <- 0 until 30) {
+      val body = new Array[Byte](2048 + rnd.nextInt(8192))
+      rnd.nextBytes(body)
+      System.arraycopy("%PDF-1.4\n".getBytes(ISO_8859_1), 0, body, 0, 9)
+      val got = Extractor.extract(Page(s"t://garb$k", ts, body, "", "en"))
+      if (got.error.isEmpty) oks += 1 else errs += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"fuzz batch took $secs s")
+    assert(oks + errs == 150)
+  }
+
   test("adversarial resync bytes (many unterminated strings) complete bounded as an error row") {
     val sb = new java.lang.StringBuilder("%PDF-1.4\n")
     for (_ <- 0 until 5000) sb.append("1 0 obj (").append("x" * 100).append("\n")
