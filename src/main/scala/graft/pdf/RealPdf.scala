@@ -357,7 +357,9 @@ object RealPdf {
       defaultWidthEm: Double = AvgGlyphWidthEm,
       /** byte→text table from /Encoding (WinAnsi/MacRoman/Differences) on
         * simple fonts — null when the font declares none (Latin-1 default) */
-      enc: Array[String] = null) {
+      enc: Array[String] = null,
+      /** per-glyph advance used when no /Widths exist (flat-estimate mode) */
+      flatWidthEm: Double = AvgGlyphWidthEm) {
     /** per-byte decode through the declared simple-font encoding */
     @inline private def encByte(b: Int): String =
       if (enc != null) enc(b & 0xFF) else (b & 0xFF).toChar.toString
@@ -392,11 +394,12 @@ object RealPdf {
       } else default
 
     /** Advance of a shown string in em: real per-code metrics when the font
-      * declared any, else the [[AvgGlyphWidthEm]] estimate over the DECODED
-      * text length (the pre-metrics behavior, kept bit-stable for fonts
-      * without /Widths so golden layouts are unchanged). */
+      * declared any, else [[flatWidthEm]] per DECODED char (0.5 em default —
+      * the pre-metrics behavior, kept bit-stable for fonts without /Widths
+      * so golden layouts are unchanged; 0.6 em exact for Courier-family
+      * base fonts, whose standard-14 metrics are uniform 600/1000). */
     def widthEm(raw: Array[Byte], decodedLen: Int): Double =
-      if (widths.isEmpty) AvgGlyphWidthEm * decodedLen
+      if (widths.isEmpty) flatWidthEm * decodedLen
       else {
         var w = 0.0
         var i = 0
@@ -615,7 +618,13 @@ object RealPdf {
                 t
               case _ => null
             }
-          out += fname -> FontInfo(fname, type0, codeLen, cmap, widths, defaultW, enc)
+          // standard-14 Courier family: uniform 600/1000 metrics are exact
+          // without an AFM table (flat-estimate fonts otherwise keep 0.5 em)
+          val flat = fd.get("BaseFont") match {
+            case Some(PName(bf)) if bf.contains("Courier") || bf.contains("Mono") => 0.6
+            case _ => AvgGlyphWidthEm
+          }
+          out += fname -> FontInfo(fname, type0, codeLen, cmap, widths, defaultW, enc, flat)
         }
         out.result()
       case _ => Map.empty

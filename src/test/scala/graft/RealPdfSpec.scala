@@ -863,6 +863,13 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got180.text == "flipped line one flipped line two", got180.text)
   }
 
+  test("Courier-family base fonts use the exact 0.6 em standard-14 advance") {
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (mono) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Bold >>"
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    assert(math.abs(pages(0).boxes(0).box.w - 4 * 0.6 * 12) < 1e-9, pages(0).boxes(0).box.w.toString)
+  }
+
   test("TJ kerning adjusts the run width under real metrics; ignored in estimate mode") {
     // a=b=0.5em; TJ [(ab) -1000 (ab)] -> 0.5+0.5 +1.0 +0.5+0.5 = 3em = 36pt
     val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm [(ab) -1000 (ab)] TJ ET\n"
