@@ -128,12 +128,13 @@ object SparkEntry {
       val pdfs = extracted(s, d).filter(col("isPdf"))
       val pages = pdfs
         .select(col("url"), posexplode(split(col("text"), java.util.regex.Pattern.quote(pdf.PdfParser.PageBreak))).as(Seq("page_idx", "page_text")))
-      // formulas counted from the TYPED span surface (kind = pdf_formula,
-      // blockIdx = page index) — a regex over the rendered text would
-      // miscount when body text legitimately contains $$
+      // formulas counted from the TYPED span surface (kind = pdf_formula or
+      // its decoded-offset-space variant pdf_formula_dec, blockIdx = page
+      // index) — a regex over the rendered text would miscount when body
+      // text legitimately contains $$
       val formulas = pdfs
         .select(col("url"), explode(col("spans")).as("span"))
-        .filter(col("span.kind") === "pdf_formula")
+        .filter(col("span.kind").isin("pdf_formula", "pdf_formula_dec"))
         .groupBy(col("url"), col("span.blockIdx").as("page_idx"))
         .agg(count(lit(1)).as("nf"))
       pages.join(formulas, Seq("url", "page_idx"), "left")

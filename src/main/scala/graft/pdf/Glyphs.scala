@@ -92,7 +92,10 @@ object Glyphs {
     if (name.isEmpty) None
     else if (name.length == 1) Some(name) // AGL single-char names (A-Z a-z ...)
     else if (name.startsWith("uni") && name.length == 7) hexCp(name.substring(3))
-    else if (name.startsWith("u") && name.length >= 5 && name.length <= 7) hexCp(name.substring(1))
+    // AGL names like "ugrave"/"uacute" also match the uXXXX shape; when the
+    // suffix is not valid hex, fall through to the named table.
+    else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
+      hexCp(name.substring(1)).orElse(named.get(name))
     else named.get(name)
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1

@@ -944,38 +944,60 @@ object RealPdf {
     * first; b.length when neither exists. Skipping straight to the next
     * anchor (instead of the next LINE) makes a 10k-entry xref table or a run
     * of binary garbage cost ONE resync, and bounds the attempt count by the
-    * number of genuine-looking headers. */
-  private[pdf] def resyncTarget(b: Array[Byte], from: Int): Int = {
-    var objAt = b.length
-    var search = from
-    var guard = 0
-    var done = false
-    while (!done && guard < 256) {
-      guard += 1
-      val o = find(b, search, " obj")
-      if (o < 0) done = true
-      else {
-        val after = o + 4
-        val okAfter = after >= b.length || isWs(b(after)) || isDelim(b(after))
-        val hs = if (okAfter) headerStart(b, o) else -1
-        if (hs >= from) { objAt = hs; done = true }
-        else search = after
+    * number of genuine-looking headers.
+    *
+    * Stateful across one [[scanObjects]] pass: `from` only moves forward
+    * there, and an anchor found at p ≥ from stays the first anchor for every
+    * later from' ≤ p, so each anchor kind is re-searched only past the last
+    * hit. Without the cache a trailer-less adversarial payload re-scans its
+    * whole tail for "trailer" on EVERY resync — O(MaxResyncs × n) byte
+    * comparisons, the exact multiplicative cost MaxResyncs exists to bound. */
+  private[graft] final class Resync(b: Array[Byte]) {
+    private var objAt = -1 // first plausible header ≥ the from it was computed for
+    private var trAt = -1  // ditto for token-boundary "trailer"; b.length = none
+    private def nextObj(from: Int): Int = {
+      var at = b.length
+      var search = from
+      var guard = 0
+      var done = false
+      while (!done && guard < 256) {
+        guard += 1
+        val o = find(b, search, " obj")
+        if (o < 0) done = true
+        else {
+          val after = o + 4
+          val okAfter = after >= b.length || isWs(b(after)) || isDelim(b(after))
+          val hs = if (okAfter) headerStart(b, o) else -1
+          if (hs >= from) { at = hs; done = true }
+          else search = after
+        }
       }
+      at
     }
-    var trAt = b.length
-    search = from
-    guard = 0
-    done = false
-    while (!done && guard < 256) {
-      guard += 1
-      val t = find(b, search, "trailer")
-      if (t < 0) done = true
-      else if ((t == 0 || isWs(b(t - 1)) || isDelim(b(t - 1))) &&
-        (t + 7 >= b.length || isWs(b(t + 7)) || isDelim(b(t + 7)))) { trAt = t; done = true }
-      else search = t + 7
+    private def nextTrailer(from: Int): Int = {
+      var at = b.length
+      var search = from
+      var guard = 0
+      var done = false
+      while (!done && guard < 256) {
+        guard += 1
+        val t = find(b, search, "trailer")
+        if (t < 0) done = true
+        else if ((t == 0 || isWs(b(t - 1)) || isDelim(b(t - 1))) &&
+          (t + 7 >= b.length || isWs(b(t + 7)) || isDelim(b(t + 7)))) { at = t; done = true }
+        else search = t + 7
+      }
+      at
     }
-    math.min(objAt, trAt)
+    def target(from: Int): Int = {
+      if (objAt < from) objAt = nextObj(from)
+      if (trAt < from) trAt = nextTrailer(from)
+      math.min(objAt, trAt)
+    }
   }
+
+  private[graft] def resyncTarget(b: Array[Byte], from: Int): Int =
+    new Resync(b).target(from)
 
   /** Scan every `N G obj ... endobj` in file order, resyncing on junk (xref
     * tables, binary garbage, truncation) by skipping to the next plausible
@@ -986,6 +1008,7 @@ object RealPdf {
     val order = Vector.newBuilder[Int]
     var trailer: Option[PDict] = None
     val lx = new Lexer(b, 0, b.length)
+    val resync = new Resync(b)
     var pos = 0
     var resyncs = 0
     while (pos < b.length) {
@@ -1064,7 +1087,7 @@ object RealPdf {
         case _ =>
           resyncs += 1
           if (resyncs > MaxResyncs) b.length // cost cap: keep what parsed
-          else math.max(pos + 1, resyncTarget(b, pos + 1))
+          else math.max(pos + 1, resync.target(pos + 1))
       }
     }
     (objs.result(), order.result(), trailer)
@@ -1242,6 +1265,18 @@ object RealPdf {
   private[pdf] final class DecodedSpace {
     private var next = 0L
     def claim(n: Int): Long = { val b = next; next += n; b }
+    // Per-page Form-XObject EXECUTION budget: the depth cap alone still
+    // allows breadth^depth amplification (one self-inheriting form invoked
+    // 200× per level = 200^4 stream executions from a ~100 KB file). Real
+    // pages run a handful of forms; exhaustion throws (error row), never
+    // silently truncates.
+    private var forms = MaxFormExecs
+    def claimForm(): Unit = {
+      forms -= 1
+      if (forms < 0)
+        throw new PdfParseException(
+          s"Form XObject execution budget exceeded ($MaxFormExecs per page)")
+    }
   }
 
   /** One resolved /Subtype /Form XObject: its stream, placement /Matrix, and
@@ -1253,11 +1288,23 @@ object RealPdf {
     * is 1-2 deep; a reference cycle is adversarial. */
   private val MaxFormDepth = 4
 
+  /** Max Form-XObject EXECUTIONS per page ([[DecodedSpace.claimForm]]) —
+    * the global budget complementing the per-chain depth cap. */
+  private val MaxFormExecs = 64
+
   /** Resolve a /Resources /XObject dict into Form XObjects (images and other
     * subtypes are ignored — no raster path here). Nested form resources
-    * resolve recursively, depth-capped. */
+    * resolve recursively, depth-capped. A /Subtype /Form whose stream could
+    * NOT be decoded (unsupported filter/predictor, data == null) is KEPT in
+    * the map: executing it throws (error row) instead of silently dropping
+    * its text. `memo` is shared across the whole parse, keyed (obj, depth):
+    * pages sharing /Resources resolve each form (and its fonts' ToUnicode
+    * CMaps) once, and repeated references cannot amplify resolution cost
+    * breadth^depth. */
   private def xobjectsOf(resources: Map[String, PVal], objs: Map[Int, PObj],
-      depth: Int): Map[String, XForm] = {
+      depth: Int,
+      memo: scala.collection.mutable.HashMap[(Int, Int), Option[XForm]] =
+        scala.collection.mutable.HashMap.empty): Map[String, XForm] = {
     if (depth >= MaxFormDepth) return Map.empty
     def dictOf(v: PVal): Option[Map[String, PVal]] = v match {
       case PRef(n)  => objs.get(n).map(_.dict)
@@ -1268,18 +1315,32 @@ object RealPdf {
       case Some(xd) =>
         val out = Map.newBuilder[String, XForm]
         for ((name, ref) <- xd) ref match {
-          case PRef(n) => objs.get(n) match {
-            case Some(o) if o.dict.get("Subtype").contains(PName("Form")) && o.data != null =>
-              val matrix = o.dict.get("Matrix") match {
-                case Some(PArr(Vector(PNum(a), PNum(b), PNum(c), PNum(d), PNum(e), PNum(f)))) =>
-                  Array(a, b, c, d, e, f)
-                case _ => Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-              }
-              val res = o.dict.get("Resources").flatMap(dictOf).getOrElse(Map.empty)
-              out += name -> XForm(o, matrix, fontsOf(res, objs),
-                xobjectsOf(res, objs, depth + 1))
-            case _ => () // image/other XObjects: no raster path, skipped
-          }
+          case PRef(n) =>
+            // explicit get/compute/update: the compute recurses into this
+            // same memo, which getOrElseUpdate's reentrancy contract forbids
+            val xf = memo.get((n, depth)) match {
+              case Some(v) => v
+              case None =>
+                val v: Option[XForm] = objs.get(n) match {
+                  case Some(o) if o.dict.get("Subtype").contains(PName("Form")) =>
+                    val matrix = o.dict.get("Matrix") match {
+                      case Some(PArr(Vector(PNum(a), PNum(b), PNum(c), PNum(d), PNum(e), PNum(f)))) =>
+                        Array(a, b, c, d, e, f)
+                      case _ => Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+                    }
+                    if (o.data == null) // undecodable: keep, execution throws
+                      Some(XForm(o, matrix, Map.empty, Map.empty))
+                    else {
+                      val res = o.dict.get("Resources").flatMap(dictOf).getOrElse(Map.empty)
+                      Some(XForm(o, matrix, fontsOf(res, objs),
+                        xobjectsOf(res, objs, depth + 1, memo)))
+                    }
+                  case _ => None // image/other XObjects: no raster path, skipped
+                }
+                memo.update((n, depth), v)
+                v
+            }
+            for (x <- xf) out += name -> x
           case _ => ()
         }
         out.result()
@@ -1492,6 +1553,12 @@ object RealPdf {
               // XObjects are not in `xobjs` and are ignored.
               case PName(nm) :: _ => xobjs.get(nm) match {
                 case Some(xf) if formDepth < MaxFormDepth =>
+                  // an executed form whose stream could not be decoded would
+                  // silently LOSE its text — error row instead (contract)
+                  if (xf.obj.data == null)
+                    throw new PdfParseException(
+                      s"Form XObject /$nm has an unsupported filter/predictor: text would be silently missing")
+                  space.claimForm() // global per-page budget; throws when spent
                   val m = xf.matrix
                   val na = m(0) * ca + m(1) * cc; val nb = m(0) * cb + m(1) * cd
                   val nc = m(2) * ca + m(3) * cc; val nd = m(2) * cb + m(3) * cd
@@ -1628,8 +1695,13 @@ object RealPdf {
 
     val pages = Vector.newBuilder[PdfPage]
     var totalRuns = 0
-    // font maps are shared across pages with identical /Resources (the norm)
+    // font and XObject maps are shared across pages with identical
+    // /Resources (the norm); xformMemo additionally shares each resolved
+    // form (and its fonts' parsed ToUnicode CMaps) across DIFFERENT
+    // resources dicts referencing the same form object
     val fontCache = scala.collection.mutable.HashMap.empty[Map[String, PVal], Map[String, FontInfo]]
+    val xobjCache = scala.collection.mutable.HashMap.empty[Map[String, PVal], Map[String, XForm]]
+    val xformMemo = scala.collection.mutable.HashMap.empty[(Int, Int), Option[XForm]]
     val units: Vector[(Vector[PObj], (Double, Double), Map[String, FontInfo], Map[String, XForm], Array[Double])] =
       if (orphanMode) orphanStreams.map(o =>
         (Vector(o), (DefaultMediaBox.w, DefaultMediaBox.h),
@@ -1640,7 +1712,8 @@ object RealPdf {
         val (dims, ctm0) = normalizeCtm(r.mediaBox, r.rotate)
         (contentsOf(r), dims,
           fontCache.getOrElseUpdate(r.resources, fontsOf(r.resources, objs)),
-          xobjectsOf(r.resources, objs, 0), ctm0)
+          xobjCache.getOrElseUpdate(r.resources,
+            xobjectsOf(r.resources, objs, 0, xformMemo)), ctm0)
       }
     for ((streams, (pw, ph), fonts, xobjs, ctm0) <- units) {
       val runs = new scala.collection.mutable.ArrayBuffer[GlyphRun]()

@@ -745,6 +745,12 @@ class RealPdfSpec extends AnyFunSuite {
     assert(graft.pdf.Glyphs.resolve("quotedblleft").contains("“"))
     assert(graft.pdf.Glyphs.resolve("bogusname").isEmpty)
     assert(graft.pdf.Glyphs.resolve("uniD800").isEmpty) // surrogate guard
+    // AGL names that MATCH the uXXXX hex shape by prefix/length but whose
+    // suffix is not hex must fall back to the named table, not U+FFFD
+    assert(graft.pdf.Glyphs.resolve("uacute").contains("ú"))
+    assert(graft.pdf.Glyphs.resolve("ugrave").contains("ù"))
+    assert(graft.pdf.Glyphs.resolve("udieresis").contains("ü"))
+    assert(graft.pdf.Glyphs.resolve("ucircumflex").contains("û"))
   }
 
   /** Page whose /Contents invokes a /Subtype /Form XObject (obj 7) via Do. */
@@ -803,6 +809,47 @@ class RealPdfSpec extends AnyFunSuite {
     val gotCyc = Extractor.extract(Page("t://xobjcycle", ts, cyc, "", "en"))
     assert(gotCyc.error == "", gotCyc.error)
     assert(gotCyc.text.contains("page text stays"))
+  }
+
+  test("an EXECUTED form with an undecodable stream is an ERROR row, never silent text loss") {
+    // headline in a /DCTDecode form (no raster path -> data == null), body in
+    // the page stream: extracting just the body with error="" would be the
+    // silently-partial-text outcome the contract forbids
+    val pageOps = "/Fm1 Do BT /F1 12 Tf 1 0 0 1 50 700 Tm (body text here) Tj ET\n"
+    val base = new String(formPdf(pageOps, "opaquejpegbytes"), ISO_8859_1)
+    val patched = base.replace("/Subtype /Form /Length",
+      "/Subtype /Form /Filter /DCTDecode /Length")
+    val got = Extractor.extract(Page("t://xobjundecodable", ts, patched.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("unsupported filter"), got.error)
+    assert(got.text == "")
+  }
+
+  test("breadth x depth form amplification hits the per-page execution budget and errors") {
+    // one self-inheriting form invoked 10x per level: 10 + 100 + 1000 + ...
+    // executions without a global budget; MaxFormExecs caps the page at an
+    // error row in bounded time
+    val manyDo = "/Fm1 Do " * 10
+    val bytes = formPdf(manyDo + "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page body) Tj ET\n",
+      manyDo + "BT /F1 12 Tf 1 0 0 1 50 600 Tm (form text) Tj ET\n")
+    val t0 = System.nanoTime()
+    val got = Extractor.extract(Page("t://xobjbomb", ts, bytes, "", "en"))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(got.error.contains("execution budget"), got.error)
+    assert(got.text == "")
+    assert(ms < 5000, s"form bomb took ${ms}ms")
+  }
+
+  test("Resync anchor cache matches the stateless scan at every monotone position") {
+    // junk with fake headers, a real header, and no trailer — the stateful
+    // index must return exactly what a fresh scan returns as `from` advances
+    val junk = ("garbage endobj 12 obj nope " + ("x" * 503) + "\n7 0 obj\n<< >>\nendobj\n" +
+      ("y" * 251) + " 9 1 obj << >> endobj trailerless tail").getBytes(ISO_8859_1)
+    val idx = new graft.pdf.RealPdf.Resync(junk)
+    var from = 0
+    while (from < junk.length) {
+      assert(idx.target(from) == graft.pdf.RealPdf.resyncTarget(junk, from), s"at $from")
+      from += 37
+    }
   }
 
   test("compressed Form XObject runs carry decoded-space offsets that slice back") {
