@@ -618,13 +618,24 @@ object RealPdf {
                 t
               case _ => null
             }
-          // standard-14 Courier family: uniform 600/1000 metrics are exact
-          // without an AFM table (flat-estimate fonts otherwise keep 0.5 em)
+          // standard-14 metrics for fonts declaring no /Widths: Courier
+          // family is a uniform 600/1000 (exact flat 0.6 em for EVERY code);
+          // Helvetica/Arial/Times get their public AFM ASCII tables
+          // (StdMetrics) — the spec lets standard-14 fonts omit /Widths, so
+          // these are precisely the fonts the flat 0.5 em estimate hit most
           val flat = fd.get("BaseFont") match {
             case Some(PName(bf)) if bf.contains("Courier") || bf.contains("Mono") => 0.6
             case _ => AvgGlyphWidthEm
           }
-          out += fname -> FontInfo(fname, type0, codeLen, cmap, widths, defaultW, enc, flat)
+          val stdWidths: Map[Int, Double] =
+            if (!type0 && widths.isEmpty && flat == AvgGlyphWidthEm)
+              fd.get("BaseFont") match {
+                case Some(PName(bf)) => StdMetrics.widthsFor(bf).getOrElse(Map.empty)
+                case _               => Map.empty
+              }
+            else Map.empty
+          out += fname -> FontInfo(fname, type0, codeLen, cmap,
+            if (stdWidths.nonEmpty) stdWidths else widths, defaultW, enc, flat)
         }
         out.result()
       case _ => Map.empty

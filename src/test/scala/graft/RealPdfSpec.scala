@@ -917,6 +917,31 @@ class RealPdfSpec extends AnyFunSuite {
     assert(math.abs(pages(0).boxes(0).box.w - 4 * 0.6 * 12) < 1e-9, pages(0).boxes(0).box.w.toString)
   }
 
+  test("Helvetica/Times standard-14 base fonts use the public AFM ASCII metrics") {
+    // Helvetica: i = 222, l = 222 -> "(il)" at 12pt = (0.222+0.222)*12
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (il) Tj ET\n"
+    val helv = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val pages = RealPdf.parse(fontPdf(content, helv, None))
+    assert(math.abs(pages(0).boxes(0).box.w - 0.444 * 12) < 1e-9, pages(0).boxes(0).box.w.toString)
+    // subset prefix + Oblique alias the upright weight's table
+    val sub = "<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Helvetica-Oblique >>"
+    val pages2 = RealPdf.parse(fontPdf(content, sub, None))
+    assert(math.abs(pages2(0).boxes(0).box.w - 0.444 * 12) < 1e-9, pages2(0).boxes(0).box.w.toString)
+    // Times-Bold W = 1000: "(WW)" at 12pt = 24
+    val contentW = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (WW) Tj ET\n"
+    val tb = "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Bold >>"
+    val pages3 = RealPdf.parse(fontPdf(contentW, tb, None))
+    assert(math.abs(pages3(0).boxes(0).box.w - 24.0) < 1e-9, pages3(0).boxes(0).box.w.toString)
+    // declared /Widths always win over the standard-14 table
+    val declared = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 105 /Widths [900 900 900 900] >>"
+    val pages4 = RealPdf.parse(fontPdf(content, declared, None))
+    assert(math.abs(pages4(0).boxes(0).box.w - 1.8 * 12) < 1e-9, pages4(0).boxes(0).box.w.toString)
+    // non-ASCII codes fall back to the default estimate, never crash
+    assert(graft.pdf.StdMetrics.widthsFor("Arial,BoldItalic").exists(m => m(105) == 0.278 && !m.contains(200)))
+    assert(graft.pdf.StdMetrics.widthsFor("Courier-Bold").isEmpty) // flat 0.6 path upstream
+    assert(graft.pdf.StdMetrics.widthsFor("SomeEmbedded-Font").isEmpty)
+  }
+
   test("TJ kerning adjusts the run width under real metrics; ignored in estimate mode") {
     // a=b=0.5em; TJ [(ab) -1000 (ab)] -> 0.5+0.5 +1.0 +0.5+0.5 = 3em = 36pt
     val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm [(ab) -1000 (ab)] TJ ET\n"
