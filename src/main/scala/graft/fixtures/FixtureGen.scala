@@ -859,6 +859,18 @@ object FixtureGen {
         }
       }
 
+      // 1/6 of pages embed an inline image (BI <dict> ID <binary> EI). The
+      // payload deliberately contains a raw non-delimited "EI" pair followed
+      // by bytes that would lex as (junk) Tj — the engine's skip must anchor
+      // past ID and resume only at a DELIMITED EI, or the junk leaks into
+      // extracted text and this byte-identity gate catches it. Random payload
+      // bytes stay in 0x80-0xFF so no accidental delimited EI can form.
+      if (r.nextInt(6) == 0) {
+        val px = new StringBuilder
+        for (_ <- 0 until 8 + r.nextInt(16)) px.append((0x80 + r.nextInt(128)).toChar)
+        blocks += "BI /W 4 /H 4 /BPC 8 /CS /G ID " + px + "EI(junk) Tj EI\n"
+      }
+
       // shuffle emission order: the layout pipeline must re-derive it
       var i = blocks.length - 1
       while (i > 0) {

@@ -657,6 +657,34 @@ object RealPdf {
     -1
   }
 
+  /** Skip an inline image; `from` points just past the consumed `BI` token.
+    * Finds the delimited `ID` token (the BI..ID region is token space, not
+    * binary), then the first DELIMITED `EI` after the payload: whitespace
+    * before, whitespace/EOF/delimiter after — the standard heuristic absent
+    * an explicit length, since raw image bytes can contain the pair "EI".
+    * Returns the position just past EI, or end-of-data if none is found. */
+  private[graft] def skipInlineImage(data: Array[Byte], from: Int): Int = {
+    val n = data.length
+    var i = math.max(1, from)
+    var scanFrom = -1
+    while (scanFrom < 0 && i + 1 < n) {
+      if (data(i) == 'I' && data(i + 1) == 'D' &&
+          (isWs(data(i - 1) & 0xff) || isDelim(data(i - 1) & 0xff)) &&
+          (i + 2 >= n || isWs(data(i + 2) & 0xff)))
+        scanFrom = i + 3 // ID + the single mandated whitespace byte
+      i += 1
+    }
+    // malformed (no ID): still require a delimited EI from `from`
+    var p = math.max(1, if (scanFrom < 0) from else scanFrom)
+    while (p + 1 < n) {
+      if (data(p) == 'E' && data(p + 1) == 'I' && isWs(data(p - 1) & 0xff) &&
+          (p + 2 >= n || isWs(data(p + 2) & 0xff) || isDelim(data(p + 2) & 0xff)))
+        return p + 2
+      p += 1
+    }
+    n
+  }
+
   /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminator optional,
     * odd trailing digit zero-padded. Bad digits -> PdfParseException. */
   private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
@@ -1584,9 +1612,12 @@ object RealPdf {
               case _ => ()
             }
             case "BI" =>
-              // inline image: skip to EI (binary payload would derail the lexer)
-              val ei = find(data, lx.pos, "EI")
-              lx.pos = if (ei >= 0) ei + 2 else data.length
+              // inline image: skip BI <dict> ID <binary> EI. The payload is
+              // raw binary that can contain the byte pair "EI", so a naive
+              // search can resume the lexer MID-IMAGE where junk bytes may
+              // parse as (string) Tj — silently wrong text. Skip from the
+              // delimited ID token to a DELIMITED EI instead.
+              lx.pos = skipInlineImage(data, lx.pos)
             case _ => () // W/m/l/gs/color ops: consumed, ignored
           }
           operands = Nil

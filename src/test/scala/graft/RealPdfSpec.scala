@@ -942,6 +942,34 @@ class RealPdfSpec extends AnyFunSuite {
     assert(graft.pdf.StdMetrics.widthsFor("SomeEmbedded-Font").isEmpty)
   }
 
+  test("inline image payload containing a raw EI pair does not derail the lexer") {
+    // payload holds a NON-delimited "EI" followed by bytes that would lex as
+    // (junk) Tj if the skip stopped there — the old naive find() did exactly
+    // that and emitted "junk" as page text
+    val payload = "\u0000\u0001EI\u0002(junk) Tj\u0007\u00ff"
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (before) Tj ET\n" +
+      s"BI /W 4 /H 4 /BPC 8 /CS /G ID $payload EI\n" +
+      "BT /F9 12 Tf 1 0 0 1 50 680 Tm (after) Tj ET\n"
+    val helv = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val got = Extractor.extract(Page("t://bi1", ts, fontPdf(content, helv, None), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text.contains("before") && got.text.contains("after"), got.text)
+    assert(!got.text.contains("junk"), got.text)
+  }
+
+  test("skipInlineImage: delimited-EI scan anchored past ID; malformed falls back bounded") {
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // from points past "BI"; false EI not ws-preceded; true EI ws-delimited
+    val d1 = bytes("BI /W 1 ID \u0000EI\u0002 xx EI (rest) Tj")
+    assert(RealPdf.skipInlineImage(d1, 2) == d1.indexOfSlice(bytes(" EI ")) + 3)
+    // no ID token at all: still requires a delimited EI, never loops
+    val d2 = bytes("BI broken blah EI more")
+    assert(RealPdf.skipInlineImage(d2, 2) == d2.indexOfSlice(bytes(" EI ")) + 3)
+    // no EI anywhere: skip to end of data rather than re-lexing binary
+    assert(RealPdf.skipInlineImage(bytes("BI /W 1 ID \u0000\u0001EI\u0002junk"), 2) ==
+      bytes("BI /W 1 ID \u0000\u0001EI\u0002junk").length)
+  }
+
   test("TJ kerning adjusts the run width under real metrics; ignored in estimate mode") {
     // a=b=0.5em; TJ [(ab) -1000 (ab)] -> 0.5+0.5 +1.0 +0.5+0.5 = 3em = 36pt
     val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm [(ab) -1000 (ab)] TJ ET\n"
