@@ -1389,7 +1389,9 @@ object RealPdf {
 
   /** One recognized text run in page space (PDF coords, y up, baseline).
     * `widthEm` is the run's advance in em (real /Widths//W metrics when the
-    * font declared any, else [[AvgGlyphWidthEm]] per decoded char); `decoded`
+    * font declared any, else [[AvgGlyphWidthEm]] per decoded char; Tz
+    * horizontal scaling always folded in, Tc/Tw spacing folded in under
+    * real metrics); `decoded`
     * marks byte offsets in DECODED-stream space (compressed content — the
     * offsets index the concatenation of the page's decoded content streams)
     * instead of raw-file space. */
@@ -1437,6 +1439,11 @@ object RealPdf {
     var leading = 0.0
     var fontSize = 12.0
     var curFont: FontInfo = null
+    // text-state spacing (PDF 32000-1 §9.3): Tc char spacing / Tw word
+    // spacing (text-space units) and Tz horizontal scaling (stored as a
+    // fraction). Graphics-state params like the CTM, but — matching the
+    // CTM-only q/Q scope documented above — not saved/restored by q/Q.
+    var charSp = 0.0; var wordSp = 0.0; var hScale = 1.0
     var operands = List.empty[PVal] // reversed
     val pendingRects = scala.collection.mutable.ArrayBuffer.empty[PaintedRect]
     def num(v: PVal): Double = v match { case PNum(x) => x; case _ => 0.0 }
@@ -1455,9 +1462,30 @@ object RealPdf {
       else (decodedBase + s.b, decodedBase + s.e)
     def showText(s: PStr): String =
       if (curFont == null) s.s else curFont.decode(s.raw, s.s)
-    def widthOf(s: PStr, text: String): Double =
-      if (curFont == null) AvgGlyphWidthEm * text.length
-      else curFont.widthEm(s.raw, text.length)
+    def widthOf(s: PStr, text: String): Double = {
+      val glyphs =
+        if (curFont == null) AvgGlyphWidthEm * text.length
+        else curFont.widthEm(s.raw, text.length)
+      // Tc/Tw are additive text-space units, folded to em via the active
+      // size — applied only under REAL width metrics (same policy as TJ
+      // kerning: on the flat 0.5 em grid they would be false precision).
+      // Tw hits single-byte code 0x20 only; multi-byte/Type0 codes never
+      // word-space (PDF 32000-1 §9.3.3). Tz, a pure multiplier meaningful
+      // at any precision, applies in both modes.
+      val spaced =
+        if (curFont != null && curFont.widths.nonEmpty && fontSize != 0.0 &&
+            (charSp != 0.0 || wordSp != 0.0)) {
+          val cl = math.max(1, curFont.codeLen)
+          val nCodes = s.raw.length / cl
+          var nSp = 0
+          if (cl == 1 && !curFont.type0) {
+            var i = 0
+            while (i < s.raw.length) { if (s.raw(i) == 0x20) nSp += 1; i += 1 }
+          }
+          glyphs + (nCodes * charSp + nSp * wordSp) / fontSize
+        } else glyphs
+      math.max(0.0, spaced * hScale) // adversarial negative Tc: clamp like TJ
+    }
     def emit(text: String, widthEm: Double, b0: Long, e0: Long): Unit = {
       if (text.nonEmpty) {
         val detTm = math.sqrt(math.abs(a * d - bb * c))
@@ -1500,6 +1528,19 @@ object RealPdf {
               case PNum(l) :: _ => leading = l
               case _            => ()
             }
+            case "Tc" => operands match {
+              case PNum(x) :: _ => charSp = x
+              case _            => ()
+            }
+            case "Tw" => operands match {
+              case PNum(x) :: _ => wordSp = x
+              case _            => ()
+            }
+            case "Tz" => operands match {
+              // |x|: a mirrored run still occupies its absolute width
+              case PNum(x) :: _ => hScale = math.abs(x) / 100.0
+              case _            => ()
+            }
             case "Td" => operands match {
               case PNum(ty) :: PNum(tx) :: _ => td(tx, ty)
               case _                         => ()
@@ -1525,7 +1566,12 @@ object RealPdf {
               case _ => ()
             }
             case "\"" => operands match {
-              case (s: PStr) :: _ =>
+              // aw ac string " — sets word/char spacing STATE, then shows
+              case (s: PStr) :: rest =>
+                rest match {
+                  case PNum(ac) :: PNum(aw) :: _ => charSp = ac; wordSp = aw
+                  case _                         => ()
+                }
                 td(0, -leading); val (b0, e0) = offs(s); val t = showText(s); emit(t, widthOf(s, t), b0, e0)
               case _ => ()
             }
@@ -1547,7 +1593,9 @@ object RealPdf {
                     val (pb, pe) = offs(s)
                     if (b0 < 0) b0 = pb
                     e0 = pe
-                  case PNum(adj) if kern => w -= adj / 1000.0
+                  // horizontal scaling multiplies kern displacements too
+                  // (widthOf already folds it into the string parts)
+                  case PNum(adj) if kern => w -= adj / 1000.0 * hScale
                   case _                 => ()
                 }
                 if (w < 0) w = 0 // adversarial positive adjustments

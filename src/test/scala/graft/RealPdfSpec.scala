@@ -982,6 +982,43 @@ class RealPdfSpec extends AnyFunSuite {
     assert(math.abs(pages2(0).boxes(0).box.w - 24.0) < 1e-9, pages2(0).boxes(0).box.w.toString)
   }
 
+  test("Tz horizontal scaling halves run advance in both metric and estimate modes") {
+    // same geometry as the kerning vector, condensed 50%
+    val content = "BT /F9 12 Tf 50 Tz 1 0 0 1 50 700 Tm [(ab) -1000 (ab)] TJ ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [500 500] >>"
+    // metrics: (0.5+0.5 +1.0 +0.5+0.5) em x 0.5 = 1.5em = 18pt (kern scales too)
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    assert(math.abs(pages(0).boxes(0).box.w - 18.0) < 1e-9, pages(0).boxes(0).box.w.toString)
+    // estimate mode: Tz still applies (pure multiplier) -> 4 x 0.5em x 0.5 x 12 = 12pt
+    val noW = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake >>"
+    val pages2 = RealPdf.parse(fontPdf(content, noW, None))
+    assert(math.abs(pages2(0).boxes(0).box.w - 12.0) < 1e-9, pages2(0).boxes(0).box.w.toString)
+  }
+
+  test("Tc/Tw spacing widens runs under real metrics; ignored in estimate mode") {
+    // a=b=0.5em, space falls to the 0.5em default; 3 codes x 1.2pt Tc +
+    // 1 space x 2.4pt Tw = 6pt = 0.5em at 12pt -> (1.5 + 0.5) x 12 = 24pt
+    val content = "BT /F9 12 Tf 1.2 Tc 2.4 Tw 1 0 0 1 50 700 Tm (a b) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [500 500] >>"
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    assert(math.abs(pages(0).boxes(0).box.w - 24.0) < 1e-9, pages(0).boxes(0).box.w.toString)
+    // flat grid: additive spacing would be false precision -> 3 x 0.5em x 12 = 18pt
+    val noW = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake >>"
+    val pages2 = RealPdf.parse(fontPdf(content, noW, None))
+    assert(math.abs(pages2(0).boxes(0).box.w - 18.0) < 1e-9, pages2(0).boxes(0).box.w.toString)
+  }
+
+  test("\" operator sets word/char spacing state that persists for later shows") {
+    // aw=2.4 ac=1.2 (a b) " -> same 24pt as the Tc/Tw vector; the following
+    // plain Tj must still see the spacing state (PDF 32000-1 Table 107)
+    val content = "BT /F9 12 Tf 14 TL 1 0 0 1 50 700 Tm 2.4 1.2 (a b) \" (a b) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [500 500] >>"
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    val ws = pages(0).boxes.map(_.box.w)
+    assert(ws.length == 2, ws.toString)
+    assert(ws.forall(w => math.abs(w - 24.0) < 1e-9), ws.toString)
+  }
+
   test("fixture corpus exercises both predictor-12 variants (content stream and ObjStm)") {
     // guard against silent death of the generator's draw paths: the golden
     // suite only proves predictor decode if predictor'd fixtures exist
