@@ -1414,7 +1414,8 @@ object RealPdf {
     * for ruling-line table detection. `fonts` are the page's resolved
     * /Resources fonts: show-time strings re-decode through the active font's
     * /ToUnicode CMap; a Type0 font without one throws (error-row contract).
-    * The CTM (cm, saved/restored by q/Q) is tracked and applied to emitted
+    * The CTM (cm) and the text state (font/size/leading/spacing) are
+    * saved/restored by q/Q; the CTM is tracked and applied to emitted
     * positions, sizes and rectangles, so translated/scaled content places
     * correctly; all six coefficients compose, so rotated content lands at
     * its rotated position (its box stays axis-aligned — documented bound). */
@@ -1436,13 +1437,15 @@ object RealPdf {
     var ca = 1.0; var cb = 0.0; var cc = 0.0; var cd = 1.0; var ce = 0.0; var cf = 0.0
     if (ctm0 != null) { ca = ctm0(0); cb = ctm0(1); cc = ctm0(2); cd = ctm0(3); ce = ctm0(4); cf = ctm0(5) }
     val ctmStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val textStack = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, FontInfo, Double, Double, Double, Double)]
     var leading = 0.0
     var fontSize = 12.0
     var curFont: FontInfo = null
     // text-state spacing (PDF 32000-1 §9.3): Tc char spacing / Tw word
     // spacing (text-space units) and Tz horizontal scaling (stored as a
-    // fraction). Graphics-state params like the CTM, but — matching the
-    // CTM-only q/Q scope documented above — not saved/restored by q/Q.
+    // fraction). Graphics-state params: saved/restored by q/Q alongside
+    // the CTM (with font, size and leading).
     var charSp = 0.0; var wordSp = 0.0; var hScale = 1.0
     var operands = List.empty[PVal] // reversed
     val pendingRects = scala.collection.mutable.ArrayBuffer.empty[PaintedRect]
@@ -1617,11 +1620,21 @@ object RealPdf {
             case "S" | "s" | "f" | "F" | "f*" | "B" | "B*" | "b" | "b*" =>
               rects ++= pendingRects; pendingRects.clear()
             case "n" => pendingRects.clear() // no-paint (clip path): discard
-            case "q" => ctmStack += Array(ca, cb, cc, cd, ce, cf)
+            case "q" =>
+              ctmStack += Array(ca, cb, cc, cd, ce, cf)
+              // text-state params are part of the graphics state (PDF
+              // 32000-1 §8.4.1): generators rely on q .. Tf/Tc/Tz .. Q
+              // restoring the outer font and spacing
+              textStack += ((fontSize, curFont, leading, charSp, wordSp, hScale))
             case "Q" =>
               if (ctmStack.nonEmpty) {
                 val m = ctmStack.remove(ctmStack.length - 1)
                 ca = m(0); cb = m(1); cc = m(2); cd = m(3); ce = m(4); cf = m(5)
+              }
+              if (textStack.nonEmpty) {
+                val t = textStack.remove(textStack.length - 1)
+                fontSize = t._1; curFont = t._2; leading = t._3
+                charSp = t._4; wordSp = t._5; hScale = t._6
               }
             case "cm" => operands match {
               // ctm' = M x ctm (new matrix composes BEFORE the old one)

@@ -1008,6 +1008,22 @@ class RealPdfSpec extends AnyFunSuite {
     assert(math.abs(pages2(0).boxes(0).box.w - 18.0) < 1e-9, pages2(0).boxes(0).box.w.toString)
   }
 
+  test("q/Q restores text state (font size, spacing) alongside the CTM") {
+    // inner q block condenses with 50 Tz and grows the size; after Q the
+    // outer 12pt / 100% state must be back: both (ab) runs then 12pt wide
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm " +
+      "q /F9 24 Tf 50 Tz (ab) Tj Q (ab) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 /Widths [500 500] >>"
+    val pages = RealPdf.parse(fontPdf(content, font, None))
+    val boxes = pages(0).boxes ++ pages(0).titles.map(_.tb)
+    val ws = boxes.map(_.box.w).sorted
+    assert(ws.length == 2, ws.toString)
+    // inner: 1.0em x 0.5 x 24 = 12pt; outer restored: 1.0em x 1.0 x 12 = 12pt
+    assert(ws.forall(w => math.abs(w - 12.0) < 1e-9), ws.toString)
+    // and the restored run must be 12pt tall, not 24
+    assert(boxes.exists(b => math.abs(b.box.h - 12.0) < 1e-9), boxes.toString)
+  }
+
   test("\" operator sets word/char spacing state that persists for later shows") {
     // aw=2.4 ac=1.2 (a b) " -> same 24pt as the Tc/Tw vector; the following
     // plain Tj must still see the spacing state (PDF 32000-1 Table 107)
