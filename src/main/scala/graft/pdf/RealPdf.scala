@@ -1097,7 +1097,9 @@ object RealPdf {
                     case _ =>
                       val e = find(b, rawStart, "endstream")
                       if (e < 0) throw new PdfParseException("unterminated stream")
-                      trimEol(b, e)
+                      // zero-length streams: trimEol must not walk back over
+                      // the stream-start EOL already consumed above
+                      math.max(rawStart, trimEol(b, e))
                   }
                   val (data, exact) = applyFilters(b, rawStart, rawEnd, dict)
                   obj = PObj(num, dict, data, rawStart, rawEnd, exact)

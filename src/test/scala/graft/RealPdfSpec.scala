@@ -137,6 +137,17 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.text == "length lied")
   }
 
+  test("zero-length stream (no /Length) parses as empty, not a bad slice") {
+    // fuzz-found: `stream\nendstream` with no /Length made trimEol walk back
+    // over the stream-start EOL, so rawEnd < rawStart → copyOfRange IAE
+    val base = new String(minimalPdf("BT /F1 12 Tf 1 0 0 1 50 700 Tm (after empty) Tj ET\n"), ISO_8859_1)
+    val withEmpty = base.replace("trailer\n",
+      "5 0 obj\n<< >>\nstream\nendstream\nendobj\ntrailer\n")
+    val got = Extractor.extract(Page("t://real9", ts, withEmpty.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "after empty")
+  }
+
   test("ruling-line grid becomes a table: cells detected geometrically from painted re rects") {
     // 2x2 grid at (50, 600)..(250, 648) in PDF space: 3 horizontal + 3
     // vertical hairline rects, stroked; one 12pt run centered in each cell
