@@ -136,7 +136,12 @@ object BlockBuilder {
           val grid = TableGrid.resolve(tblRows)
           val htmlText = TableGrid.render(grid)
           val nonWs = htmlText.count(c => !c.isWhitespace)
-          out += RawBlock("table", "table", 0, htmlText, tblBegin, endByte,
+          // endByte is approximated by the last text end, which predates
+          // tblBegin when the table captured cells but no text (e.g. a bare
+          // <table><tr><td> at end of input) — clamp so the span stays a
+          // valid [begin, end) range
+          out += RawBlock("table", "table", 0, htmlText, tblBegin,
+            math.max(tblBegin, endByte),
             nonWs, 0, tblDroppedCtx, tblCellRuns.toArray)
         }
         tblDepth = 0; tblNested = 0; tblRows = Vector.empty; tblRow = Vector.empty

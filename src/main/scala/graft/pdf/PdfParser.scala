@@ -146,6 +146,10 @@ object PdfParser {
       val nums = new Array[Double](k)
       var got = 0
       while (got < k) {
+        // a number ending exactly at `e` leaves p = e+1; on the last line of
+        // the payload that is one past the buffer — a truncated line simply
+        // has too few numbers
+        if (p > e) return null
         var q = p
         while (q < e && bytes(q) != ' ') q += 1
         val s = new String(bytes, p, q - p, java.nio.charset.StandardCharsets.US_ASCII)

@@ -398,6 +398,26 @@ class KernelSpec extends AnyFunSuite {
     assert(Classifier.countWords("mix 中文 ok") == 4)
   }
 
+  test("table with cells but no text keeps a valid [begin,end) span") {
+    // a bare data-table opening at end of input captures a cell but never a
+    // text run, so the last-text-end approximation predates the table —
+    // the emitted span must clamp, not invert (found by FuzzCampaign --html)
+    val bs = blocksOf("<p>words before the table appear here</p><table border=1><tr><td>")
+    val tbl = bs.filter(_.kind == "table")
+    assert(tbl.nonEmpty)
+    assert(tbl.forall(b => b.beginByte <= b.endByte), tbl.map(b => (b.beginByte, b.endByte)))
+  }
+
+  test("dialect pdf: truncated trailing line is skipped, not a parse crash") {
+    // a number ending exactly at end-of-input left the scan one past the
+    // buffer (StringIndexOutOfBounds; found by FuzzCampaign --html on
+    // mutated dialect rows) — too-few-numbers lines are simply skipped
+    val payload = "%PDF-GRAFT v2\nP 612.0 792.0\nT 10 20 30".getBytes(StandardCharsets.UTF_8)
+    val (text, spans) = graft.pdf.PdfParser.extract(payload)
+    assert(text == "", text)
+    assert(spans.isEmpty)
+  }
+
   test("pdf formula: latex normalization collapses whitespace runs, trims ends") {
     import graft.pdf.PdfParser.normalizeLatex
     assert(normalizeLatex("E_{3}  =\t m c^2 ") == "E_{3} = m c^2")
