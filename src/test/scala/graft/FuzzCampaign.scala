@@ -20,7 +20,9 @@ import graft.model.Page
   *
   * Mutations (composable, both modes): byte flips, truncation, window
   * duplication (incremental-update-like splices), grammar token injection,
-  * window zeroing.
+  * window zeroing, and cross-document splices (a window from a DIFFERENT
+  * fixture document — including the other branch's format — inserted at a
+  * random cut: the WARC record-boundary corruption shape).
   *
   * Run: sbt "Test/runMain graft.FuzzCampaign 20000 [--html]"
   * Exits 1 on any contract violation.
@@ -51,12 +53,15 @@ object FuzzCampaign {
     "</", "/>", "<!doctype html>")
 
   /** One mutated copy of `base`: 1-3 composable ops. `keep` wire bytes at
-    * the head are never flipped/zeroed/truncated away (the PDF magic). */
+    * the head are never flipped/zeroed/truncated away (the PDF magic).
+    * `donors` feeds the crossover op (a window from a DIFFERENT document
+    * spliced in — the WARC record-boundary corruption shape). */
   private def mutate(rnd: java.util.Random, base: Array[Byte],
-                     tokens: Array[String], keep: Int): Array[Byte] = {
+                     tokens: Array[String], keep: Int,
+                     donors: Array[Array[Byte]]): Array[Byte] = {
     var b = java.util.Arrays.copyOf(base, base.length)
     val nOps = 1 + rnd.nextInt(3)
-    for (_ <- 0 until nOps) rnd.nextInt(5) match {
+    for (_ <- 0 until nOps) rnd.nextInt(6) match {
       case 0 => // flip 1..64 bytes after the protected prefix
         if (b.length > keep)
           for (_ <- 0 to rnd.nextInt(64))
@@ -79,11 +84,23 @@ object FuzzCampaign {
         System.arraycopy(t, 0, out, at, t.length)
         System.arraycopy(b, at, out, at + t.length, b.length - at)
         b = out
-      case _ => // zero a window
+      case 4 => // zero a window
         if (b.length > keep) {
           val off = keep + rnd.nextInt(b.length - keep)
           val len = math.min(b.length - off, 1 + rnd.nextInt(512))
           java.util.Arrays.fill(b, off, off + len, 0.toByte)
+        }
+      case _ => // crossover: splice a window from another document at a cut
+        val d = donors(rnd.nextInt(donors.length))
+        if (d.length > 0) {
+          val doff = rnd.nextInt(d.length)
+          val dlen = math.min(d.length - doff, 1 + rnd.nextInt(8192))
+          val at = math.min(b.length, keep + rnd.nextInt(math.max(1, b.length - keep)))
+          val out = new Array[Byte](at + dlen + (b.length - at))
+          System.arraycopy(b, 0, out, 0, at)
+          System.arraycopy(d, doff, out, at, dlen)
+          System.arraycopy(b, at, out, at + dlen, b.length - at)
+          b = out
         }
     }
     b
@@ -113,6 +130,12 @@ object FuzzCampaign {
         (26L until 2026L by 50L).map(graft.fixtures.FixtureGen.fixture(_).page.html).toArray
     val tokens = if (htmlMode) HtmlTokens else PdfTokens
     val keep = if (htmlMode) 0 else 4
+    // crossover donors span BOTH branches: PDF fragments spliced into HTML
+    // and vice versa are exactly what truncated WARC records produce
+    val donors = seeds ++ (if (htmlMode)
+      (26L until 526L by 50L).map(graft.fixtures.FixtureGen.fixture(_).page.html)
+    else
+      (0L until 10L).map(graft.fixtures.FixtureGen.fixture(_).page.html))
     val ts = new java.sql.Timestamp(0L)
     var ok = 0L; var err = 0L; var violations = 0L
     var maxMs = 0.0; var maxCase = -1
@@ -122,7 +145,7 @@ object FuzzCampaign {
     val rareMsgs = scala.collection.mutable.LinkedHashSet.empty[String]
     val t0 = System.nanoTime()
     for (k <- 0 until n) {
-      val mut = mutate(rnd, seeds(k % seeds.length), tokens, keep)
+      val mut = mutate(rnd, seeds(k % seeds.length), tokens, keep, donors)
       val r0 = System.nanoTime()
       val got = Extractor.extract(Page(s"t://fuzzc$k", ts, mut, "", "en"))
       val ms = (System.nanoTime() - r0) / 1e6
