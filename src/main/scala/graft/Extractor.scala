@@ -32,8 +32,11 @@ object Extractor {
     * the END of the file: truncating would silently drop or REORDER pages
     * (orphan fallback is stream-order). An oversize PDF therefore becomes an
     * ERROR row (never silently-partial text), and parse cost is bounded
-    * together with RealPdf.MaxResyncs. */
-  val MaxPdfBytes: Int = MaxHtmlBytes
+    * together with RealPdf.MaxResyncs. 4× the HTML cap: real crawled PDFs
+    * (scanned/image-heavy) are routinely 20–50 MB where 16 MB of HTML is
+    * already pathological, and RealPdf's scan cost is linear + resync-capped,
+    * so the larger cap buys coverage without an adversarial-cost cliff. */
+  val MaxPdfBytes: Int = 4 * MaxHtmlBytes
 
   /** Sniff + normalize for the byte-level pipeline: UTF-16 pages (BOM or
     * parity-confirmed) are transcoded to UTF-8; for those pages span offsets

@@ -359,7 +359,15 @@ object RealPdf {
         * simple fonts — null when the font declares none (Latin-1 default) */
       enc: Array[String] = null,
       /** per-glyph advance used when no /Widths exist (flat-estimate mode) */
-      flatWidthEm: Double = AvgGlyphWidthEm) {
+      flatWidthEm: Double = AvgGlyphWidthEm,
+      /** true when [[flatWidthEm]] is EXACT (Courier family: uniform
+        * 600/1000), not the 0.5 em estimate — exact flat metrics take TJ
+        * kerning and Tc/Tw spacing like per-code /Widths do */
+      flatExact: Boolean = false) {
+    /** real geometry available: per-code /Widths or an exact flat advance.
+      * Gates TJ kern + Tc/Tw folds — on the 0.5 em ESTIMATE they would be
+      * false precision added to a coarse grid. */
+    def hasMetrics: Boolean = widths.nonEmpty || flatExact
     /** per-byte decode through the declared simple-font encoding */
     @inline private def encByte(b: Int): String =
       if (enc != null) enc(b & 0xFF) else (b & 0xFF).toChar.toString
@@ -571,7 +579,9 @@ object RealPdf {
                 case _ => (Map.empty[Int, Double], AvgGlyphWidthEm)
               }
             } else {
-              (fd.get("FirstChar"), fd.get("Widths").flatMap(deref)) match {
+              // FirstChar is dereffed like Widths: an indirect /FirstChar
+              // must not silently discard a present, derefable /Widths table
+              (fd.get("FirstChar").flatMap(deref), fd.get("Widths").flatMap(deref)) match {
                 case (Some(PNum(fc)), Some(PArr(ws))) =>
                   val m = Map.newBuilder[Int, Double]
                   var k = 0
@@ -635,7 +645,8 @@ object RealPdf {
               }
             else Map.empty
           out += fname -> FontInfo(fname, type0, codeLen, cmap,
-            if (stdWidths.nonEmpty) stdWidths else widths, defaultW, enc, flat)
+            if (stdWidths.nonEmpty) stdWidths else widths, defaultW, enc, flat,
+            flatExact = flat != AvgGlyphWidthEm)
         }
         out.result()
       case _ => Map.empty
@@ -863,14 +874,27 @@ object RealPdf {
     * alone or chained (e.g. [ASCII85Decode FlateDecode]) — plus a
     * /DecodeParms /Predictor (TIFF 2 at 8 bpc, PNG 10..15) on a SINGLE
     * Flate/LZW filter, the real-world xref/ObjStm norm. Unsupported filters,
-    * an unsupported predictor shape, an INDIRECT DecodeParms (a ref cannot be
-    * dereferenced during the scan — treated as predictor-present, never
-    * silently skipped), or per-filter parms arrays yield (null, false): the
-    * stream stays metadata-only rather than risking corrupted text. Returns
-    * (decoded data, exact) where exact means data IS the file slice. */
+    * an unsupported predictor shape, an indirect /Filter//DecodeParms that
+    * `deref` cannot resolve (always the case during the scan — [[redecode]]
+    * retries with the complete pool), or per-filter parms arrays yield
+    * (null, false): the stream stays metadata-only rather than risking
+    * corrupted text. Returns (decoded data, exact) where exact means data
+    * IS the file slice. */
   private def applyFilters(b: Array[Byte], rawStart: Int, rawEnd: Int,
-      dict: Map[String, PVal]): (Array[Byte], Boolean) = {
-    val names: Option[Vector[String]] = dict.get("Filter") match {
+      dict: Map[String, PVal],
+      /** indirect-ref resolver. During the scan no pool exists yet, so the
+        * default resolves nothing and indirect /Filter//DecodeParms stay
+        * metadata-only; [[parse]]'s late re-decode pass retries those
+        * streams with the COMPLETE pool once the scan is done. */
+      deref: Int => Option[PVal] = _ => None): (Array[Byte], Boolean) = {
+    def resolved(v: Option[PVal]): Option[PVal] = v match {
+      // an UNRESOLVABLE ref must stay "present but uninterpretable" (PNull
+      // matches no shape below), never collapse to "absent" — absent means
+      // "no filter"/"no predictor", which would silently mis-decode
+      case Some(PRef(n)) => Some(deref(n).getOrElse(PNull))
+      case other         => other
+    }
+    val names: Option[Vector[String]] = resolved(dict.get("Filter")) match {
       case None                => Some(Vector.empty)
       case Some(PName(n))      => Some(Vector(n))
       case Some(PArr(vs)) =>
@@ -879,23 +903,24 @@ object RealPdf {
       case Some(_)             => None
     }
     // (predictor, colors, bpc, columns, earlyChange); None = parms present
-    // but not interpretable here (indirect ref / per-filter array / non-
-    // numeric fields) -> conservative metadata-only when a predictor may hide
+    // but not interpretable here (unresolvable indirect ref / per-filter
+    // array / non-numeric fields) -> conservative metadata-only when a
+    // predictor may hide
     val parms: Option[(Int, Int, Int, Int, Int)] =
-      (dict.get("DecodeParms") orElse dict.get("DP")) match {
+      resolved(dict.get("DecodeParms") orElse dict.get("DP")) match {
         case None => Some((1, 1, 8, 1, 1))
         case Some(PDict(m)) =>
-          def num(k: String, d: Int): Option[Int] = m.get(k) match {
+          def num(k: String, d: Int): Option[Int] = resolved(m.get(k)) match {
             case Some(PNum(v)) => Some(v.toInt)
             case None          => Some(d)
-            case _             => None // non-numeric (e.g. indirect) field
+            case _             => None // non-numeric, unresolvable-indirect field
           }
           for {
             p <- num("Predictor", 1); c <- num("Colors", 1)
             bits <- num("BitsPerComponent", 8); cols <- num("Columns", 1)
             ec <- num("EarlyChange", 1)
           } yield (p, c, bits, cols, ec)
-        case Some(_) => None // PArr per-filter parms or PRef indirect: out of scope
+        case Some(_) => None // PArr per-filter parms: out of scope
       }
     val predictorOk = parms match {
       case Some((p, c, bits, cols, _)) =>
@@ -994,44 +1019,56 @@ object RealPdf {
   private[graft] final class Resync(b: Array[Byte]) {
     private var objAt = -1 // first plausible header ≥ the from it was computed for
     private var trAt = -1  // ditto for token-boundary "trailer"; b.length = none
+    // Both scans cap candidate checks per call at 256. A tripped cap returns
+    // -(resume position): "no anchor in the first 256 candidates, continue
+    // from here" — a FORWARD-PROGRESS hint, never cached (caching b.length
+    // for it would stick: `cached < from` never fires again, and >256 junk
+    // " obj" substrings — e.g. a text stream discussing PDF syntax — would
+    // silently drop every later genuine object). The caller charges a resync
+    // per hop, so MaxResyncs still bounds total work; `from` only moves
+    // forward across one scan, so candidates are never re-checked.
     private def nextObj(from: Int): Int = {
-      var at = b.length
       var search = from
       var guard = 0
-      var done = false
-      while (!done && guard < 256) {
+      while (guard < 256) {
         guard += 1
         val o = find(b, search, " obj")
-        if (o < 0) done = true
-        else {
-          val after = o + 4
-          val okAfter = after >= b.length || isWs(b(after)) || isDelim(b(after))
-          val hs = if (okAfter) headerStart(b, o) else -1
-          if (hs >= from) { at = hs; done = true }
-          else search = after
-        }
+        if (o < 0) return b.length // genuinely none: cacheable
+        val after = o + 4
+        val okAfter = after >= b.length || isWs(b(after)) || isDelim(b(after))
+        val hs = if (okAfter) headerStart(b, o) else -1
+        if (hs >= from) return hs
+        search = after
       }
-      at
+      -search // cap tripped: uncacheable resume hint
     }
     private def nextTrailer(from: Int): Int = {
-      var at = b.length
       var search = from
       var guard = 0
-      var done = false
-      while (!done && guard < 256) {
+      while (guard < 256) {
         guard += 1
         val t = find(b, search, "trailer")
-        if (t < 0) done = true
-        else if ((t == 0 || isWs(b(t - 1)) || isDelim(b(t - 1))) &&
-          (t + 7 >= b.length || isWs(b(t + 7)) || isDelim(b(t + 7)))) { at = t; done = true }
-        else search = t + 7
+        if (t < 0) return b.length
+        if ((t == 0 || isWs(b(t - 1)) || isDelim(b(t - 1))) &&
+          (t + 7 >= b.length || isWs(b(t + 7)) || isDelim(b(t + 7)))) return t
+        search = t + 7
       }
-      at
+      -search
     }
     def target(from: Int): Int = {
-      if (objAt < from) objAt = nextObj(from)
-      if (trAt < from) trAt = nextTrailer(from)
-      math.min(objAt, trAt)
+      val obj =
+        if (objAt >= from) objAt
+        else nextObj(from) match {
+          case r if r >= 0 => objAt = r; r
+          case r           => math.max(from, -r)
+        }
+      val tr =
+        if (trAt >= from) trAt
+        else nextTrailer(from) match {
+          case r if r >= 0 => trAt = r; r
+          case r           => math.max(from, -r)
+        }
+      math.min(obj, tr)
     }
   }
 
@@ -1132,6 +1169,50 @@ object RealPdf {
       }
     }
     (objs.result(), order.result(), trailer)
+  }
+
+  /** Late re-decode pass: streams whose scan-time decode was skipped only
+    * because /Filter or /DecodeParms (or a field inside it) was an INDIRECT
+    * ref — unresolvable mid-scan, when the pool is incomplete — get a second
+    * [[applyFilters]] with the complete pool as deref. A late-decoded
+    * /ObjStm unpacks too; its inner objects fill ABSENT numbers only (a
+    * number also defined at top level keeps the top-level definition: the
+    * exact file-order last-wins slot is unrecoverable here, and before this
+    * pass such files lost the whole ObjStm, so absent-only is strictly more
+    * coverage, never less). Fixpoint-iterated for ref chains (an ObjStm
+    * whose parms object lives in another late-decoded ObjStm), bounded. */
+  private[pdf] def redecode(b: Array[Byte], objs0: Map[Int, PObj],
+      order0: Vector[Int]): (Map[Int, PObj], Vector[Int]) = {
+    var objs = objs0
+    var order = order0
+    var progress = true
+    var rounds = 0
+    while (progress && rounds < 8) {
+      progress = false
+      rounds += 1
+      val deref: Int => Option[PVal] =
+        n => objs.get(n).map(o => if (o.dict.nonEmpty) PDict(o.dict) else o.value)
+      for (num <- order) {
+        val o = objs(num)
+        // data == null with rawEnd > rawStart marks a stream that failed to
+        // decode; only /Filter-bearing ones can succeed on retry (filterless
+        // streams always decode at scan time)
+        if (o.data == null && o.rawEnd > o.rawStart && o.dict.contains("Filter")) {
+          val (data, exact) = applyFilters(b, o.rawStart, o.rawEnd, o.dict, deref)
+          if (data != null) {
+            val upd = o.copy(data = data, exact = exact)
+            objs += num -> upd
+            progress = true
+            if (upd.dict.get("Type").contains(PName("ObjStm")))
+              for (inner <- unpackObjStm(upd) if !objs.contains(inner.num)) {
+                objs += inner.num -> inner
+                order :+= inner.num
+              }
+          }
+        }
+      }
+    }
+    (objs, order)
   }
 
   /** Unpack one /Type /ObjStm object stream (PDF 1.5+, spec 7.5.7): the
@@ -1427,7 +1508,13 @@ object RealPdf {
       fonts: Map[String, FontInfo] = Map.empty,
       xobjs: Map[String, XForm] = Map.empty,
       space: DecodedSpace = new DecodedSpace,
-      ctm0: Array[Double] = null, formDepth: Int = 0): Unit = {
+      ctm0: Array[Double] = null, formDepth: Int = 0,
+      /** caller's text state for Form XObject execution — forms inherit the
+        * full graphics state incl. font/size/spacing (PDF 32000-1 §8.10.2);
+        * a form showing text without an inner Tf relies on it. null = page
+        * entry defaults. Changes inside the form do NOT leak back (Do is an
+        * implicit q/Q; the recursion's locals provide that). */
+      ts0: (Double, FontInfo, Double, Double, Double, Double) = null): Unit = {
     // decoded streams claim their offset range on entry (interpretation order)
     val decodedBase = if (exact) 0L else space.claim(data.length)
     val lx = new Lexer(data, 0, data.length)
@@ -1441,14 +1528,16 @@ object RealPdf {
     val ctmStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val textStack = scala.collection.mutable.ArrayBuffer
       .empty[(Double, FontInfo, Double, Double, Double, Double)]
-    var leading = 0.0
-    var fontSize = 12.0
-    var curFont: FontInfo = null
+    var leading = if (ts0 != null) ts0._3 else 0.0
+    var fontSize = if (ts0 != null) ts0._1 else 12.0
+    var curFont: FontInfo = if (ts0 != null) ts0._2 else null
     // text-state spacing (PDF 32000-1 §9.3): Tc char spacing / Tw word
     // spacing (text-space units) and Tz horizontal scaling (stored as a
     // fraction). Graphics-state params: saved/restored by q/Q alongside
     // the CTM (with font, size and leading).
-    var charSp = 0.0; var wordSp = 0.0; var hScale = 1.0
+    var charSp = if (ts0 != null) ts0._4 else 0.0
+    var wordSp = if (ts0 != null) ts0._5 else 0.0
+    var hScale = if (ts0 != null) ts0._6 else 1.0
     var operands = List.empty[PVal] // reversed
     val pendingRects = scala.collection.mutable.ArrayBuffer.empty[PaintedRect]
     def num(v: PVal): Double = v match { case PNum(x) => x; case _ => 0.0 }
@@ -1478,7 +1567,7 @@ object RealPdf {
       // word-space (PDF 32000-1 §9.3.3). Tz, a pure multiplier meaningful
       // at any precision, applies in both modes.
       val spaced =
-        if (curFont != null && curFont.widths.nonEmpty && fontSize != 0.0 &&
+        if (curFont != null && curFont.hasMetrics && fontSize != 0.0 &&
             (charSp != 0.0 || wordSp != 0.0)) {
           val cl = math.max(1, curFont.codeLen)
           val nCodes = s.raw.length / cl
@@ -1588,7 +1677,7 @@ object RealPdf {
                 // from the advance) are applied only under REAL width metrics
                 // — in flat-estimate mode the coarse 0.5 em grid is the whole
                 // geometry and kerning would just add noise to it
-                val kern = curFont != null && curFont.widths.nonEmpty
+                val kern = curFont != null && curFont.hasMetrics
                 var b0 = -1L; var e0 = -1L
                 for (p <- parts) p match {
                   case s: PStr =>
@@ -1669,7 +1758,12 @@ object RealPdf {
                     xf.obj.rawStart, xf.obj.rawEnd, out, rects,
                     if (xf.fonts.nonEmpty) xf.fonts else fonts,
                     if (xf.xobjs.nonEmpty) xf.xobjs else xobjs,
-                    space, Array(na, nb, nc, nd, ne, nf), formDepth + 1)
+                    space, Array(na, nb, nc, nd, ne, nf), formDepth + 1,
+                    // forms inherit the caller's text state (§8.10.2): a
+                    // form showing text without an inner Tf must use the
+                    // inherited font — NOT the Latin-1 lexer default, which
+                    // on an inherited Type0 font would be silent mojibake
+                    ts0 = (fontSize, curFont, leading, charSp, wordSp, hScale))
                 case _ => ()
               }
               case _ => ()
@@ -1765,19 +1859,20 @@ object RealPdf {
   /** Parse a real PDF into the dialect-shared page model, or throw
     * [[PdfParseException]]. */
   def parse(bytes: Array[Byte]): Vector[PdfPage] = {
-    val (objs, order, trailer) = scanObjects(bytes)
-    if (objs.isEmpty)
+    val (objs0, order0, trailer) = scanObjects(bytes)
+    if (objs0.isEmpty)
       throw new PdfParseException("real PDF: no parseable objects (truncated or binary-damaged)")
     // /Encrypt honesty gate: encrypted streams would either fail as "corrupt
     // FlateDecode" or — worse — surface ciphertext as text from an
     // unencrypted-looking literal. Detect the trailer /Encrypt (keyword
     // trailer or xref-stream dict) and error CLEANLY before touching content.
     if (trailer.exists(_.m.contains("Encrypt")) ||
-      order.exists { n =>
-        val d = objs(n).dict
+      order0.exists { n =>
+        val d = objs0(n).dict
         d.get("Type").contains(PName("XRef")) && d.contains("Encrypt")
       })
       throw new PdfParseException("encrypted PDF (/Encrypt present): decryption not supported")
+    val (objs, order) = redecode(bytes, objs0, order0)
     val pageRecs = collectPages(objs, order, trailer)
     val orphanMode = pageRecs.isEmpty
     // orphan fallback: no page tree at all — every BT-bearing stream is a page
@@ -1827,9 +1922,17 @@ object RealPdf {
       // interpretation order (content streams AND executed forms), so
       // multi-stream pages keep a total `_dec` contract (DecodedSpace)
       val space = new DecodedSpace
-      for (o <- streams if o.data != null)
+      for (o <- streams) {
+        // a page CONTENT stream that could not be decoded (even by the late
+        // re-decode pass) would silently LOSE its text if skipped — mixed
+        // pages would emit PARTIAL text with error="" — so it is an error
+        // row instead, same contract as undecodable Form XObjects
+        if (o.data == null)
+          throw new PdfParseException(
+            s"page content stream ${o.num} has an unsupported filter/predictor: text would be silently missing")
         interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
           runs, rects, fonts, xobjs, space, ctm0)
+      }
       totalRuns += runs.length
       val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L

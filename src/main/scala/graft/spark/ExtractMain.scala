@@ -198,7 +198,10 @@ object ExtractMain {
     // to an exact readback aggregation over scratch (the pre-r4 path).
     val accStats = acc.value
     val accRows = accStats.valuesIterator.map(_(0)).sum
-    val written = spark.read.parquet(scratch).count() // parquet footers: metadata-only
+    // explicit schema: a zero-row write leaves only _SUCCESS in scratch and
+    // schema INFERENCE would throw (partition columns come from dir names,
+    // of which there are none) — the audit must not crash an empty-input run
+    val written = spark.read.schema(schema).parquet(scratch).count() // parquet footers: metadata-only
     val stats: Map[Int, (Long, Long, Long, Long, Long)] =
       if (accRows == written)
         accStats.map { case (u, c) => u -> ((c(0), c(1), c(2), c(3), c(4))) }

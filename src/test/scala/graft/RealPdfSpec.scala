@@ -1113,4 +1113,152 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.error.nonEmpty && got.text == "")
     assert(secs < 20.0, s"pathological parse took $secs s") // MaxResyncs cap engaged
   }
+
+  // ---- round 5, post-review fixes ------------------------------------------
+
+  test("indirect /DecodeParms resolves in the late re-decode pass (content stream)") {
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (late parms decode) Tj ET\n"
+    val cols = 16
+    val padded = ops + " " * ((cols - ops.length % cols) % cols)
+    val comp = new String(deflateBytes(pngPredict(padded.getBytes(ISO_8859_1), cols, 2)), ISO_8859_1)
+    val base = new String(minimalPdf(comp, length = Some(comp.length)), ISO_8859_1)
+    val withParms = base
+      .replace(s"<< /Length ${comp.length}",
+        s"<< /Length ${comp.length} /Filter /FlateDecode /DecodeParms 9 0 R")
+      .replace("trailer\n", s"9 0 obj\n<< /Predictor 12 /Columns $cols >>\nendobj\ntrailer\n")
+    val got = Extractor.extract(Page("t://lateparms", ts, withParms.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "late parms decode", got.text)
+  }
+
+  test("ObjStm with indirect /DecodeParms late-decodes: page tree recovered") {
+    val inner1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val inner2 = "<< /Type /Pages /Count 2 /Kids [3 0 R 7 0 R] /MediaBox [0 0 612 792] >>"
+    val inner3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val inner7 = "<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>"
+    val hdr = s"1 0 2 ${inner1.length + 1} 3 ${inner1.length + inner2.length + 2} " +
+      s"7 ${inner1.length + inner2.length + inner3.length + 3} "
+    val cols = 24
+    val stm0 = hdr + inner1 + " " + inner2 + " " + inner3 + " " + inner7
+    val stm = stm0 + " " * ((cols - stm0.length % cols) % cols)
+    val comp = new String(deflateBytes(pngPredict(stm.getBytes(ISO_8859_1), cols, 2)), ISO_8859_1)
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (indirect page one) Tj ET\n"
+    val c2 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (indirect page two) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append(s"8 0 obj\n<< /Length ${c2.length} >>\nstream\n").append(c2).append("\nendstream\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n").append(c1).append("\nendstream\nendobj\n")
+    sb.append(s"5 0 obj\n<< /Type /ObjStm /N 4 /First ${hdr.length} /Length ${comp.length} " +
+      s"/Filter /FlateDecode /DecodeParms 9 0 R >>\nstream\n")
+    sb.append(comp).append("\nendstream\nendobj\n")
+    // the parms object lives AFTER the ObjStm in file order: only a
+    // complete-pool deref can resolve it
+    sb.append(s"9 0 obj\n<< /Predictor 12 /Columns $cols >>\nendobj\n")
+    sb.append("6 0 obj\n<< /Type /XRef /Root 1 0 R /Size 10 /Length 0 >>\nstream\nendstream\nendobj\n")
+    sb.append("startxref\n0\n%%EOF\n")
+    val got = Extractor.extract(Page("t://objstmlate", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "indirect page one" + PdfParser.PageBreak + "indirect page two", got.text)
+  }
+
+  test("mixed /Contents with one undecodable stream is an ERROR row, never silent-partial") {
+    val ok = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (decodable half) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [4 0 R 9 0 R] >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${ok.length} >>\nstream\n").append(ok).append("\nendstream\nendobj\n")
+    sb.append("9 0 obj\n<< /Length 8 /Filter /JBIG2Decode >>\nstream\nXXXXXXXX\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://mixedcontents", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("unsupported filter"), got.error)
+    assert(got.text == "", got.text)
+  }
+
+  test("Form XObject inherits the caller's text state: font for decode, size for titles") {
+    // page sets /F9 (whose ToUnicode remaps 0x41 -> 'Z') at 24pt, then runs
+    // the form; the form shows text with NO inner Tf — §8.10.2 inheritance
+    // must decode through the inherited font and keep the 24pt size (title
+    // promotion over the 12pt body runs)
+    val cmap =
+      """begincmap
+        |1 beginbfchar
+        |<41> <005A>
+        |endbfchar
+        |endcmap""".stripMargin
+    val pageOps =
+      "BT /F9 24 Tf ET q /Fm1 Do Q " +
+        "BT /F9 12 Tf 1 0 0 1 50 700 Tm (body one) Tj ET " +
+        "BT /F9 12 Tf 1 0 0 1 50 678 Tm (body two) Tj ET " +
+        "BT /F9 12 Tf 1 0 0 1 50 656 Tm (body three) Tj ET\n"
+    val formOps = "BT 1 0 0 1 50 742 Tm (Arcade) Tj ET\n"
+    val tu = cmap
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F9 7 0 R >> /XObject << /Fm1 10 0 R >> >> >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${pageOps.length} >>\nstream\n").append(pageOps).append("\nendstream\nendobj\n")
+    sb.append("7 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Fake /ToUnicode 8 0 R >>\nendobj\n")
+    sb.append(s"8 0 obj\n<< /Length ${tu.length} >>\nstream\n").append(tu).append("\nendstream\nendobj\n")
+    sb.append(s"10 0 obj\n<< /Type /XObject /Subtype /Form /Length ${formOps.length} >>\nstream\n")
+      .append(formOps).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 11 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://forminherit", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    // decoded through the inherited CMap ('A' -> 'Z') and title-promoted
+    // through the inherited 24pt size
+    assert(got.text.startsWith("# Zrcade") || got.text.startsWith("## Zrcade"), got.text)
+    assert(got.text.contains("body one"), got.text)
+  }
+
+  test("resync survives >256 junk ' obj' substrings before the next real object") {
+    val sb = new java.lang.StringBuilder("%PDF-1.4\n")
+    sb.append("damaged ( unterminated string forces a resync\n")
+    // 300 ' obj' candidates with no numeric header: more than one 256-scan
+    // budget — the premature 'no anchor' must not be cached as EOF
+    for (_ <- 0 until 300) sb.append("foo obj ")
+    sb.append("\n")
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (resync deep text) Tj ET\n"
+    sb.append(s"7 0 obj\n<< /Length ${ops.length} >>\nstream\n").append(ops).append("\nendstream\nendobj\n")
+    sb.append("%%EOF\n")
+    val got = Extractor.extract(Page("t://deepresync", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "resync deep text", got.text)
+  }
+
+  test("indirect /FirstChar still loads the /Widths table") {
+    // F9 declares /Widths [2000] (2 em for 'A') with an INDIRECT /FirstChar
+    // = 65; line 1 is 20 'A's. With the widths loaded its x2 reaches the
+    // right edge set by the long line 2 -> soft-wrap SPACE join; on the flat
+    // 0.5 em estimate the right gap is huge -> hard newline.
+    val line2 = "a" * 78
+    val content =
+      "BT /F9 12 Tf 1 0 0 1 50 700 Tm (" + ("A" * 20) + ") Tj ET " +
+        s"BT /F9 12 Tf 1 0 0 1 50 680 Tm ($line2) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 9 0 R " +
+      "/Widths [" + Array.fill(1)("2000").mkString(" ") + "] >>"
+    val base = new String(fontPdf(content, font, None), ISO_8859_1)
+    val withObj = base.replace("trailer\n", "9 0 obj\n65\nendobj\ntrailer\n")
+    val got = Extractor.extract(Page("t://indirectfc", ts, withObj.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == ("A" * 20) + " " + line2, got.text)
+  }
+
+  test("Courier exact flat metrics take Tc spacing (and TJ kern) like real /Widths") {
+    // 20 a's at 12pt Courier = 144pt wide bare; with 15 Tc the fold adds
+    // 300pt -> x2 ~ 494 closes the right gap -> space join with line 2.
+    // Without the fold (pre-fix: gated on widths.nonEmpty) the gap stays
+    // hard-break wide -> newline.
+    val line2 = "b" * 69
+    val content =
+      "BT /F9 12 Tf 15 Tc 1 0 0 1 50 700 Tm (" + ("a" * 20) + ") Tj ET " +
+        s"BT /F9 12 Tf 0 Tc 1 0 0 1 50 680 Tm ($line2) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+    val got = Extractor.extract(Page("t://couriertc", ts, fontPdf(content, font, None), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == ("a" * 20) + " " + line2, got.text)
+  }
 }

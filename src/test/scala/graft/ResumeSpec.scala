@@ -85,6 +85,20 @@ class ResumeSpec extends AnyFunSuite {
     assert(ExtractMain.run(spark, crashArgs.copy(failAfterGroups = -1)) == 0)
   }
 
+  test("zero-row input commits empty manifests cleanly (audit must not crash on empty scratch)") {
+    // a fresh run over an empty input writes only _SUCCESS to scratch; the
+    // exactly-once audit's scratch count must use the explicit schema (no
+    // parquet files to infer from) and the run must commit all units at 0
+    val out = Files.createTempDirectory("graft-empty").toString
+    val args = ExtractMain.Args(in = "fixture:0", out = out, units = 4, groupSize = 2)
+    assert(ExtractMain.run(spark, args) == 4)
+    assert(TableIO.committedUnits(out) == (0 until 4).toSet)
+    val ms = TableIO.readManifests(out)
+    assert(ms.map(_.rows).sum == 0)
+    // idempotent second run: nothing pending
+    assert(ExtractMain.run(spark, args) == 0)
+  }
+
   test("manifest json round-trips") {
     val m = TableIO.UnitManifest(7, "abc123", 10, 9, 1, 12345L, 999L, 1700000000000L)
     assert(TableIO.parseManifest(TableIO.renderManifest(m)) == m)
