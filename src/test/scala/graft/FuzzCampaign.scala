@@ -36,7 +36,12 @@ object FuzzCampaign {
     "/Type /ObjStm", "/Type /XRef", "xref\n", "trailer\n", "%%EOF",
     " q ", " Q ", " Do ", " Tj ", " TJ ", " Tf ", " Tz ", " Tc ", " Tw ",
     " Tm ", " BT ", " ET ", "\\", "/Encrypt 9 0 R", "/Widths [500",
-    "beginbfrange", "endbfrange", "/ToUnicode 8 0 R")
+    "beginbfrange", "endbfrange", "/ToUnicode 8 0 R",
+    // late re-decode / resync targets: indirect parms refs (resolvable or
+    // dangling), predictor dicts, indirect FirstChar, junk obj anchors
+    "/DecodeParms 9 0 R", "/DecodeParms << /Predictor 12 /Columns 16 >>",
+    "/DecodeParms 99 0 R", "/FirstChar 9 0 R", " foo obj ",
+    "9 0 obj\n<< /Predictor 12 /Columns 16 >>\nendobj\n")
 
   // BOM byte sequences ride along as ISO-8859-1 chars (one char = one byte)
   private val HtmlTokens = Array(
