@@ -545,7 +545,7 @@ object RealPdf {
     // general deref: dict objects surface as PDict, scalar/array objects as
     // their stored body (PObj.value) — indirect /Widths arrays resolve too
     def deref(v: PVal): Option[PVal] = v match {
-      case PRef(n) => objs.get(n).map(o => if (o.dict.nonEmpty) PDict(o.dict) else o.value)
+      case PRef(n) => derefObj(objs, n)
       case other   => Some(other)
     }
     resources.get("Font").flatMap(deref) match {
@@ -637,6 +637,18 @@ object RealPdf {
             case Some(PName(bf)) if bf.contains("Courier") || bf.contains("Mono") => 0.6
             case _ => AvgGlyphWidthEm
           }
+          // EXACT flat metrics only for the genuine standard-14 Courier
+          // family on a SIMPLE font ("Courier[-Bold|-Oblique…]", optional
+          // subset prefix "ABCDEF+"): those take TJ kern / Tc/Tw folds.
+          // Substring 'Mono' matches (MonotypeCorsiva, CJK mono CID fonts)
+          // keep 0.6 as an ESTIMATE — folding precise spacing onto a
+          // guessed grid is the false precision the gate exists to avoid.
+          val flatExact = !type0 && (fd.get("BaseFont") match {
+            case Some(PName(bf)) =>
+              val fam = if (bf.length > 7 && bf.charAt(6) == '+') bf.substring(7) else bf
+              fam == "Courier" || fam.startsWith("Courier-")
+            case _ => false
+          })
           val stdWidths: Map[Int, Double] =
             if (!type0 && widths.isEmpty && flat == AvgGlyphWidthEm)
               fd.get("BaseFont") match {
@@ -646,7 +658,7 @@ object RealPdf {
             else Map.empty
           out += fname -> FontInfo(fname, type0, codeLen, cmap,
             if (stdWidths.nonEmpty) stdWidths else widths, defaultW, enc, flat,
-            flatExact = flat != AvgGlyphWidthEm)
+            flatExact = flatExact)
         }
         out.result()
       case _ => Map.empty
@@ -1171,6 +1183,13 @@ object RealPdf {
     (objs.result(), order.result(), trailer)
   }
 
+  /** Shared PObj→PVal projection for indirect-ref resolution: dict objects
+    * surface as PDict, scalar/array objects as their stored body. Used by
+    * both font resolution and the late re-decode pass — one definition so
+    * the two deref semantics cannot silently diverge. */
+  private def derefObj(objs: Map[Int, PObj], n: Int): Option[PVal] =
+    objs.get(n).map(o => if (o.dict.nonEmpty) PDict(o.dict) else o.value)
+
   /** Late re-decode pass: streams whose scan-time decode was skipped only
     * because /Filter or /DecodeParms (or a field inside it) was an INDIRECT
     * ref — unresolvable mid-scan, when the pool is incomplete — get a second
@@ -1190,15 +1209,21 @@ object RealPdf {
     while (progress && rounds < 8) {
       progress = false
       rounds += 1
-      val deref: Int => Option[PVal] =
-        n => objs.get(n).map(o => if (o.dict.nonEmpty) PDict(o.dict) else o.value)
+      val deref: Int => Option[PVal] = derefObj(objs, _)
       for (num <- order) {
         val o = objs(num)
         // data == null with rawEnd > rawStart marks a stream that failed to
         // decode; only /Filter-bearing ones can succeed on retry (filterless
         // streams always decode at scan time)
         if (o.data == null && o.rawEnd > o.rawStart && o.dict.contains("Filter")) {
-          val (data, exact) = applyFilters(b, o.rawStart, o.rawEnd, o.dict, deref)
+          // decode throws (corrupt zlib behind a now-resolved ref) are
+          // contained per-stream, like the scan's per-object catch: the
+          // stream just stays metadata-only and the page-content check
+          // decides — an unreferenced corrupt stream must not error a
+          // document that previously extracted fully
+          val (data, exact) =
+            try applyFilters(b, o.rawStart, o.rawEnd, o.dict, deref)
+            catch { case _: PdfParseException => (null, false) }
           if (data != null) {
             val upd = o.copy(data = data, exact = exact)
             objs += num -> upd
@@ -1926,12 +1951,18 @@ object RealPdf {
         // a page CONTENT stream that could not be decoded (even by the late
         // re-decode pass) would silently LOSE its text if skipped — mixed
         // pages would emit PARTIAL text with error="" — so it is an error
-        // row instead, same contract as undecodable Form XObjects
-        if (o.data == null)
-          throw new PdfParseException(
-            s"page content stream ${o.num} has an unsupported filter/predictor: text would be silently missing")
-        interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
-          runs, rects, fonts, xobjs, space, ctm0)
+        // row instead, same contract as undecodable Form XObjects. The
+        // rawEnd > rawStart guard scopes the throw to genuine failed
+        // STREAMS: a /Contents ref to a non-stream object (null/dict/scalar,
+        // stored with rawStart == rawEnd) carries no text to lose and is
+        // skipped exactly as before.
+        if (o.data == null) {
+          if (o.rawEnd > o.rawStart)
+            throw new PdfParseException(
+              s"page content stream ${o.num} has an unsupported filter/predictor: text would be silently missing")
+        } else
+          interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
+            runs, rects, fonts, xobjs, space, ctm0)
       }
       totalRuns += runs.length
       val tables = detectRulingTables(rects.toVector, ph)

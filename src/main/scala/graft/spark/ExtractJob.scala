@@ -178,6 +178,11 @@ object ExtractDemo {
               "4 0 obj\n<< /Length 10 >>\nstream\nciphertext\nendstream\nendobj\n" +
               "trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n")
               .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), "", "en"),
+          // cap+1 payload: ~64 MB rides the probe's LocalRelation — a real
+          // allocation because the cap check is length-based and must be hit
+          // end-to-end. Probe mode only (diagnostic main); never in the job
+          // path, and local-mode tasks share the driver heap, so no RPC-size
+          // exposure here.
           Page("probe://realpdf-oversize", ts, {
             val b = new Array[Byte](graft.Extractor.MaxPdfBytes + 1)
             System.arraycopy("%PDF-1.4\n".getBytes, 0, b, 0, 9)

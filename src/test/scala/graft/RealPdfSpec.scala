@@ -1247,6 +1247,65 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.text == ("A" * 20) + " " + line2, got.text)
   }
 
+  test("unreferenced corrupt stream behind an indirect /Filter does not error the document") {
+    // object 9: garbage bytes with '/Filter 9 0 R'-style indirection that the
+    // late re-decode pass RESOLVES to FlateDecode — inflate then throws on
+    // the junk. The throw must stay contained (stream stays metadata-only):
+    // page text extracted fine before this pass existed and still must.
+    val ok = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (healthy page text) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${ok.length} >>\nstream\n").append(ok).append("\nendstream\nendobj\n")
+    sb.append("8 0 obj\n<< /Length 12 /Filter 9 0 R >>\nstream\nnot-zlib-at-all\nendstream\nendobj\n")
+    sb.append("9 0 obj\n/FlateDecode\nendobj\n")
+    sb.append("trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://corruptindirect", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "healthy page text", got.text)
+  }
+
+  test("/Contents ref to a NON-stream object is skipped, not an error (no text to lose)") {
+    val ok = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page one fine) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 2 /Kids [3 0 R 5 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${ok.length} >>\nstream\n").append(ok).append("\nendstream\nendobj\n")
+    // page 2's contents was redefined to a non-stream object (incremental-
+    // update damage shape): nothing to decode, nothing to lose — skip
+    sb.append("5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    sb.append("6 0 obj\nnull\nendobj\n")
+    sb.append("trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://nonstreamcontents", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text.startsWith("page one fine"), got.text)
+  }
+
+  test("flatExact scope: subset-prefixed Courier folds Tc; MonotypeCorsiva and Type0 mono do not") {
+    // same geometry as the Courier Tc test: fold -> space join, no fold ->
+    // hard newline. ABCDEF+Courier-Bold is genuine Courier (exact metrics);
+    // MonotypeCorsiva hits the 'Mono' substring flat ESTIMATE only.
+    val line2 = "b" * 69
+    def content(tc: String) =
+      s"BT /F9 12 Tf $tc Tc 1 0 0 1 50 700 Tm (" + ("a" * 20) + ") Tj ET " +
+        s"BT /F9 12 Tf 0 Tc 1 0 0 1 50 680 Tm ($line2) Tj ET\n"
+    val courier = "<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+Courier-Bold >>"
+    val gotC = Extractor.extract(Page("t://subsetcourier", ts,
+      fontPdf(content("15"), courier, None), "", "en"))
+    assert(gotC.error == "", gotC.error)
+    assert(gotC.text == ("a" * 20) + " " + line2, gotC.text)
+    val corsiva = "<< /Type /Font /Subtype /Type1 /BaseFont /MonotypeCorsiva >>"
+    val gotM = Extractor.extract(Page("t://corsiva", ts,
+      fontPdf(content("15"), corsiva, None), "", "en"))
+    assert(gotM.error == "", gotM.error)
+    // estimate mode: Tc ignored -> right gap stays wide -> hard break
+    assert(gotM.text == ("a" * 20) + "\n\n" + line2 || gotM.text == ("a" * 20) + "\n" + line2, gotM.text)
+  }
+
   test("Courier exact flat metrics take Tc spacing (and TJ kern) like real /Widths") {
     // 20 a's at 12pt Courier = 144pt wide bare; with 15 Tc the fold adds
     // 300pt -> x2 ~ 494 closes the right gap -> space join with line 2.
