@@ -343,8 +343,13 @@ object PdfParser {
     * dividing the text proportionally to the horizontal overlap with each
     * cell — the reference's OCR-box-splitting-by-cells. A box whose best
     * cell covers >= 0.6 of it (the reference's IoA coverage threshold) is
-    * NOT split. Fragment byte offsets are the UTF-8 prefix lengths inside
-    * the original box's byte range, so spans stay exact. */
+    * NOT split. Fragment byte offsets are UTF-8 prefix lengths inside the
+    * original box's byte range — EXACT when that range IS the UTF-8
+    * encoding of the text (dialect pages; plain-ASCII real-PDF literals).
+    * When it is not (escaped literals, WinAnsi high bytes, CID hex — the
+    * range indexes raw or decoded-stream bytes where UTF-8 prefix math
+    * does not apply), every fragment carries the PARENT's full byte range:
+    * a covering span, always in bounds, still slicing to the source. */
   def splitAcrossCells(tb: TextBox, cells: Vector[Box]): Vector[TextBox] = {
     if (tb.text.isEmpty) return Vector(tb)
     val hits = cells.filter(c => Geom.intersectionArea(tb.box, c) > 0)
@@ -363,18 +368,25 @@ object PdfParser {
       if (b > 0 && b < n && Character.isLowSurrogate(tb.text.charAt(b))) b += 1
       b
     }
+    val utf8Exact =
+      tb.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length ==
+        tb.endByte - tb.beginByte
     val out = Vector.newBuilder[TextBox]
     var byteOff = 0L
     for (k <- ordered.indices) {
       val (lo, hi) = (bounds(k), bounds(k + 1))
       if (hi > lo) {
         val frag = tb.text.substring(lo, hi)
-        val fragBytes = frag.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
         val fx1 = math.max(tb.box.x1, ordered(k).x1)
         val fx2 = math.min(tb.box.x2, ordered(k).x2)
-        out += TextBox(Box(fx1, tb.box.y1, fx2, tb.box.y2), frag,
-          tb.beginByte + byteOff, tb.beginByte + byteOff + fragBytes, tb.decoded)
-        byteOff += fragBytes
+        val (b0, e0) =
+          if (utf8Exact) {
+            val fragBytes = frag.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+            val r = (tb.beginByte + byteOff, tb.beginByte + byteOff + fragBytes)
+            byteOff += fragBytes
+            r
+          } else (tb.beginByte, tb.endByte) // covering span: non-UTF-8 coordinate space
+        out += TextBox(Box(fx1, tb.box.y1, fx2, tb.box.y2), frag, b0, e0, tb.decoded)
       }
     }
     val res = out.result()

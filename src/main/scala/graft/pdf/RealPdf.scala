@@ -394,11 +394,18 @@ object RealPdf {
         else throw new PdfParseException(
           s"Type0 font /$name without a parseable /ToUnicode: cannot decode glyph indices")
       } else if (enc != null) {
-        // declared simple-font encoding: strings are per-byte font codes
-        val sb = new java.lang.StringBuilder(raw.length)
-        var i = 0
-        while (i < raw.length) { sb.append(enc(raw(i) & 0xFF)); i += 1 }
-        sb.toString
+        // UTF-16BE-with-BOM show strings (sloppy generators emit them even
+        // under a declared simple encoding) keep the BOM-aware default
+        // decode: running FE FF ... byte-wise through a WinAnsi table would
+        // be confident mojibake
+        if (raw.length >= 2 && (raw(0) & 0xFF) == 0xFE && (raw(1) & 0xFF) == 0xFF) default
+        else {
+          // declared simple-font encoding: strings are per-byte font codes
+          val sb = new java.lang.StringBuilder(raw.length)
+          var i = 0
+          while (i < raw.length) { sb.append(enc(raw(i) & 0xFF)); i += 1 }
+          sb.toString
+        }
       } else default
 
     /** Advance of a shown string in em: real per-code metrics when the font
@@ -1150,7 +1157,14 @@ object RealPdf {
                       // the stream-start EOL already consumed above
                       math.max(rawStart, trimEol(b, e))
                   }
-                  val (data, exact) = applyFilters(b, rawStart, rawEnd, dict)
+                  // a decode throw (corrupt zlib, stray non-hex byte) must
+                  // not drop the OBJECT — the dict still anchors downstream
+                  // honesty: a corrupt page content stream must become an
+                  // error row via the data==null gate, not a silently
+                  // missing /Contents ref
+                  val (data, exact) =
+                    try applyFilters(b, rawStart, rawEnd, dict)
+                    catch { case _: PdfParseException => (null, false) }
                   obj = PObj(num, dict, data, rawStart, rawEnd, exact)
                   val es = find(b, rawEnd, "endstream")
                   lx.pos = if (es >= 0) es + "endstream".length else rawEnd
@@ -1452,7 +1466,10 @@ object RealPdf {
       depth: Int,
       memo: scala.collection.mutable.HashMap[(Int, Int), Option[XForm]] =
         scala.collection.mutable.HashMap.empty): Map[String, XForm] = {
-    if (depth >= MaxFormDepth) return Map.empty
+    // one level PAST the execution cap: a form running at the deepest legal
+    // formDepth still resolves its nested names, so exceeding the cap is the
+    // execution-side honesty THROW (acyclic) — not a silent name-miss here
+    if (depth > MaxFormDepth) return Map.empty
     def dictOf(v: PVal): Option[Map[String, PVal]] = v match {
       case PRef(n)  => objs.get(n).map(_.dict)
       case PDict(m) => Some(m)
@@ -1539,7 +1556,13 @@ object RealPdf {
         * a form showing text without an inner Tf relies on it. null = page
         * entry defaults. Changes inside the form do NOT leak back (Do is an
         * implicit q/Q; the recursion's locals provide that). */
-      ts0: (Double, FontInfo, Double, Double, Double, Double) = null): Unit = {
+      ts0: (Double, FontInfo, Double, Double, Double, Double) = null,
+      /** object numbers of the forms on the current execution stack:
+        * distinguishes a CYCLE (re-entering a form already running — its
+        * content is an infinite fixpoint; one pass IS the content, terminate
+        * silently) from acyclic depth exhaustion (real nested text below the
+        * cap — error row, never silent truncation). */
+      formPath: Set[Int] = Set.empty): Unit = {
     // decoded streams claim their offset range on entry (interpretation order)
     val decodedBase = if (exact) 0L else space.claim(data.length)
     val lx = new Lexer(data, 0, data.length)
@@ -1768,7 +1791,16 @@ object RealPdf {
               // back to the caller's), depth-capped against cycles. Image
               // XObjects are not in `xobjs` and are ignored.
               case PName(nm) :: _ => xobjs.get(nm) match {
-                case Some(xf) if formDepth < MaxFormDepth =>
+                // cycle: this form is already ON the execution stack — its
+                // expansion is infinite and one pass already emitted its
+                // content; terminating silently is the fixpoint, not a loss
+                case Some(xf) if formPath.contains(xf.obj.num) => ()
+                case Some(xf) =>
+                  // acyclic depth exhaustion: real text sits below the cap —
+                  // silently skipping would truncate the document (contract)
+                  if (formDepth >= MaxFormDepth)
+                    throw new PdfParseException(
+                      s"Form XObject nesting deeper than MaxFormDepth=$MaxFormDepth (acyclic): text would be silently missing")
                   // an executed form whose stream could not be decoded would
                   // silently LOSE its text — error row instead (contract)
                   if (xf.obj.data == null)
@@ -1788,7 +1820,8 @@ object RealPdf {
                     // form showing text without an inner Tf must use the
                     // inherited font — NOT the Latin-1 lexer default, which
                     // on an inherited Type0 font would be silent mojibake
-                    ts0 = (fontSize, curFont, leading, charSp, wordSp, hScale))
+                    ts0 = (fontSize, curFont, leading, charSp, wordSp, hScale),
+                    formPath = formPath + xf.obj.num)
                 case _ => ()
               }
               case _ => ()

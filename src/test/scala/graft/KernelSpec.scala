@@ -204,6 +204,14 @@ class KernelSpec extends AnyFunSuite {
     // a box 90% inside one cell is NOT split
     val inside = TextBox(Box(2, 5, 48, 15), "kept", 0, 4)
     assert(splitAcrossCells(inside, cells).map(_.text) == Vector("kept"))
+    // NON-UTF-8 coordinate space (byte range wider than the text's UTF-8
+    // form — escaped literals, WinAnsi, CID hex): fragments carry the
+    // parent's full COVERING range, never prefix math that would overshoot
+    val rawSpace = TextBox(Box(10, 5, 90, 15), "abcdefgh", 100, 112) // 12 raw bytes, 8 utf-8
+    val covered = splitAcrossCells(rawSpace, cells)
+    assert(covered.map(_.text) == Vector("abcd", "efgh"))
+    assert(covered.forall(f => f.beginByte == 100L && f.endByte == 112L),
+      covered.map(f => (f.beginByte, f.endByte)).toString)
   }
 
   test("enhanced layout order: titles and figures insert at their y position") {

@@ -836,18 +836,43 @@ class RealPdfSpec extends AnyFunSuite {
   }
 
   test("breadth x depth form amplification hits the per-page execution budget and errors") {
-    // one self-inheriting form invoked 10x per level: 10 + 100 + 1000 + ...
-    // executions without a global budget; MaxFormExecs caps the page at an
-    // error row in bounded time
-    val manyDo = "/Fm1 Do " * 10
-    val bytes = formPdf(manyDo + "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page body) Tj ET\n",
-      manyDo + "BT /F1 12 Tf 1 0 0 1 50 600 Tm (form text) Tj ET\n")
+    // ACYCLIC bomb: a chain of DISTINCT forms within the depth cap, each
+    // invoking the next 10x -> 10 + 100 + 1000 executions without a global
+    // budget. Cycle detection cannot collapse it (no form re-enters itself);
+    // MaxFormExecs caps the page at an error row in bounded time. (The old
+    // SELF-inheriting bomb now collapses via cycle detection to <=10 execs —
+    // asserted below: bounded output, no budget error.)
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fm1 10 0 R >> >> >>\nendobj\n")
+    val pageOps = ("/Fm1 Do " * 10) + "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page body) Tj ET\n"
+    sb.append(s"4 0 obj\n<< /Length ${pageOps.length} >>\nstream\n").append(pageOps).append("\nendstream\nendobj\n")
+    for (k <- 1 to 3) {
+      val ops =
+        if (k < 3) (s"/Fm${k + 1} Do " * 10) + "\n"
+        else "BT /F1 12 Tf 1 0 0 1 50 600 Tm (leaf) Tj ET\n"
+      val res = if (k < 3) s" /Resources << /XObject << /Fm${k + 1} ${10 + k} 0 R >> >>" else ""
+      sb.append(s"${9 + k} 0 obj\n<< /Type /XObject /Subtype /Form$res /Length ${ops.length} >>\nstream\n")
+        .append(ops).append("\nendstream\nendobj\n")
+    }
+    sb.append("trailer\n<< /Size 20 /Root 1 0 R >>\n%%EOF\n")
     val t0 = System.nanoTime()
-    val got = Extractor.extract(Page("t://xobjbomb", ts, bytes, "", "en"))
+    val got = Extractor.extract(Page("t://xobjbomb", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
     val ms = (System.nanoTime() - t0) / 1e6
     assert(got.error.contains("execution budget"), got.error)
     assert(got.text == "")
     assert(ms < 5000, s"form bomb took ${ms}ms")
+    // self-inheriting bomb: collapses to one pass per top-level Do (cycle
+    // fixpoint), extracting cleanly instead of burning breadth^depth
+    val manyDo = "/Fm1 Do " * 10
+    val selfBomb = formPdf(manyDo + "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page body) Tj ET\n",
+      manyDo + "BT /F1 12 Tf 1 0 0 1 50 600 Tm (form text) Tj ET\n")
+    val gotSelf = Extractor.extract(Page("t://xobjselfbomb", ts, selfBomb, "", "en"))
+    assert(gotSelf.error == "", gotSelf.error)
+    assert(gotSelf.text.contains("page body"), gotSelf.text)
   }
 
   test("Resync anchor cache matches the stateless scan at every monotone position") {
@@ -1304,6 +1329,66 @@ class RealPdfSpec extends AnyFunSuite {
     assert(gotM.error == "", gotM.error)
     // estimate mode: Tc ignored -> right gap stays wide -> hard break
     assert(gotM.text == ("a" * 20) + "\n\n" + line2 || gotM.text == ("a" * 20) + "\n" + line2, gotM.text)
+  }
+
+  test("corrupt REFERENCED content stream is an ERROR row, not a silently missing page") {
+    // page 2's Flate content stream has a corrupted byte: the scan-time
+    // decode throw must keep the OBJECT (metadata-only), so the page-content
+    // honesty gate errors the document instead of extracting only page 1
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page one ok) Tj ET\n"
+    val ops2 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page two text) Tj ET\n"
+    val comp = deflateBytes(ops2.getBytes(ISO_8859_1))
+    comp(comp.length / 2) = (comp(comp.length / 2) ^ 0x55).toByte // corrupt mid-stream
+    val compS = new String(comp, ISO_8859_1)
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 2 /Kids [3 0 R 5 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n").append(c1).append("\nendstream\nendobj\n")
+    sb.append("5 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    sb.append(s"6 0 obj\n<< /Length ${compS.length} /Filter /FlateDecode >>\nstream\n")
+      .append(compS).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://corruptcontents", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("unsupported filter"), got.error)
+    assert(got.text == "", got.text)
+  }
+
+  test("acyclic form nesting beyond MaxFormDepth is an ERROR row; cycles still terminate silently") {
+    // 5-deep acyclic chain: Fm1 -> Fm2 -> ... -> Fm5, text only in Fm5.
+    // Silent skip would lose it; the depth throw makes it an error row.
+    val n = 5
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Fm1 10 0 R >> >> >>\nendobj\n")
+    val pageOps = "/Fm1 Do BT /F1 12 Tf 1 0 0 1 50 700 Tm (page body) Tj ET\n"
+    sb.append(s"4 0 obj\n<< /Length ${pageOps.length} >>\nstream\n").append(pageOps).append("\nendstream\nendobj\n")
+    for (k <- 1 to n) {
+      val ops =
+        if (k < n) s"/Fm${k + 1} Do\n"
+        else "BT /F1 12 Tf 1 0 0 1 50 600 Tm (deep text) Tj ET\n"
+      val res = if (k < n) s" /Resources << /XObject << /Fm${k + 1} ${10 + k} 0 R >> >>" else ""
+      sb.append(s"${9 + k} 0 obj\n<< /Type /XObject /Subtype /Form$res /Length ${ops.length} >>\nstream\n")
+        .append(ops).append("\nendstream\nendobj\n")
+    }
+    sb.append("trailer\n<< /Size 20 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://deepforms", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("MaxFormDepth"), got.error)
+    assert(got.text == "", got.text)
+  }
+
+  test("BOM'd UTF-16BE show string under a declared /Encoding keeps the BOM decode") {
+    val t = "Заголовок" // Cyrillic: WinAnsi byte-wise decode would be mojibake
+    val hex = "FEFF" + t.map(c => f"${c.toInt}%04X").mkString
+    val content = s"BT /F9 12 Tf 1 0 0 1 50 700 Tm <$hex> Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /Encoding /WinAnsiEncoding >>"
+    val got = Extractor.extract(Page("t://bomenc", ts, fontPdf(content, font, None), "", "ru"))
+    assert(got.error == "", got.error)
+    assert(got.text == t, got.text)
   }
 
   test("Courier exact flat metrics take Tc spacing (and TJ kern) like real /Widths") {
