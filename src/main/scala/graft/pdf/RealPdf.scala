@@ -1426,6 +1426,9 @@ object RealPdf {
   private[pdf] final class DecodedSpace {
     private var next = 0L
     def claim(n: Int): Long = { val b = next; next += n; b }
+    /** total decoded bytes claimed so far — the exclusive upper bound every
+      * decoded-space span offset must respect (parse asserts it per unit) */
+    def total: Long = next
     // Per-page Form-XObject EXECUTION budget: the depth cap alone still
     // allows breadth^depth amplification (one self-inheriting form invoked
     // 200× per level = 200^4 stream executions from a ~100 KB file). Real
@@ -1998,6 +2001,15 @@ object RealPdf {
             runs, rects, fonts, xobjs, space, ctm0)
       }
       totalRuns += runs.length
+      // decoded-space invariant: every decoded-flagged run's byte range must
+      // lie inside the space actually claimed this unit — offset drift (a
+      // DecodedSpace accounting bug, a span split gone wrong upstream) is a
+      // loud error row here, never a silently unsliceable span (the golden
+      // gate cannot bound `_dec` offsets, so the bound lives at the source)
+      for (r <- runs if r.decoded)
+        if (r.beginByte < 0 || r.endByte < r.beginByte || r.endByte > space.total)
+          throw new PdfParseException(
+            s"decoded-space span [${r.beginByte},${r.endByte}) outside claimed total ${space.total}")
       val tables = detectRulingTables(rects.toVector, ph)
       // font-size-derived titles: the real-PDF analogue of the dialect's L
       // lines — a run much larger than the page's (lower-)median body size
