@@ -368,9 +368,13 @@ object PdfParser {
       if (b > 0 && b < n && Character.isLowSurrogate(tb.text.charAt(b))) b += 1
       b
     }
+    // length equality alone is NOT sufficient (an escape's extra byte can
+    // cancel a multi-byte UTF-8 char: `(\(é)` is 3 raw bytes and 3 UTF-8
+    // bytes but misaligned); with all-ASCII text, any escape or multi-byte
+    // source unit strictly lengthens the range, so equality ⟹ the range IS
+    // the text bytes. Non-ASCII straddlers take the covering range.
     val utf8Exact =
-      tb.text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length ==
-        tb.endByte - tb.beginByte
+      tb.endByte - tb.beginByte == tb.text.length && tb.text.forall(_ < 0x80)
     val out = Vector.newBuilder[TextBox]
     var byteOff = 0L
     for (k <- ordered.indices) {

@@ -327,8 +327,17 @@ object RealPdf {
   /** Default PDF text-string decode (no font active): UTF-16BE with BOM,
     * else Latin-1 (the byte-to-char identity). Fonts with a /ToUnicode CMap
     * re-decode at show time — see [[FontInfo.decode]]. */
+  /** UTF-16BE BOM sniff, shared by the lexer default decode and the
+    * simple-font /Encoding bypass (one definition, cannot drift). Requires
+    * an EVEN total length: UTF-16 text is whole 2-byte units, and an
+    * odd-length match is far more likely literal 'þÿ…' bytes than a
+    * truncated BOM string — decoding those as UTF-16 would corrupt them. */
+  @inline private def hasUtf16BeBom(bs: Array[Byte]): Boolean =
+    bs.length >= 2 && (bs.length & 1) == 0 &&
+      (bs(0) & 0xFF) == 0xFE && (bs(1) & 0xFF) == 0xFF
+
   private def decodeText(bs: Array[Byte]): String =
-    if (bs.length >= 2 && (bs(0) & 0xFF) == 0xFE && (bs(1) & 0xFF) == 0xFF)
+    if (hasUtf16BeBom(bs))
       new String(bs, 2, bs.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
     else new String(bs, java.nio.charset.StandardCharsets.ISO_8859_1)
 
@@ -398,7 +407,7 @@ object RealPdf {
         // under a declared simple encoding) keep the BOM-aware default
         // decode: running FE FF ... byte-wise through a WinAnsi table would
         // be confident mojibake
-        if (raw.length >= 2 && (raw(0) & 0xFF) == 0xFE && (raw(1) & 0xFF) == 0xFF) default
+        if (hasUtf16BeBom(raw)) default
         else {
           // declared simple-font encoding: strings are per-byte font codes
           val sb = new java.lang.StringBuilder(raw.length)
@@ -987,11 +996,16 @@ object RealPdf {
       inf.setInput(data, off, len)
       val out = new java.io.ByteArrayOutputStream(math.max(64, len * 4))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      while (!inf.finished() && !inf.needsInput() && !inf.needsDictionary()) {
         val k = inf.inflate(buf)
         if (k > 0) out.write(buf, 0, k)
-        else if (k == 0 && !inf.finished()) return out.toByteArray // dictionary/underflow: stop
       }
+      // honesty: exiting before the zlib FINAL block (input exhausted, or a
+      // preset dictionary we cannot supply) means the data is truncated —
+      // returning the decoded prefix would be silently-PARTIAL page text,
+      // invisible to the data==null gate downstream
+      if (!inf.finished())
+        throw new PdfParseException("truncated or dictionary-dependent FlateDecode stream")
       out.toByteArray
     } catch {
       case _: java.util.zip.DataFormatException =>
@@ -1378,7 +1392,15 @@ object RealPdf {
         case Some(PName("Pages")) =>
           node.get("Kids") match {
             case Some(PArr(kids)) =>
-              for (k <- kids; d <- dictOf(k)) walk(d, mb, res, rot, depth + 1)
+              for (k <- kids) dictOf(k) match {
+                case Some(d) => walk(d, mb, res, rot, depth + 1)
+                // a kid the pool cannot resolve (its object lost to damage —
+                // typically a corrupt /ObjStm that could not be unpacked)
+                // would make the document silently SHORTER: error row, the
+                // same contract as an undecodable content stream
+                case None => throw new PdfParseException(
+                  s"page tree kid $k unresolvable (object lost to damage): pages would be silently missing")
+              }
             case _ => ()
           }
         case Some(PName("Page")) => out += PageRec(node, mb, res, rot); found = true
@@ -1808,7 +1830,7 @@ object RealPdf {
                   // silently LOSE its text — error row instead (contract)
                   if (xf.obj.data == null)
                     throw new PdfParseException(
-                      s"Form XObject /$nm has an unsupported filter/predictor: text would be silently missing")
+                      s"Form XObject /$nm cannot be decoded (unsupported or corrupt filter/predictor): text would be silently missing")
                   space.claimForm() // global per-page budget; throws when spent
                   val m = xf.matrix
                   val na = m(0) * ca + m(1) * cc; val nb = m(0) * cb + m(1) * cd
@@ -1995,7 +2017,7 @@ object RealPdf {
         if (o.data == null) {
           if (o.rawEnd > o.rawStart)
             throw new PdfParseException(
-              s"page content stream ${o.num} has an unsupported filter/predictor: text would be silently missing")
+              s"page content stream ${o.num} cannot be decoded (unsupported or corrupt filter/predictor): text would be silently missing")
         } else
           interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
             runs, rects, fonts, xobjs, space, ctm0)

@@ -831,7 +831,7 @@ class RealPdfSpec extends AnyFunSuite {
     val patched = base.replace("/Subtype /Form /Length",
       "/Subtype /Form /Filter /DCTDecode /Length")
     val got = Extractor.extract(Page("t://xobjundecodable", ts, patched.getBytes(ISO_8859_1), "", "en"))
-    assert(got.error.contains("unsupported filter"), got.error)
+    assert(got.error.contains("cannot be decoded"), got.error)
     assert(got.text == "")
   }
 
@@ -1197,7 +1197,7 @@ class RealPdfSpec extends AnyFunSuite {
     sb.append("9 0 obj\n<< /Length 8 /Filter /JBIG2Decode >>\nstream\nXXXXXXXX\nendstream\nendobj\n")
     sb.append("trailer\n<< /Size 10 /Root 1 0 R >>\n%%EOF\n")
     val got = Extractor.extract(Page("t://mixedcontents", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
-    assert(got.error.contains("unsupported filter"), got.error)
+    assert(got.error.contains("cannot be decoded"), got.error)
     assert(got.text == "", got.text)
   }
 
@@ -1351,7 +1351,7 @@ class RealPdfSpec extends AnyFunSuite {
       .append(compS).append("\nendstream\nendobj\n")
     sb.append("trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n")
     val got = Extractor.extract(Page("t://corruptcontents", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
-    assert(got.error.contains("unsupported filter"), got.error)
+    assert(got.error.contains("cannot be decoded"), got.error)
     assert(got.text == "", got.text)
   }
 
@@ -1389,6 +1389,58 @@ class RealPdfSpec extends AnyFunSuite {
     val got = Extractor.extract(Page("t://bomenc", ts, fontPdf(content, font, None), "", "ru"))
     assert(got.error == "", got.error)
     assert(got.text == t, got.text)
+  }
+
+  test("TRUNCATED Flate content stream is an ERROR row, not a silently-partial prefix") {
+    // cut the zlib data mid-stream: Inflater consumes it without a
+    // DataFormatException and would return the decoded prefix — inflate
+    // must detect the missing final block and throw instead
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (first half) Tj ET " +
+      "BT /F1 12 Tf 1 0 0 1 50 680 Tm (second half) Tj ET\n"
+    val comp = deflateBytes(ops.getBytes(ISO_8859_1))
+    val cut = java.util.Arrays.copyOf(comp, comp.length / 2)
+    val cutS = new String(cut, ISO_8859_1)
+    val got = Extractor.extract(Page("t://truncflate", ts,
+      minimalPdf(cutS, filter = "FlateDecode", length = Some(cutS.length)), "", "en"))
+    assert(got.error.contains("truncated") || got.error.contains("cannot be decoded"), got.error)
+    assert(got.text == "", got.text)
+  }
+
+  test("page dict lost to a corrupt ObjStm is an ERROR row, not a silently shorter document") {
+    // page 5's dict lives ONLY in a Flate ObjStm with a corrupted byte: the
+    // ObjStm stays metadata-only, kid 5 0 R cannot resolve, and the page
+    // tree walk must error the document rather than emit just page 3
+    val inner5 = "<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>"
+    val hdr = "5 0 "
+    val stm = hdr + inner5
+    val comp = deflateBytes(stm.getBytes(ISO_8859_1))
+    comp(comp.length / 2) = (comp(comp.length / 2) ^ 0x55).toByte
+    val compS = new String(comp, ISO_8859_1)
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page three ok) Tj ET\n"
+    val c2 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (page five text) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.5\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 2 /Kids [3 0 R 5 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n").append(c1).append("\nendstream\nendobj\n")
+    sb.append(s"8 0 obj\n<< /Length ${c2.length} >>\nstream\n").append(c2).append("\nendstream\nendobj\n")
+    sb.append(s"6 0 obj\n<< /Type /ObjStm /N 1 /First ${hdr.length} /Length ${compS.length} " +
+      "/Filter /FlateDecode >>\nstream\n").append(compS).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://lostobjstmpage", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("unresolvable"), got.error)
+    assert(got.text == "", got.text)
+  }
+
+  test("odd-length literal starting with FE FF is NOT a BOM: decodes per-byte") {
+    // '(þÿs)' in a WinAnsi font is 3 bytes FE FF 73 — literal text, not a
+    // truncated UTF-16 string; the BOM bypass requires an even length
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (\u00FE\u00FFs) Tj ET\n"
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /Encoding /WinAnsiEncoding >>"
+    val got = Extractor.extract(Page("t://oddbom", ts, fontPdf(content, font, None), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "\u00FE\u00FFs", got.text)
   }
 
   test("Courier exact flat metrics take Tc spacing (and TJ kern) like real /Widths") {
