@@ -804,6 +804,7 @@ object RealPdf {
     var pos = 0
     var prev: Array[Byte] = null
     var done = false
+    var sawEod = false
     while (!done) {
       while (bitCnt < width && pos < data.length) {
         bitBuf = (bitBuf << 8) | (data(pos) & 0xFF); bitCnt += 8; pos += 1
@@ -812,7 +813,7 @@ object RealPdf {
       else {
         val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
         bitCnt -= width
-        if (code == 257) done = true
+        if (code == 257) { done = true; sawEod = true }
         else if (code == 256) { resetTable(); width = 9; prev = null }
         else {
           val entry: Array[Byte] =
@@ -830,6 +831,11 @@ object RealPdf {
         }
       }
     }
+    // honesty (mirrors inflate): the spec REQUIRES the EOD marker (257,
+    // 7.4.4.2); running out of bits without it means truncated data, and
+    // returning the decoded prefix would be silently-partial text
+    if (!sawEod)
+      throw new PdfParseException("truncated LZWDecode stream (no EOD marker)")
     out.toByteArray
   }
 

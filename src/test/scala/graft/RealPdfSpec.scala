@@ -1443,6 +1443,14 @@ class RealPdfSpec extends AnyFunSuite {
     assert(got.text == "\u00FE\u00FFs", got.text)
   }
 
+  test("TRUNCATED LZW stream (bits exhausted before EOD) is an error, not a silent prefix") {
+    val full = lzwEncode("some words that compress a bit some words".getBytes(ISO_8859_1))
+    val cut = java.util.Arrays.copyOf(full, full.length / 2)
+    intercept[RealPdf.PdfParseException](RealPdf.lzwDecode(cut))
+    // the intact stream still round-trips (EOD present)
+    assert(new String(RealPdf.lzwDecode(full), ISO_8859_1).startsWith("some words"))
+  }
+
   test("Courier exact flat metrics take Tc spacing (and TJ kern) like real /Widths") {
     // 20 a's at 12pt Courier = 144pt wide bare; with 15 Tc the fold adds
     // 300pt -> x2 ~ 494 closes the right gap -> space join with line 2.
