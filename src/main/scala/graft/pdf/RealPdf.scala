@@ -741,6 +741,11 @@ object RealPdf {
       }
       i += 1
     }
+    // honesty (mirrors inflate/lzwDecode): the spec mandates the `>` EOD
+    // (7.4.2); data ending without it is truncated — a decoded prefix would
+    // be silently-partial text
+    if (!done)
+      throw new PdfParseException("truncated ASCIIHexDecode stream (no > EOD)")
     if (hi >= 0) out.write(hi << 4)
     out.toByteArray
   }
@@ -778,6 +783,10 @@ object RealPdf {
       } else if (!isWs(c)) throw new PdfParseException(s"ASCII85Decode: bad char at $i")
       i += 1
     }
+    // honesty (mirrors inflate/lzwDecode): `~>` EOD is mandatory (7.4.3) —
+    // input exhausted without it means truncation, never a silent prefix
+    if (!done)
+      throw new PdfParseException("truncated ASCII85Decode stream (no ~> EOD)")
     if (k == 1) throw new PdfParseException("ASCII85Decode: lone trailing char")
     if (k >= 2) flush(k)
     out.toByteArray

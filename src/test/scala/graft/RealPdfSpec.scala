@@ -420,6 +420,9 @@ class RealPdfSpec extends AnyFunSuite {
     val roundTrip = "sample text for 85!"
     assert(RealPdf.ascii85Decode(ascii85Encode(roundTrip.getBytes(ISO_8859_1)).getBytes(ISO_8859_1))
       .sameElements(roundTrip.getBytes(ISO_8859_1)))
+    // truncation honesty: missing EOD markers throw, never a silent prefix
+    intercept[RealPdf.PdfParseException](RealPdf.asciiHexDecode("48656C6C6F".getBytes(ISO_8859_1)))
+    intercept[RealPdf.PdfParseException](RealPdf.ascii85Decode("FCfN8".getBytes(ISO_8859_1)))
   }
 
   /** Test-local LZW encoder (PDF variant, EarlyChange=1): clear, 9..12-bit
