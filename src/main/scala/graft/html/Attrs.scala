@@ -47,7 +47,13 @@ object Attrs {
     out
   }
 
+  /** Positive int attribute, CAPPED: rowspan/colspan feed an occupancy-grid
+    * fill of rowSpan × colSpan entries, so an adversarial
+    * `rowspan="2000000"` would OOM one executor and kill the job. The HTML
+    * spec itself clamps (colspan ≤ 1000, rowspan ≤ 65534); 512 covers every
+    * real table while bounding the grid at input-proportional size. */
+  val MaxSpan = 512
   def intAttr(attrs: Map[String, String], name: String, default: Int): Int =
     attrs.get(name).flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0).getOrElse(default)
+      .filter(_ > 0).map(math.min(_, MaxSpan)).getOrElse(default)
 }

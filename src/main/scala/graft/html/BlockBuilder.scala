@@ -151,7 +151,10 @@ object BlockBuilder {
       override def startTag(name: String, ab: Int, ae: Int, selfClosing: Boolean): Unit = {
         if (tblDepth > 0) {
           name match {
-            case "table" => tblNested += 1
+            // self-closing: no stack entry will ever pop it — counting it
+            // would make the capture's own </table> decrement tblNested
+            // instead of finishing, losing the rest of the document
+            case "table" if !selfClosing => tblNested += 1
             case "tr" if tblNested == 0 => flushTableRow()
             case "td" | "th" if tblNested == 0 =>
               flushTableCell()
@@ -159,6 +162,13 @@ object BlockBuilder {
               tblCellSpan = (Attrs.intAttr(attrs, "rowspan", 1),
                 Attrs.intAttr(attrs, "colspan", 1), name == "th")
               tblCellBuf = new CollapseBuf(32)
+            // line/block boundaries inside a cell separate words the same
+            // way they do in normal flow ('123 Main St<br>Springfield' must
+            // not fuse to 'StSpringfield')
+            case _ if tblCellBuf != null &&
+              (name == "br" || name == "hr" ||
+                blockTags.contains(name) || containerTags.contains(name)) =>
+              tblCellBuf.wsHint()
             case _ => ()
           }
           if (!selfClosing) stack += ((name, false, false, false))
@@ -188,15 +198,18 @@ object BlockBuilder {
             val isData = attrs.contains("border") ||
               attrs.get("role").exists(_.equalsIgnoreCase("table")) ||
               probeDataTable(html, ae)
-            if (isData) {
+            // a self-closing <table/> contains nothing: entering capture
+            // would have no stack entry to ever finish it, and every byte
+            // after it would be silently swallowed by the capture branch
+            if (isData && !selfClosing) {
               flushBlock()
               tblDepth = 1
               tblDroppedCtx = dropDepth > 0
               tblBegin = ab.toLong
-              if (!selfClosing) stack += ((name, false, false, false))
+              stack += ((name, false, false, false))
               return
             } else {
-              flushBlock() // layout table: plain container
+              flushBlock() // layout table / contentless self-closing table
             }
           } else if (name == "a") {
             anchorDepth += 1; startedAnchor = true
@@ -238,6 +251,16 @@ object BlockBuilder {
           // other inline tags: text flows through
         }
         if (!selfClosing) stack += ((name, startedDrop, startedBlock, startedAnchor))
+        else {
+          // a self-closing element CONTAINS nothing, and with no stack entry
+          // its depth increments would never be undone — real crawled HTML
+          // hits this constantly via unquoted attribute values ending in '/'
+          // (<a href=http://x.com/>), which the tokenizer marks self-closing;
+          // a leaked anchorDepth counts every later char as link text and a
+          // leaked dropDepth drops the entire rest of the document
+          if (startedDrop) dropDepth -= 1
+          if (startedAnchor) anchorDepth = math.max(0, anchorDepth - 1)
+        }
       }
 
       override def endTag(name: String): Unit = {
@@ -361,6 +384,20 @@ object BlockBuilder {
           var k = ns
           while (k < j) { sb.append(lower(html(k))); k += 1 }
           val name = sb.toString
+          // quote-aware end of THIS tag: markup inside quoted attribute
+          // values (onclick="show('<div>')") must not be parsed as tags by
+          // the probe — the real tokenizer honors quotes, so a probe that
+          // does not would mis-classify tables the tokenizer handles fine
+          var tagEnd = limit
+          var q: Int = 0
+          var k2 = j
+          while (k2 < limit && tagEnd == limit) {
+            val d = html(k2)
+            if (q != 0) { if (d == q) q = 0 }
+            else if (d == '"' || d == '\'') q = d
+            else if (d == '>') tagEnd = k2
+            k2 += 1
+          }
           if (name == "table") {
             if (closing) {
               if (depth == 0)
@@ -390,6 +427,9 @@ object BlockBuilder {
             else if (name == "tr") tr += 1
             else if (probeBlockTags.contains(name)) return false
           }
+          // resume past the tag's quote-aware '>' (script/style set their
+          // own raw-text skip target above; don't walk it back)
+          if (name != "script" && name != "style") i = math.max(i, tagEnd)
         }
         }
       }

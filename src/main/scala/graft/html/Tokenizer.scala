@@ -95,7 +95,18 @@ object Tokenizer {
             sink.startTag(name, attrsBegin, n, selfClosing = voidTags.contains(name))
             i = n; textStart = n
           } else {
-            val selfClose = gt > attrsBegin && html(gt - 1) == '/'
+            // a trailing '/' is the self-closing marker ONLY when it follows
+            // the tag name, whitespace, or a closing quote — a '/' ending an
+            // UNQUOTED attribute value is part of the value (WHATWG 13.1.2.3:
+            // unquoted values end at whitespace or '>'). Real crawled HTML
+            // hits this constantly: <a href=http://x.com/> is NOT
+            // self-closing, and treating it so would close the anchor before
+            // its link text.
+            val selfClose = gt > attrsBegin && html(gt - 1) == '/' && {
+              val p = html(gt - 2) // gt-2 >= attrsBegin-1 = name end, safe
+              gt - 1 == attrsBegin || p == ' ' || p == '\t' || p == '\n' ||
+                p == '\r' || p == '\f' || p == '"' || p == '\''
+            }
             val attrsEnd = if (selfClose) gt - 1 else gt
             val isVoid = voidTags.contains(name)
             sink.startTag(name, attrsBegin, attrsEnd, selfClose || isVoid)
@@ -129,14 +140,21 @@ object Tokenizer {
         } else if (c == '!') {
           flushText(i)
           if (i + 3 < n && html(i + 1) == '!' && html(i + 2) == '-' && html(i + 3) == '-') {
-            // comment: skip to -->
-            var j = i + 4
-            var end = -1
-            while (j + 2 < n && end < 0) {
-              if (html(j) == '-' && html(j + 1) == '-' && html(j + 2) == '>') end = j + 3
-              j += 1
+            // abruptly closed comments (WHATWG: '<!-->' and '<!--->' END the
+            // comment) — the general scan below starts PAST their '--' and
+            // would otherwise swallow the rest of the document
+            if (i + 4 < n && html(i + 4) == '>') i += 5
+            else if (i + 5 < n && html(i + 4) == '-' && html(i + 5) == '>') i += 6
+            else {
+              // comment: skip to -->
+              var j = i + 4
+              var end = -1
+              while (j + 2 < n && end < 0) {
+                if (html(j) == '-' && html(j + 1) == '-' && html(j + 2) == '>') end = j + 3
+                j += 1
+              }
+              i = if (end > 0) end else n
             }
-            i = if (end > 0) end else n
           } else {
             // doctype / CDATA-ish: skip to '>'
             var g = i + 2

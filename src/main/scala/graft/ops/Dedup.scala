@@ -84,6 +84,12 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.7, maxBucket: Int = 64,
       materialize: Boolean = true): DataFrame = {
     import spark.implicits._
+    // bands must tile the 64-row signature exactly: bands > 64 makes
+    // rowsPerBand 0 (every doc hashes to ONE constant bucket — silently
+    // zero pairs once maxBucket skips it), bands = 0 divides by zero, and a
+    // non-divisor silently ignores the trailing signature rows
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
     // persisted: feeds the banding pass AND both sides of the signature
     // verify join — without it the full shingle+64-permutation pass over
     // every document runs three times

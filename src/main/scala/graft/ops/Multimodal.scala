@@ -56,8 +56,19 @@ object Multimodal {
         if (out != null) out else MediaMeta("unknown", -1, -1, -1, -1, n.toLong)
       } else if (n >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-        // WAV: "fmt " chunk at 12: id, size, audioFormat LE16, channels LE16, sampleRate LE32
-        MediaMeta("wav", -1, -1, le32(b, 24), le16(b, 22), n.toLong)
+        // WAV: WALK the RIFF chunks to "fmt " (pro-audio tools put JUNK or
+        // LIST first — assuming offset 12 would read garbage sample rates);
+        // fmt payload: audioFormat LE16, channels LE16, sampleRate LE32
+        var i = 12
+        var out: MediaMeta = null
+        while (out == null && i + 8 <= n) {
+          val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+          val size = le32(b, i + 4)
+          if (isFmt && i + 16 <= n) out = MediaMeta("wav", -1, -1, le32(b, i + 12), le16(b, i + 10), n.toLong)
+          else if (size < 0) i = n // corrupt size: stop
+          else i += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        if (out != null) out else MediaMeta("unknown", -1, -1, -1, -1, n.toLong)
       } else MediaMeta("unknown", -1, -1, -1, -1, n.toLong)
     } catch { case _: Exception => MediaMeta("unknown", -1, -1, -1, -1, n.toLong) }
   }

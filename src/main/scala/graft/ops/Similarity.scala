@@ -36,7 +36,12 @@ object Similarity {
     * graft.functions.FloatVecDot). */
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.VecFunctions.dotF
-    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+    // zero-norm guard: under ANSI mode (Spark 4 default) 0/0 THROWS
+    // DIVIDE_BY_ZERO and kills the job on one zero embedding; NaN keeps the
+    // pre-ANSI "no similarity" semantics, and topKPerQuery's heap skips NaN
+    // candidates (Double.compare would otherwise rank NaN first)
+    val denom = sqrt(dotF(a, a)) * sqrt(dotF(b, b))
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dotF(a, b) / denom)
   }
 
   /** Per-partition bounded-heap top-k per query over (query_id, neighbor_id,
@@ -68,11 +73,16 @@ object Similarity {
         val heaps = scala.collection.mutable.LongMap
           .empty[scala.collection.mutable.PriorityQueue[(Long, Double)]]
         it.foreach { case (qid, nid, sim) =>
-          val h = heaps.getOrElseUpdate(qid,
-            scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worseFirst))
-          if (h.size < k) h.enqueue((nid, sim))
-          else if (worseFirst.compare((nid, sim), h.head) < 0) {
-            h.dequeue(); h.enqueue((nid, sim))
+          // NaN sim (zero-norm embedding: 0/0 in cosine) is "no similarity",
+          // but Double.compare ranks NaN ABOVE every real — unguarded it
+          // would evict genuine neighbors and sort to rank 1 for every query
+          if (!sim.isNaN) {
+            val h = heaps.getOrElseUpdate(qid,
+              scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worseFirst))
+            if (h.size < k) h.enqueue((nid, sim))
+            else if (worseFirst.compare((nid, sim), h.head) < 0) {
+              h.dequeue(); h.enqueue((nid, sim))
+            }
           }
         }
         heaps.iterator.flatMap { case (qid, h) => h.iterator.map(c => (qid, c._1, c._2)) }
@@ -226,8 +236,13 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // ragged rows (null / shorter-than-dim embeddings — the exact shapes
+    // withSignatures tolerates with sig 0) would NPE/AIOOBE inside nearest()
+    // and kill the job: exclude them from both the index and the queries,
+    // matching the LSH path's "never a candidate" semantics
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
+      .filter(r => r._2 != null)
     // coarse quantizer: k-means (10 iters, k-means++-less seeded init) on a
     // deterministic sample — small and driver-side by design, like any IVF
     // training step. Ordering by a seeded hash of vec_id makes the sample (a)
@@ -235,13 +250,16 @@ object Similarity {
     // 4N executors — and (b) spread across the id space; orderBy+limit
     // compiles to TakeOrdered (per-partition top-k + driver merge, no sort
     // shuffle of the corpus).
-    val sample = emb
+    val sample0 = emb
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
       .limit(sampleN)
       .select(col("embedding")).as[Array[Float]].collect()
-    require(sample.nonEmpty, "empty corpus")
-    val dim = sample(0).length
+    require(sample0.nonEmpty, "empty corpus")
+    val dim = sample0(0).length
+    // drop ragged sample rows so the k-means inner loops index safely
+    val sample = sample0.filter(_.length == dim)
     val rnd = new java.util.Random(seed)
     var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
       sample(rnd.nextInt(sample.length)).map(_.toDouble))
@@ -271,11 +289,13 @@ object Similarity {
       }.toArray
     }
     val bcCentroids = spark.sparkContext.broadcast(centroids)
-    // assign corpus rows to cells (narrow map; no shuffle)
-    val assigned = vecs.map { case (id, v) => (nearest(v, bcCentroids.value), id, v) }
+    // assign corpus rows to cells (narrow map; no shuffle); ragged short
+    // rows are excluded the same way the LSH path never candidates them
+    val assigned = vecs.filter(_._2.length >= dim)
+      .map { case (id, v) => (nearest(v, bcCentroids.value), id, v) }
       .toDF("cell", "neighbor_id", "n_emb")
     // queries probe their nProbe nearest cells
-    val queries = vecs.filter(r => queryIds.contains(r._1)).collect()
+    val queries = vecs.filter(r => queryIds.contains(r._1) && r._2.length >= dim).collect()
     val probes = queries.flatMap { case (qid, qv) =>
       val byDist = centroids.indices.sortBy { c =>
         var d = 0.0; var i = 0

@@ -467,4 +467,76 @@ class KernelSpec extends AnyFunSuite {
     assert(spans.count(_.kind == "pdf_formula") == 1, spans.map(_.kind).toSeq)
     assert(spans.count(_.kind == "pdf_fragment") == 1, spans.map(_.kind).toSeq)
   }
+
+  // ---- round 5: stable-branch review fixes ----------------------------------
+
+  private def extractHtml(html: String): graft.model.ExtractedPage =
+    Extractor.extract(Page("u", new java.sql.Timestamp(0L),
+      html.getBytes(StandardCharsets.UTF_8), "", "en"))
+
+  test("unquoted attribute value ending in '/' is NOT self-closing (WHATWG)") {
+    // <a href=http://x.com/> must keep its anchor OPEN until </a>; the old
+    // self-closing read leaked anchorDepth and link-classified the whole page
+    val got = extractHtml(
+      "<p><a href=http://x.com/>nav</a></p>" +
+        "<p>real content sentence with many plain prose words to keep around here</p>")
+    assert(got.error == "", got.error)
+    assert(got.text.contains("real content sentence"), got.text)
+    // and the anchor text itself is still counted as link text: an all-link
+    // block stays boilerplate
+    val blocks = Extractor.debugBlocks(Page("u2", new java.sql.Timestamp(0L),
+      "<p><a href=http://x.com/>only link words</a></p>".getBytes(StandardCharsets.UTF_8), "", "en"))
+    assert(blocks.exists(b => !b.keep), blocks.map(b => (b.text, b.keep)).toString)
+  }
+
+  test("genuinely self-closing drop/anchor/table tags do not leak depth state") {
+    // <nav/> contains nothing: following content must survive
+    val got = extractHtml("<nav/><p>article text that must definitely survive this page</p>")
+    assert(got.text.contains("article text"), got.text)
+    // <table border="1"/> must not open an endless capture
+    val got2 = extractHtml("<table border=\"1\"/><p>after the empty table words keep flowing</p>")
+    assert(got2.text.contains("after the empty table"), got2.text)
+    // self-closing nested <table/> inside a capture must not unbalance it
+    val got3 = extractHtml(
+      "<table border=1><tr><td>cell a<table/></td><td>cell b</td></tr></table>" +
+        "<p>tail words after the table</p>")
+    assert(got3.text.contains("tail words"), got3.text)
+  }
+
+  test("abruptly closed comments <!--> and <!---> end at their '>' (WHATWG)") {
+    val got = extractHtml(
+      "<p>alpha prose words before the comment here</p><!--><p>beta words survive just fine</p>")
+    assert(got.text.contains("alpha prose words") && got.text.contains("beta words survive"), got.text)
+    val got2 = extractHtml(
+      "<p>alpha prose words before the comment here</p><!---><p>gamma words survive just fine</p>")
+    assert(got2.text.contains("gamma words survive"), got2.text)
+  }
+
+  test("<br> and block boundaries inside captured table cells separate words") {
+    val p = Page("u", new java.sql.Timestamp(0L),
+      "<table border=1><tr><td>123 Main St<br>Springfield</td></tr></table>"
+        .getBytes(StandardCharsets.UTF_8), "", "en")
+    val tables = Extractor.debugTables(p)
+    assert(tables.nonEmpty)
+    assert(tables.head._3.contains("123 Main St Springfield"), tables.head._3)
+  }
+
+  test("adversarial rowspan/colspan are capped: bounded grid, fast completion") {
+    val t0 = System.nanoTime()
+    val got = extractHtml(
+      "<table border=1><tr><td rowspan=\"2000000\" colspan=\"2000000\">x</td></tr></table>")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.error == "", got.error)
+    assert(secs < 10.0, s"span bomb took $secs s")
+  }
+
+  test("probeDataTable ignores markup inside quoted attribute values") {
+    // a genuine data table whose th carries markup in an attribute string:
+    // the probe must track quotes like the real tokenizer and still capture
+    val html =
+      "<table><tr><th onclick=\"show('<div>')\">Name</th><th>Value</th></tr>" +
+        "<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>"
+    val p = Page("u", new java.sql.Timestamp(0L), html.getBytes(StandardCharsets.UTF_8), "", "en")
+    assert(Extractor.debugTables(p).nonEmpty)
+  }
 }

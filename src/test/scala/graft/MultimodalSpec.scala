@@ -67,4 +67,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(spans.map { case (b, e) => t.substring(b, e) }.toSeq ==
       Seq("hello", "中", "文", "world"))
   }
+
+  test("wav: JUNK/LIST chunk before fmt is walked, not misread as fmt") {
+    // RIFF / size / WAVE / JUNK(4 bytes pad) / fmt (pcm, 2ch, 44100)
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(56); bb.put("WAVE".getBytes)
+    bb.put("JUNK".getBytes); bb.putInt(4); bb.putInt(0xDEADBEEF)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(44100); bb.putInt(44100 * 4)
+    bb.putShort(4); bb.putShort(16)
+    val m = Multimodal.meta(bb.array())
+    assert(m.format == "wav", m.toString)
+    assert(m.channels == 2 && m.sampleRate == 44100, m.toString)
+  }
 }

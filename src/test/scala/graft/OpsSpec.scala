@@ -314,4 +314,32 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.fingerprint(t) == TextOps.fingerprint(t))
     assert(TextOps.fingerprint(t) != TextOps.fingerprint(mkText(10, 300)))
   }
+
+  test("zero-norm embeddings (NaN cosine) never rank in top-k; ragged rows don't crash IVF") {
+    import spark.implicits._
+    val rows = (0L until 20L).map { i =>
+      val v =
+        if (i == 19L) Array.fill(8)(0.0f)                       // zero vector -> NaN sim
+        else Array.tabulate(8)(d => (((i * 8 + d) % 7).toFloat + 1f) / 7f)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(df, Seq(0L), k = 5).collect()
+    assert(bf.length == 5)
+    assert(!bf.exists(_.getAs[Long]("neighbor_id") == 19L),
+      "zero-norm (NaN) vector ranked in top-k")
+    // ragged corpus: null embedding row must not NPE the IVF path
+    val ragged = (rows :+ ((20L, null.asInstanceOf[Array[Float]]))).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(ragged, Seq(0L), k = 3, nCells = 4, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    assert(!ivf.exists(_.getAs[Long]("neighbor_id") == 20L))
+  }
+
+  test("minhashPairs validates bands: non-divisors and out-of-range reject loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "some words"), (2L, "some words")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dedup.minhashPairs(spark, docs, bands = 128))
+    intercept[IllegalArgumentException](Dedup.minhashPairs(spark, docs, bands = 0))
+    intercept[IllegalArgumentException](Dedup.minhashPairs(spark, docs, bands = 24))
+  }
 }
