@@ -199,19 +199,18 @@ object JoinRules {
     * previous fragment ends in ASCII alphabetic (reference `needs_space_after`,
     * /root/reference/src/oarocr/stitching.rs:731-733); CJK and punctuation
     * join without a space. */
+  /** The single definition of the space-insertion class: a fragment boundary
+    * takes a space only after an ASCII letter (CJK/RTL/digits join bare). */
+  @inline def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
   @inline def needsSpaceAfter(prev: String): Boolean =
-    prev.nonEmpty && {
-      val c = prev.charAt(prev.length - 1)
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
-    }
+    prev.nonEmpty && isAsciiLetter(prev.charAt(prev.length - 1))
 
   def joinLine(fragments: Seq[String]): String = {
     val sb = new java.lang.StringBuilder(64)
     for (f <- fragments) {
-      if (sb.length() > 0) {
-        val c = sb.charAt(sb.length() - 1)
-        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) sb.append(' ')
-      }
+      if (sb.length() > 0 && isAsciiLetter(sb.charAt(sb.length() - 1))) sb.append(' ')
       sb.append(f)
     }
     sb.toString

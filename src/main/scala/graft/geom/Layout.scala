@@ -225,6 +225,11 @@ object LayoutSort {
         val (sortedVal, blockVal) =
           if (math.abs(yi - ypi) > 0) (sb.box.y1, y1)
           else {
+            // deliberately the block's OWN x1 vs x2 buckets — a WIDTH gate,
+            // not a block-vs-neighbor compare. This ports the reference
+            // exactly (layout_sorting.rs:348-365, itself flagging that the
+            // upstream Python uses `abs(x1//2 - x2//2)`): narrow blocks
+            // (< ~2 units) fall through to the centroid-norm tie-break.
             val xi = math.floor(x1).toInt / 2
             val x2i = math.floor(block.box.x2).toInt / 2
             if (math.abs(xi - x2i) > 0) (sb.box.x1, x1)
@@ -341,9 +346,14 @@ object Poly {
           bestArea = area
           val cu = (minU + maxU) / 2; val cv = (minV + maxV) / 2
           val cx = cu * ux + cv * vx; val cy = cu * uy + cv * vy
-          var ang = math.toDegrees(math.atan2(uy, ux)) % 90.0
-          if (ang < 0) ang += 90.0
-          best = (cx, cy, wdt, hgt, ang)
+          // fold the edge angle into [0, 90) — SWAPPING w/h when folding by
+          // the odd 90: an edge at 100° reported as (w, h, 10°) would put
+          // the wrong side along the 10° axis
+          var ang = math.toDegrees(math.atan2(uy, ux)) % 180.0
+          if (ang < 0) ang += 180.0
+          best =
+            if (ang >= 90.0) (cx, cy, hgt, wdt, ang - 90.0)
+            else (cx, cy, wdt, hgt, ang)
         }
       }
     }

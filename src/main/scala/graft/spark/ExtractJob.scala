@@ -31,13 +31,14 @@ object ExtractJob {
     import spark.implicits._
     val input =
       if (salt > 0) {
-        // explicit skew spread: hash(url) xor a per-row salt derived from the
-        // html size class, so hot domains and giant pages scatter
+        // explicit skew spread: repartition on the FULL-cardinality hash of
+        // (url, size) so hot domains and giant pages scatter. Folding the
+        // hash into [0,salt) first and repartitioning on that would re-hash
+        // the few dense values through murmur3 — colliding salt classes into
+        // shared partitions and leaving ~1/e of them empty (the exact
+        // pitfall runBucketed documents and probes around below)
         pages
-          .withColumn("__salt",
-            pmod(xxhash64(col("url"), length(col("html"))), lit(salt.toLong)))
-          .repartition(salt, col("__salt"))
-          .drop("__salt")
+          .repartition(salt, xxhash64(col("url"), length(col("html"))))
           .as[Page]
       } else pages
     // intra-partition size ordering — the reference's aspect-ratio sort
@@ -77,7 +78,9 @@ object ExtractJob {
     import spark.implicits._
     val cls = ceil(log2(greatest(length(col("html")).cast("long"), lit(2L)))).cast("int")
     val hist = pages
-      .select(cls.as("cls"), length(col("html")).cast("long").as("len"))
+      // coalesce: a size class whose every row has null html would sum to
+      // SQL NULL and NPE the driver's getLong before any extraction ran
+      .select(cls.as("cls"), coalesce(length(col("html")).cast("long"), lit(0L)).as("len"))
       .groupBy("cls").agg(sum("len").as("bytes"))
       .collect() // <= ~40 rows: one per size class
       .map(r => r.getInt(0) -> math.max(1L,
@@ -220,9 +223,11 @@ object ExtractDemo {
       sum("nBlocks").as("all_blocks")
     ).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
-    println(s"rows=${agg.getLong(0)} errors=${agg.getLong(1)} htmlMB=${agg.getLong(2) / 1e6}%.1f " +
+    println(f"rows=${agg.getLong(0)} errors=${agg.getLong(1)} htmlMB=${agg.getLong(2) / 1e6}%.1f " +
       s"textChars=${agg.getLong(3)} spans=${agg.getLong(4)} pdf=${agg.getLong(5)} " +
-      s"kept=${agg.getLong(6)}/${agg.getLong(7)} secs=$secs pages_per_sec=${n / secs}")
+      s"kept=${agg.getLong(6)}/${agg.getLong(7)} secs=$secs " +
+      // actual row count, not the requested n — probe mode runs ~15 rows
+      s"pages_per_sec=${agg.getLong(0) / secs}")
     // sample rows through the full encoder round-trip
     val k = if (args.contains("--probe")) 20 else 1
     for (sample <- out.orderBy(col("url")).limit(k).collect())

@@ -55,7 +55,7 @@ object ScalingBench {
 
   /** One full pipeline pass: scan -> extract -> aggregate (the aggregate
     * forces every row through the kernel and keeps nothing in memory). */
-  private def pass(spark: SparkSession, dir: String, parts: Int): (Long, Long) = {
+  private def pass(spark: SparkSession, dir: String): (Long, Long) = {
     import spark.implicits._
     // explicit schema: skips the footer-inference job a fresh session runs
     val pages = spark.read.schema(implicitly[org.apache.spark.sql.Encoder[Page]].schema)
@@ -73,7 +73,7 @@ object ScalingBench {
     val spark = session(cores)
     try {
       val t0 = System.nanoTime()
-      val (p, b) = pass(spark, dir, parts = cores * 4)
+      val (p, b) = pass(spark, dir)
       Run(cores, (System.nanoTime() - t0) / 1e9, p, b)
     } finally spark.stop()
   }
@@ -141,7 +141,7 @@ object ScalingBench {
 
     // global JIT warmup (high parallelism), discarded
     val w = session(32)
-    try { pass(w, dir, 32); pass(w, dir, 32) } finally w.stop()
+    try { pass(w, dir); pass(w, dir) } finally w.stop()
 
     // two N->4N pairs: 2->8 (away from the shared-box bandwidth wall) and
     // 8->32 (the driver-suggested pair; the single-JVM box saturates ~300MB/s)

@@ -98,9 +98,17 @@ object TableIO {
   /** Remove scratch debris left by this or previous crashed runs. */
   def cullScratch(root: String): Unit = {
     val dd = dataDir(root)
-    if (!Files.isDirectory(dd)) return
-    listDir(dd)(_.filter(_.getFileName.toString.startsWith(".run-")).toList)
-      .foreach(deleteRecursively)
+    if (Files.isDirectory(dd))
+      listDir(dd)(_.filter(_.getFileName.toString.startsWith(".run-")).toList)
+        .foreach(deleteRecursively)
+    // manifest-dir debris: a crash between writeString and the atomic move
+    // in commitUnit leaves .tmp-unit-* files that nothing else removes —
+    // readers skip them (correctness holds) but a long-lived table would
+    // accumulate one per crashed commit forever
+    val md = manifestDir(root)
+    if (Files.isDirectory(md))
+      listDir(md)(_.filter(_.getFileName.toString.startsWith(".tmp-")).toList)
+        .foreach(p => Files.deleteIfExists(p))
   }
 
   /** Paths of committed unit data dirs (for spark.read.parquet). */

@@ -60,7 +60,10 @@ object StreamExtract {
         // real content keys on the md5 of the text (collision-safe)
         if (p.error.nonEmpty || p.text == null || p.text.isEmpty) "u:" + p.url
         else {
-          val md = java.security.MessageDigest.getInstance("MD5")
+          // per-thread digest: getInstance is a JCA provider-registry lookup
+          // plus an allocation — too heavy to pay once per record on the
+          // streaming hot path
+          val md = Md5.get(); md.reset()
           "t:" + java.util.Base64.getEncoder.encodeToString(
             md.digest(p.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
@@ -85,7 +88,14 @@ object StreamExtract {
     * `outDir` with exactly-once checkpointing.
     * runMain graft.streaming.StreamExtract <inDir> <outDir> <checkpointDir>
     */
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: StreamExtract <inDir> <outDir> <checkpointDir>")
+      sys.exit(2)
+    }
     val Array(inDir, outDir, ckpt) = args.take(3)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))

@@ -49,4 +49,13 @@ class BatchingSpec extends AnyFunSuite {
     assert(maxClassesPerPartition == 1L,
       s"a partition mixes $maxClassesPerPartition size classes")
   }
+
+  test("skew salt spreads rows across ALL salt partitions (no murmur3-collided empties)") {
+    // repartitioning on the folded [0,salt) value used to leave ~1/e of the
+    // partitions empty; the full-cardinality hash must fill every one
+    val salted = ExtractJob.run(pages, salt = 16)
+    val sizes = salted.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.length == 16)
+    assert(sizes.count(_ == 0) == 0, s"empty partitions: ${sizes.mkString(",")}")
+  }
 }

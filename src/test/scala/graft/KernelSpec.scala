@@ -539,4 +539,26 @@ class KernelSpec extends AnyFunSuite {
     val p = Page("u", new java.sql.Timestamp(0L), html.getBytes(StandardCharsets.UTF_8), "", "en")
     assert(Extractor.debugTables(p).nonEmpty)
   }
+
+  test("minAreaRect: folding the angle by 90 swaps w/h so the triple stays consistent") {
+    import graft.geom.Poly
+    // 10x2 rectangle whose LONG side points at 100 degrees
+    val th = math.toRadians(100.0)
+    val (ux, uy) = (math.cos(th), math.sin(th))   // long axis
+    val (vx, vy) = (-uy, ux)                       // short axis
+    val pts = Vector(
+      (5 * ux + 1 * vx, 5 * uy + 1 * vy), (5 * ux - 1 * vx, 5 * uy - 1 * vy),
+      (-5 * ux + 1 * vx, -5 * uy + 1 * vy), (-5 * ux - 1 * vx, -5 * uy - 1 * vy))
+    val (cx, cy, w, h, ang) = Poly.minAreaRect(pts)
+    assert(math.abs(cx) < 1e-9 && math.abs(cy) < 1e-9)
+    assert(ang >= 0 && ang < 90, s"angle $ang")
+    // reconstruct: extent along the reported angle axis must equal the
+    // reported w; along its normal the reported h
+    val ra = math.toRadians(ang)
+    val (wx, wy) = (math.cos(ra), math.sin(ra))
+    val us = pts.map { case (px, py) => px * wx + py * wy }
+    val vs = pts.map { case (px, py) => -px * wy + py * wx }
+    assert(math.abs((us.max - us.min) - w) < 1e-6, s"w $w vs ${us.max - us.min}")
+    assert(math.abs((vs.max - vs.min) - h) < 1e-6, s"h $h vs ${vs.max - vs.min}")
+  }
 }
