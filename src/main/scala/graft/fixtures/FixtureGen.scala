@@ -888,6 +888,7 @@ object FixtureGen {
         case 4     => 4 // [ASCII85Decode FlateDecode]
         case 5     => 5 // LZWDecode
         case 6     => 6 // FlateDecode + PNG Predictor 12
+        case 7     => 7 // RunLengthDecode
         case _     => 0 // plain
       }
       val cidEntries: Vector[(Char, Int)] =
@@ -980,6 +981,26 @@ object FixtureGen {
       }
       out
     }
+    /** RunLengthDecode encoder (7.4.5): repeat runs for 3+ byte repeats,
+      * literal runs otherwise, mandatory 128 EOD. */
+    def rlEnc(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 128 + 2)
+      var i = 0
+      while (i < raw.length) {
+        var rep = 1
+        while (i + rep < raw.length && rep < 128 && raw(i + rep) == raw(i)) rep += 1
+        if (rep >= 3) { out.write(257 - rep); out.write(raw(i)); i += rep }
+        else {
+          var n = 0
+          // literal run up to the next 3+ repeat (or 128 bytes)
+          while (i + n < raw.length && n < 128 &&
+            !(i + n + 2 < raw.length && raw(i + n) == raw(i + n + 1) && raw(i + n) == raw(i + n + 2))) n += 1
+          out.write(n - 1); out.write(raw, i, n); i += n
+        }
+      }
+      out.write(128)
+      out.toByteArray
+    }
     /** pad with spaces to full predictor rows (ws-transparent to the lexer) */
     def padRows(raw: Array[Byte], cols: Int): Array[Byte] =
       raw ++ Array.fill((cols - raw.length % cols) % cols)(' '.toByte)
@@ -996,6 +1017,7 @@ object FixtureGen {
           val cols = 32
           (new String(deflate(pngUp(padRows(raw, cols), cols)), StandardCharsets.ISO_8859_1),
             s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>")
+        case 7 => (new String(rlEnc(raw), StandardCharsets.ISO_8859_1), " /Filter /RunLengthDecode")
         case _ => (ops, "")
       }
     }

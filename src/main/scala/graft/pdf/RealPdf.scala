@@ -22,7 +22,8 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *    objects (last definition wins on incremental updates), then to orphan
   *    BT-bearing streams.
   *  - stream filters: FlateDecode, LZWDecode (variable-width 9..12-bit
-  *    codes, /EarlyChange honored), ASCIIHexDecode, ASCII85Decode, alone or
+  *    codes, /EarlyChange honored), ASCIIHexDecode, ASCII85Decode,
+  *    RunLengthDecode, alone or
   *    chained, plus /DecodeParms predictors (TIFF 2 at 8 bpc, PNG 10..15 —
   *    the Flate+Predictor-12 xref/ObjStm norm) on a single Flate/LZW filter;
   *    other filters, unsupported predictor shapes, and indirect/per-filter
@@ -792,6 +793,38 @@ object RealPdf {
     out.toByteArray
   }
 
+  /** RunLengthDecode (spec 7.4.5): a length byte L selects `copy the next
+    * L+1 bytes` (L 0..127) or `repeat the next byte 257-L times` (L 129..255);
+    * L == 128 is the mandatory EOD. Truncated runs or missing EOD ->
+    * PdfParseException (decoded prefixes are silently-partial text). */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + l + 1 > data.length)
+          throw new PdfParseException("truncated RunLengthDecode literal run")
+        out.write(data, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= data.length)
+          throw new PdfParseException("truncated RunLengthDecode repeat run")
+        val b = data(i) & 0xFF
+        i += 1
+        var n = 257 - l
+        while (n > 0) { out.write(b); n -= 1 }
+      }
+    }
+    // honesty (mirrors the other filters): 128 EOD is mandatory (7.4.5)
+    if (!done)
+      throw new PdfParseException("truncated RunLengthDecode stream (no EOD)")
+    out.toByteArray
+  }
+
   /** LZWDecode, PDF/TIFF variant (spec 7.4.4): MSB-first variable-width
     * codes 9..12 bits, 256 = ClearTable, 257 = EOD, code width grows
     * `earlyChange` entries before the table fills (PDF default 1). Truncated
@@ -913,7 +946,8 @@ object RealPdf {
   }
 
   /** Apply the stream's /Filter chain (left-to-right, per spec order).
-    * Supported: FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode —
+    * Supported: FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode,
+    * RunLengthDecode —
     * alone or chained (e.g. [ASCII85Decode FlateDecode]) — plus a
     * /DecodeParms /Predictor (TIFF 2 at 8 bpc, PNG 10..15) on a SINGLE
     * Flate/LZW filter, the real-world xref/ObjStm norm. Unsupported filters,
@@ -994,6 +1028,8 @@ object RealPdf {
               asciiHexDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
             case "ASCII85Decode" =>
               ascii85Decode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
+            case "RunLengthDecode" =>
+              runLengthDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
           }
         }
         for ((p, c, bits, cols, _) <- parms if p > 1)
@@ -1003,7 +1039,8 @@ object RealPdf {
     }
   }
 
-  private val SupportedFilters = Set("FlateDecode", "LZWDecode", "ASCIIHexDecode", "ASCII85Decode")
+  private val SupportedFilters =
+    Set("FlateDecode", "LZWDecode", "ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode")
 
   private def inflate(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()

@@ -398,6 +398,45 @@ class RealPdfSpec extends AnyFunSuite {
     assert(gotChain.text == "filter chain works")
   }
 
+  test("RunLengthDecode content streams decode; RL+Flate chains; truncation honesty") {
+    // test-local encoder: literal runs only (L = n-1, then n bytes), EOD 128
+    def rlEncode(raw: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < raw.length) {
+        val n = math.min(128, raw.length - i)
+        out.write(n - 1); out.write(raw, i, n); i += n
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (run length works) Tj ET\n"
+    val rl = new String(rlEncode(ops.getBytes(ISO_8859_1)), ISO_8859_1)
+    val got = Extractor.extract(Page("t://rl", ts,
+      minimalPdf(rl, filter = "RunLengthDecode", length = Some(rl.length)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "run length works")
+    // chained: stored = rl(deflate(ops)); decode order RunLength then Flate
+    val chained = new String(rlEncode(deflateBytes(ops.getBytes(ISO_8859_1))), ISO_8859_1)
+    val body = new String(minimalPdf(chained, length = Some(chained.length)), ISO_8859_1)
+      .replace(s"<< /Length ${chained.length}",
+        s"<< /Length ${chained.length} /Filter [/RunLengthDecode /FlateDecode]")
+    val gotChain = Extractor.extract(Page("t://rlchain", ts, body.getBytes(ISO_8859_1), "", "en"))
+    assert(gotChain.error == "", gotChain.error)
+    assert(gotChain.text == "run length works")
+    // unit vectors: repeat run (257-254=3 copies), literal run, EOD honesty
+    assert(RealPdf.runLengthDecode(Array[Byte](254.toByte, 'x', 128.toByte))
+      .sameElements("xxx".getBytes(ISO_8859_1)))
+    assert(RealPdf.runLengthDecode(Array[Byte](2, 'a', 'b', 'c', 128.toByte))
+      .sameElements("abc".getBytes(ISO_8859_1)))
+    intercept[RealPdf.PdfParseException]( // no EOD
+      RealPdf.runLengthDecode(Array[Byte](0, 'a')))
+    intercept[RealPdf.PdfParseException]( // literal run past end-of-input
+      RealPdf.runLengthDecode(Array[Byte](5, 'a', 'b')))
+    intercept[RealPdf.PdfParseException]( // repeat run missing its byte
+      RealPdf.runLengthDecode(Array[Byte](200.toByte)))
+  }
+
   test("cm translate/scale: offset content places correctly; q/Q restores; scaled run is a title") {
     val ops =
       // title: 12pt scaled x2 by the CTM -> 24pt effective, at device (50, 742)
@@ -1083,6 +1122,7 @@ class RealPdfSpec extends AnyFunSuite {
     var forms = 0
     var rot90 = 0
     var rot180 = 0
+    var runLength = 0
     for (row <- 26L until 2000L by 50L) {
       val s = new String(graft.fixtures.FixtureGen.fixture(row).page.html, ISO_8859_1)
       if (s.contains("/Predictor 12 /Columns 32")) content += 1
@@ -1091,12 +1131,14 @@ class RealPdfSpec extends AnyFunSuite {
       if (s.contains("/Subtype /Form")) forms += 1
       if (s.contains("/Rotate 90")) rot90 += 1
       if (s.contains("/Rotate 180")) rot180 += 1
+      if (s.contains("/Filter /RunLengthDecode")) runLength += 1
     }
     assert(content > 0, "no predictor-12 content streams in the 2000-row corpus")
     assert(objstm > 0, "no predictor-12 ObjStm files in the 2000-row corpus")
     assert(winAnsi > 0, "no WinAnsi-encoded pages in the 2000-row corpus")
     assert(forms > 0, "no Form-XObject pages in the 2000-row corpus")
     assert(rot90 + rot180 > 0, "no /Rotate pages in the 2000-row corpus")
+    assert(runLength > 0, "no RunLengthDecode content streams in the 2000-row corpus")
   }
 
   test("byte-flip fuzz: mutated real-PDF fixtures and random bytes never crash or hang") {
