@@ -889,6 +889,7 @@ object FixtureGen {
         case 5     => 5 // LZWDecode
         case 6     => 6 // FlateDecode + PNG Predictor 12
         case 7     => 7 // RunLengthDecode
+        case 8     => 8 // [ASCII85Decode FlateDecode] + per-filter parms array
         case _     => 0 // plain
       }
       val cidEntries: Vector[(Char, Int)] =
@@ -1018,6 +1019,10 @@ object FixtureGen {
           (new String(deflate(pngUp(padRows(raw, cols), cols)), StandardCharsets.ISO_8859_1),
             s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>")
         case 7 => (new String(rlEnc(raw), StandardCharsets.ISO_8859_1), " /Filter /RunLengthDecode")
+        case 8 => // per-filter /DecodeParms array: predictor on the Flate stage only
+          val cols = 32
+          (ascii85Enc(deflate(pngUp(padRows(raw, cols), cols))),
+            s" /Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null << /Predictor 12 /Columns $cols >>]")
         case _ => (ops, "")
       }
     }

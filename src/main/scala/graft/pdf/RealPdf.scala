@@ -25,8 +25,9 @@ import graft.pdf.PdfParser.{PdfPage, TableSpec, TextBox, TitleBox}
   *    codes, /EarlyChange honored), ASCIIHexDecode, ASCII85Decode,
   *    RunLengthDecode, alone or
   *    chained, plus /DecodeParms predictors (TIFF 2 at 8 bpc, PNG 10..15 —
-  *    the Flate+Predictor-12 xref/ObjStm norm) on a single Flate/LZW filter;
-  *    other filters, unsupported predictor shapes, and indirect/per-filter
+  *    the Flate+Predictor-12 xref/ObjStm norm) on Flate/LZW stages — single
+  *    dict or per-filter parms arrays with null placeholders; other filters,
+  *    unsupported predictor shapes, and unresolvable-indirect
   *    DecodeParms are skipped as metadata-only (never silently mis-decoded).
   *  - /Encrypt files error cleanly ("encrypted PDF") before any stream
   *    decode — never ciphertext-as-text.
@@ -948,15 +949,18 @@ object RealPdf {
   /** Apply the stream's /Filter chain (left-to-right, per spec order).
     * Supported: FlateDecode, LZWDecode, ASCIIHexDecode, ASCII85Decode,
     * RunLengthDecode —
-    * alone or chained (e.g. [ASCII85Decode FlateDecode]) — plus a
-    * /DecodeParms /Predictor (TIFF 2 at 8 bpc, PNG 10..15) on a SINGLE
-    * Flate/LZW filter, the real-world xref/ObjStm norm. Unsupported filters,
-    * an unsupported predictor shape, an indirect /Filter//DecodeParms that
-    * `deref` cannot resolve (always the case during the scan — [[redecode]]
-    * retries with the complete pool), or per-filter parms arrays yield
-    * (null, false): the stream stays metadata-only rather than risking
-    * corrupted text. Returns (decoded data, exact) where exact means data
-    * IS the file slice. */
+    * alone or chained (e.g. [ASCII85Decode FlateDecode]) — plus
+    * /DecodeParms /Predictor (TIFF 2 at 8 bpc, PNG 10..15) on Flate/LZW
+    * stages, the real-world xref/ObjStm norm: either a single parms dict on
+    * a single filter, or a per-filter parms ARRAY (7.3.8.2, null entries =
+    * no parms) with each predictor undone right after its own stage.
+    * Unsupported filters, an unsupported predictor shape (incl. a
+    * single-dict predictor claiming a whole chain), or an indirect
+    * /Filter//DecodeParms//element that `deref` cannot resolve (always the
+    * case during the scan — [[redecode]] retries with the complete pool)
+    * yield (null, false): the stream stays metadata-only rather than
+    * risking corrupted text. Returns (decoded data, exact) where exact
+    * means data IS the file slice. */
   private def applyFilters(b: Array[Byte], rawStart: Int, rawEnd: Int,
       dict: Map[String, PVal],
       /** indirect-ref resolver. During the scan no pool exists yet, so the
@@ -979,51 +983,86 @@ object RealPdf {
         if (ns.length == vs.length) Some(ns) else None
       case Some(_)             => None
     }
-    // (predictor, colors, bpc, columns, earlyChange); None = parms present
-    // but not interpretable here (unresolvable indirect ref / per-filter
-    // array / non-numeric fields) -> conservative metadata-only when a
-    // predictor may hide
-    val parms: Option[(Int, Int, Int, Int, Int)] =
-      resolved(dict.get("DecodeParms") orElse dict.get("DP")) match {
-        case None => Some((1, 1, 8, 1, 1))
-        case Some(PDict(m)) =>
-          def num(k: String, d: Int): Option[Int] = resolved(m.get(k)) match {
-            case Some(PNum(v)) => Some(v.toInt)
-            case None          => Some(d)
-            case _             => None // non-numeric, unresolvable-indirect field
-          }
-          for {
-            p <- num("Predictor", 1); c <- num("Colors", 1)
-            bits <- num("BitsPerComponent", 8); cols <- num("Columns", 1)
-            ec <- num("EarlyChange", 1)
-          } yield (p, c, bits, cols, ec)
-        case Some(_) => None // PArr per-filter parms: out of scope
+    // per-filter (predictor, colors, bpc, columns, earlyChange) aligned with
+    // `names`; None = parms present but not interpretable here (unresolvable
+    // indirect ref / length-mismatched array / non-numeric fields) ->
+    // conservative metadata-only when a predictor may hide
+    val DefaultParms = (1, 1, 8, 1, 1)
+    def parseParmsDict(m: Map[String, PVal]): Option[(Int, Int, Int, Int, Int)] = {
+      def num(k: String, d: Int): Option[Int] = resolved(m.get(k)) match {
+        case Some(PNum(v)) => Some(v.toInt)
+        case None          => Some(d)
+        case _             => None // non-numeric, unresolvable-indirect field
       }
-    val predictorOk = parms match {
-      case Some((p, c, bits, cols, _)) =>
-        p <= 1 || {
-          // predictor only defined for a single decompression filter
-          val single = names.exists(ns => ns.length == 1 &&
-            (ns.head == "FlateDecode" || ns.head == "LZWDecode"))
-          val shape =
-            (p == 2 && bits == 8) || (p >= 10 && p <= 15 &&
-              (bits == 1 || bits == 2 || bits == 4 || bits == 8 || bits == 16))
-          single && shape && c >= 1 && c <= 64 && cols >= 1 && cols <= (1 << 24)
-        }
-      case None => false
+      for {
+        p <- num("Predictor", 1); c <- num("Colors", 1)
+        bits <- num("BitsPerComponent", 8); cols <- num("Columns", 1)
+        ec <- num("EarlyChange", 1)
+      } yield (p, c, bits, cols, ec)
     }
-    val earlyChange = parms.map(_._5).getOrElse(1)
+    val parms: Option[Vector[(Int, Int, Int, Int, Int)]] =
+      resolved(dict.get("DecodeParms") orElse dict.get("DP")) match {
+        case None => names.map(ns => Vector.fill(ns.length)(DefaultParms))
+        case Some(PDict(m)) =>
+          // spec shape: a single dict goes with a single filter; on a chain
+          // tolerate it only when it carries no predictor (a no-op anywhere)
+          parseParmsDict(m).flatMap { p =>
+            names.flatMap { ns =>
+              if (ns.length <= 1) Some(Vector.fill(ns.length)(p))
+              else if (p._1 <= 1) Some(Vector.fill(ns.length)(DefaultParms))
+              else None
+            }
+          }
+        case Some(PArr(vs)) =>
+          // per-filter array (7.3.8.2): same length as /Filter, null entries
+          // for filters without parameters. Per-element indirect refs are
+          // matched explicitly (NOT via `resolved`): an UNRESOLVABLE ref and
+          // a literal null must not collapse to the same value — null means
+          // "no parms", unresolvable means metadata-only until [[redecode]]
+          names.flatMap { ns =>
+            if (vs.length != ns.length) None
+            else {
+              val parsed = vs.map {
+                case PNull    => Some(DefaultParms)
+                case PDict(m) => parseParmsDict(m)
+                case PRef(n) => deref(n) match {
+                  case Some(PDict(m)) => parseParmsDict(m)
+                  case Some(PNull)    => Some(DefaultParms) // literal-null object
+                  case _              => None // unresolvable mid-scan
+                }
+                case _ => None
+              }
+              if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
+            }
+          }
+        case Some(_) => None
+      }
+    // a predictor is only defined on the OUTPUT of a decompression filter
+    def shapeOk(name: String, pf: (Int, Int, Int, Int, Int)): Boolean = {
+      val (p, c, bits, cols, _) = pf
+      p <= 1 || {
+        val decomp = name == "FlateDecode" || name == "LZWDecode"
+        val shape =
+          (p == 2 && bits == 8) || (p >= 10 && p <= 15 &&
+            (bits == 1 || bits == 2 || bits == 4 || bits == 8 || bits == 16))
+        decomp && shape && c >= 1 && c <= 64 && cols >= 1 && cols <= (1 << 24)
+      }
+    }
+    val predictorOk = (names, parms) match {
+      case (Some(ns), Some(ps)) => ns.lazyZip(ps).forall(shapeOk)
+      case _                    => false
+    }
     names match {
       case Some(Vector()) => (java.util.Arrays.copyOfRange(b, rawStart, rawEnd), true)
       case Some(ns) if predictorOk && ns.forall(SupportedFilters) =>
         var data: Array[Byte] = null
-        for (n <- ns) {
+        for ((n, pf) <- ns.lazyZip(parms.get)) {
           data = n match {
             case "FlateDecode" =>
               if (data == null) inflate(b, rawStart, rawEnd - rawStart)
               else inflate(data, 0, data.length)
             case "LZWDecode" =>
-              lzwDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data, earlyChange)
+              lzwDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data, pf._5)
             case "ASCIIHexDecode" =>
               asciiHexDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
             case "ASCII85Decode" =>
@@ -1031,9 +1070,11 @@ object RealPdf {
             case "RunLengthDecode" =>
               runLengthDecode(if (data == null) java.util.Arrays.copyOfRange(b, rawStart, rawEnd) else data)
           }
+          // the predictor undoes a row filter applied BEFORE compression, so
+          // it runs on this filter's output, before the next chain stage
+          val (p, c, bits, cols, _) = pf
+          if (p > 1) data = applyPredictor(data, p, c, bits, cols)
         }
-        for ((p, c, bits, cols, _) <- parms if p > 1)
-          data = applyPredictor(data, p, c, bits, cols)
         (data, false)
       case _ => (null, false) // unsupported filter / predictor: metadata only
     }

@@ -1123,6 +1123,7 @@ class RealPdfSpec extends AnyFunSuite {
     var rot90 = 0
     var rot180 = 0
     var runLength = 0
+    var parmsArr = 0
     for (row <- 26L until 2000L by 50L) {
       val s = new String(graft.fixtures.FixtureGen.fixture(row).page.html, ISO_8859_1)
       if (s.contains("/Predictor 12 /Columns 32")) content += 1
@@ -1132,6 +1133,7 @@ class RealPdfSpec extends AnyFunSuite {
       if (s.contains("/Rotate 90")) rot90 += 1
       if (s.contains("/Rotate 180")) rot180 += 1
       if (s.contains("/Filter /RunLengthDecode")) runLength += 1
+      if (s.contains("/DecodeParms [null")) parmsArr += 1
     }
     assert(content > 0, "no predictor-12 content streams in the 2000-row corpus")
     assert(objstm > 0, "no predictor-12 ObjStm files in the 2000-row corpus")
@@ -1139,6 +1141,7 @@ class RealPdfSpec extends AnyFunSuite {
     assert(forms > 0, "no Form-XObject pages in the 2000-row corpus")
     assert(rot90 + rot180 > 0, "no /Rotate pages in the 2000-row corpus")
     assert(runLength > 0, "no RunLengthDecode content streams in the 2000-row corpus")
+    assert(parmsArr > 0, "no per-filter /DecodeParms arrays in the 2000-row corpus")
   }
 
   test("byte-flip fuzz: mutated real-PDF fixtures and random bytes never crash or hang") {
@@ -1229,6 +1232,46 @@ class RealPdfSpec extends AnyFunSuite {
     val got = Extractor.extract(Page("t://objstmlate", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
     assert(got.error == "", got.error)
     assert(got.text == "indirect page one" + PdfParser.PageBreak + "indirect page two", got.text)
+  }
+
+  test("per-filter /DecodeParms arrays: chained predictor, null placeholders, honest mismatches") {
+    val ops = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (array parms work) Tj ET\n"
+    val cols = 16
+    val padded = ops + " " * ((cols - ops.length % cols) % cols)
+    // decode order [A85, Flate+Pred12] -> encode = a85(deflate(pngUp(padded)))
+    val stored = ascii85Encode(deflateBytes(pngPredict(padded.getBytes(ISO_8859_1), cols, 2)))
+    val base = new String(minimalPdf(stored, length = Some(stored.length)), ISO_8859_1)
+    def withFilter(clause: String): Array[Byte] = base.replace(s"<< /Length ${stored.length}",
+      s"<< /Length ${stored.length} $clause").getBytes(ISO_8859_1)
+    val got = Extractor.extract(Page("t://arrparms", ts, withFilter(
+      s"/Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null << /Predictor 12 /Columns $cols >>]"), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "array parms work", got.text)
+    // null placeholders only, no predictor anywhere
+    val plain = ascii85Encode(deflateBytes(ops.getBytes(ISO_8859_1)))
+    val base2 = new String(minimalPdf(plain, length = Some(plain.length)), ISO_8859_1)
+    val got2 = Extractor.extract(Page("t://nullparms", ts, base2.replace(
+      s"<< /Length ${plain.length}",
+      s"<< /Length ${plain.length} /Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null null]")
+      .getBytes(ISO_8859_1), "", "en"))
+    assert(got2.error == "", got2.error)
+    assert(got2.text == "array parms work", got2.text)
+    // length-mismatched array: metadata-only -> undecodable content -> ERROR
+    val got3 = Extractor.extract(Page("t://mismparms", ts, withFilter(
+      s"/Filter [/ASCII85Decode /FlateDecode] /DecodeParms [<< /Predictor 12 /Columns $cols >>]"), "", "en"))
+    assert(got3.error.nonEmpty && got3.text == "", s"'${got3.text}' / ${got3.error}")
+    // single dict claiming a predictor for a whole chain: spec-violating
+    // shape, stays metadata-only (never guesses which stage it belongs to)
+    val got4 = Extractor.extract(Page("t://dictchain", ts, withFilter(
+      s"/Filter [/ASCII85Decode /FlateDecode] /DecodeParms << /Predictor 12 /Columns $cols >>"), "", "en"))
+    assert(got4.error.nonEmpty && got4.text == "", s"'${got4.text}' / ${got4.error}")
+    // indirect array ELEMENT: unresolvable mid-scan, resolves in redecode
+    val late = base.replace(s"<< /Length ${stored.length}",
+      s"<< /Length ${stored.length} /Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null 9 0 R]")
+      .replace("trailer\n", s"9 0 obj\n<< /Predictor 12 /Columns $cols >>\nendobj\ntrailer\n")
+    val got5 = Extractor.extract(Page("t://latearrparms", ts, late.getBytes(ISO_8859_1), "", "en"))
+    assert(got5.error == "", got5.error)
+    assert(got5.text == "array parms work", got5.text)
   }
 
   test("mixed /Contents with one undecodable stream is an ERROR row, never silent-partial") {
