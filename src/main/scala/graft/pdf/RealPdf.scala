@@ -1008,8 +1008,9 @@ object RealPdf {
           // tolerate it only when it carries no predictor (a no-op anywhere)
           parseParmsDict(m).flatMap { p =>
             names.flatMap { ns =>
-              if (ns.length <= 1) Some(Vector.fill(ns.length)(p))
-              else if (p._1 <= 1) Some(Vector.fill(ns.length)(DefaultParms))
+              // predictor-free dict on a chain: replicate it (its predictor
+              // is a no-op; /EarlyChange must keep reaching any LZW stage)
+              if (ns.length <= 1 || p._1 <= 1) Some(Vector.fill(ns.length)(p))
               else None
             }
           }
