@@ -283,6 +283,30 @@ object SparkEntry {
       TextOps.qualityScore(docs(s, d), col("text")).orderBy("doc_id")),
     "d14_quality_filter" -> ((s, d) =>
       TextOps.qualityFilter(docs(s, d), col("text")).orderBy("doc_id")),
+    // d16-d18: segment-level dedup + repetition (C4 line dedup / Gopher
+    // repetition signals). The synthetic documents are single-line word
+    // soup, so the driver queries exercise WORD granularity (delim " ",
+    // which this corpus makes maximally non-trivial: near-every segment is
+    // duplicated corpus-wide); newline/paragraph granularity is covered by
+    // planted-truth unit vectors in SegmentOpsSpec.
+    "d16_seg_dedup" -> ((s, d) =>
+      ops.SegmentOps.segmentDedup(docs(s, d), delim = " ", minChars = 3)
+        .orderBy("doc_id")),
+    "d17_rep_segments" -> ((s, d) =>
+      ops.SegmentOps.repetitionSignals(docs(s, d), delim = " ")
+        .orderBy("doc_id")),
+    "d18_top_bigram" -> ((s, d) =>
+      ops.SegmentOps.topBigram(docs(s, d)).orderBy("doc_id")),
+    // d19/d20: corpus-curation sampling — per-domain quota (bounded-heap
+    // two-phase top-k, no corpus window) and deterministic md5 hash split
+    "d19_source_quota" -> ((s, d) =>
+      ops.Sampling.sourceQuota(docs(s, d), k = 10)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    "d20_hash_sample" -> ((s, d) =>
+      ops.Sampling.hashSample(docs(s, d), keepNibbles = 8)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -490,6 +514,68 @@ object SparkEntry {
         |      length(regexp_extract_all(text, '[^ \t\n\r]'))
         |  THEN 1 ELSE 0 END AS INTEGER) AS keep_flag
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d16_seg_dedup" ->
+      """WITH segs AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+        |         unnest(range(len(string_split(text, ' ')))) AS seg_idx
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |  FROM segs WHERE length(seg) >= 3),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg FROM cand WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, seg_idx, seg FROM segs WHERE length(seg) < 3),
+        |reb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_segments,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.kept_text, '') AS kept_text
+        |FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "d17_rep_segments" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents),
+        |g AS (SELECT doc_id, seg, count(*) AS c FROM segs GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_segments,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup_segments,
+        |  CAST(sum((c - 1) * length(seg)) AS BIGINT) AS n_dup_chars
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d18_top_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+        |      x -> lower(x)) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i + 1] || ' ' || t[i + 2])) AS b
+        |  FROM toks),
+        |g AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS n_top_bigram
+        |  FROM g GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.n_top_bigram, 0) AS n_top_bigram
+        |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "d19_source_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "d20_hash_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |ORDER BY doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

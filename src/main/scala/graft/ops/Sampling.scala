@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation sampling operators: per-domain quotas (cap hot hosts —
+  * the CCNet/RefinedWeb-style "at most K documents per domain" gate) and
+  * deterministic content-hash splits (stable train/held-out selection that
+  * survives reruns and repartitioning). Both avoid the naive corpus-wide
+  * `row_number() over (partition by key)` formulation, which at 10^12 rows
+  * funnels every row of a hot key through one reducer.
+  */
+object Sampling {
+
+  /** Keep the K smallest `idCol` rows per `keyCol` (deterministic per-domain
+    * quota). Two-phase exact top-k:
+    *
+    *   1. narrow mapPartitions: per-partition bounded max-heaps keep the K
+    *      smallest ids per key, emitting ≤ K candidates per (key, partition)
+    *      — the same partial top-k shape as Similarity.bruteForceTopK;
+    *   2. groupBy(key) over candidates only (≤ K·partitions ids per key, a
+    *      bounded set of longs — never the key's full row set) computes the
+    *      exact kth-smallest threshold;
+    *   3. the one-row-per-key threshold table joins back (auto-broadcast
+    *      when small) and `id <= kth` filters the corpus — exact because
+    *      ids are unique within a key.
+    */
+  def sourceQuota(df: DataFrame, k: Int, keyCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"quota k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(col(keyCol).cast("string").as("key"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+    val cands = pairs.mapPartitions { it =>
+      // max-heap per key of the K smallest ids seen in this partition
+      val heaps = scala.collection.mutable.HashMap
+        .empty[String, java.util.PriorityQueue[java.lang.Long]]
+      it.foreach { case (key, id) =>
+        val h = heaps.getOrElseUpdate(key,
+          new java.util.PriorityQueue[java.lang.Long](k + 1,
+            java.util.Comparator.reverseOrder[java.lang.Long]()))
+        if (h.size < k) h.add(id)
+        else if (h.peek() > id) { h.poll(); h.add(id) }
+      }
+      heaps.iterator.flatMap { case (key, h) =>
+        import scala.jdk.CollectionConverters._
+        h.iterator().asScala.map(id => (key, id.longValue()))
+      }
+    }.toDF("key", "id")
+    val kth = cands.groupBy(col("key")).agg(
+      element_at(slice(sort_array(collect_list(col("id"))), 1, k), -1).as("kth"))
+    df.join(kth, col(keyCol) === col("key"))
+      .filter(col(idCol).cast("long") <= col("kth"))
+      .drop("key", "kth")
+  }
+
+  /** Deterministic hash split: keep a row iff the first hex nibble of
+    * md5(id as string) falls below `keepNibbles` (of 16) — e.g. 8 keeps an
+    * expected 50%. Content-keyed, so the selection is stable across reruns,
+    * partitionings, and engines (md5 is the same everywhere — the d02
+    * content_md5 precedent), unlike `rand()`-based sampling. Narrow, no
+    * shuffle. */
+  def hashSample(df: DataFrame, keepNibbles: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(keepNibbles >= 0 && keepNibbles <= 16,
+      s"keepNibbles must be in [0,16], got $keepNibbles")
+    val nibble = substring(
+      md5(to_binary(col(idCol).cast("string"), lit("utf-8"))), 1, 1)
+    val bound = "0123456789abcdefg".charAt(keepNibbles).toString
+    df.filter(nibble < lit(bound))
+  }
+}

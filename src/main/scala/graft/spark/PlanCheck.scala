@@ -90,6 +90,23 @@ object PlanCheck {
     check("d05_minhash (lazy plan)", d05, Seq("InMemoryTableScan"))
     spark.catalog.clearCache() // drop plan-only persist markers registered above
 
+    // d16/d19: the segment-dedup winner and the per-source quota must be
+    // partial-aggregation shapes, NEVER a corpus-wide Window — a window
+    // `partition by segment/source` funnels every copy of a hot key (a
+    // boilerplate line duplicated 10^9 times, a hot domain) through ONE
+    // reducer with no map-side relief
+    val d16 = planOf("d16_seg_dedup")
+    check("d16_seg_dedup", d16, Seq("HashAggregate"), Seq("Window"))
+    val d19 = planOf("d19_source_quota")
+    check("d19_source_quota", d19, Seq("MapPartitions"), Seq("Window"))
+    // d20: the hash-split operator itself is a pure narrow filter — no
+    // exchange at all (the driver query's orderBy adds one for the oracle's
+    // deterministic dump, so audit the bare operator)
+    val d20narrow = graft.ops.Sampling.hashSample(
+        spark.read.parquet(s"$sfDir/documents.parquet"), 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d20_hash_sample (operator)", d20narrow, Nil, Seq("Exchange"))
+
     if (args.contains("--print")) {
       println(r01); println(r02); println(d01); println(fp); println(d03)
     }

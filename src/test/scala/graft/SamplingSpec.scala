@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.ops.Sampling
+
+/** Planted-truth tests for the corpus-curation sampling operators. */
+class SamplingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-sampling-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val docs = {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // ids deliberately interleaved and out of order; hot > k, cold < k;
+    // repartition(5) scatters each source across partitions so phase 1's
+    // per-partition heaps must actually merge in phase 2
+    val rows = Seq(
+      (30L, "hot"), (10L, "hot"), (50L, "hot"), (20L, "hot"), (40L, "hot"),
+      (11L, "cold"), (31L, "cold"),
+      (7L, "mid"), (5L, "mid"), (9L, "mid")
+    )
+    rows.toDF("doc_id", "source").repartition(5)
+  }
+
+  test("sourceQuota keeps exactly the k smallest ids per source") {
+    val kept = Sampling.sourceQuota(docs, k = 3)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(kept("hot") == Seq(10L, 20L, 30L)) // 40, 50 dropped
+    assert(kept("cold") == Seq(11L, 31L))     // under quota: all kept
+    assert(kept("mid") == Seq(5L, 7L, 9L))    // exactly at quota
+  }
+
+  test("sourceQuota k=1 keeps only each source's minimum id") {
+    val kept = Sampling.sourceQuota(docs, k = 1)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      .toSet
+    assert(kept == Set(("hot", 10L), ("cold", 11L), ("mid", 5L)))
+  }
+
+  test("sourceQuota preserves all original columns") {
+    import spark.implicits._
+    val df = Seq((1L, "s", "body")).toDF("doc_id", "source", "text")
+    val out = Sampling.sourceQuota(df, k = 2)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "text"))
+    assert(out.collect().head.getAs[String]("text") == "body")
+  }
+
+  test("hashSample matches the per-row md5 predicate and is deterministic") {
+    import spark.implicits._
+    val df = (0L until 200L).toDF("doc_id")
+    val kept = Sampling.hashSample(df, keepNibbles = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0L until 200L).filter { id =>
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xF) < 8
+    }.toSet
+    assert(kept == expected)
+    assert(expected.size > 50 && expected.size < 150) // ~50% by construction
+    val again = Sampling.hashSample(df, keepNibbles = 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept)
+  }
+
+  test("hashSample bounds: 0 keeps nothing, 16 keeps everything") {
+    import spark.implicits._
+    val df = (0L until 50L).toDF("doc_id")
+    assert(Sampling.hashSample(df, 0).count() == 0L)
+    assert(Sampling.hashSample(df, 16).count() == 50L)
+  }
+}
