@@ -307,6 +307,19 @@ object SparkEntry {
       ops.Sampling.hashSample(docs(s, d), keepNibbles = 8)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")),
+    // d21: PII scrub. The synthetic corpus carries no PII, so the query
+    // injects a deterministic email/IP/phone per row IN the query (same
+    // expression in the oracle SQL) — the redaction paths actually fire
+    "d21_pii_scrub" -> ((s, d) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" call +1415555"),
+        (col("doc_id") % 9000 + 1000).cast("string"))
+      ops.Pii.scrub(docs(s, d), injected).orderBy("doc_id")
+    }),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -367,6 +380,28 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
       s.table(sink).orderBy("url")
+    }),
+
+    "x15_curation" -> ((s, d) => {
+      // end-to-end curation chain over the EXTRACTION surface — the shape a
+      // real 100 TB run takes: extract → drop error/empty rows → exact
+      // dedup (canonical per content) → per-host quota (zipf-hot fixture
+      // domains actually hit the cap) → deterministic hash split. Fixture
+      // corpus, so rows-only at the driver; every stage is individually
+      // oracled/golden-gated elsewhere (x01, d02/x08, d19, d20).
+      val ex = extracted(s, d)
+        .filter(col("error") === "" && length(col("text")) > 0).toDF()
+      val canon = Dedup.exact(ex, "text", "url")
+        .select(col("canonical_id").cast("string").as("url"))
+      val kept = ex.join(canon, Seq("url"), "left_semi")
+        .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+        .withColumn("uid", xxhash64(col("url")))
+      val quota = ops.Sampling.sourceQuota(kept, k = 25,
+        keyCol = "host", idCol = "uid")
+      ops.Sampling.hashSample(quota, keepNibbles = 12, idCol = "uid")
+        .select(col("url"), col("host"), col("lang"),
+          length(col("text")).as("text_len"))
+        .orderBy("url")
     }),
 
     // ---- relational shell (DuckDB-oracle'd) --------------------------------
@@ -576,6 +611,27 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
         |ORDER BY doc_id""".stripMargin,
+    "d21_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' call +1415555' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\+\d{7,15}', '[PHONE]', 'g') AS scrubbed
+        |FROM inj ORDER BY doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
