@@ -30,8 +30,13 @@ object Sampling {
     require(k >= 1, s"quota k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
+    // null keys fold into one "" domain (they must still be quota'd, and a
+    // null===null join predicate would otherwise drop them silently); ids
+    // are assumed unique within a key (doc ids / url hashes), else "K
+    // smallest" is ill-defined
     val pairs = df
-      .select(col(keyCol).cast("string").as("key"), col(idCol).cast("long").as("id"))
+      .select(coalesce(col(keyCol).cast("string"), lit("")).as("key"),
+        col(idCol).cast("long").as("id"))
       .as[(String, Long)]
     val cands = pairs.mapPartitions { it =>
       // max-heap per key of the K smallest ids seen in this partition
@@ -48,12 +53,14 @@ object Sampling {
         import scala.jdk.CollectionConverters._
         h.iterator().asScala.map(id => (key, id.longValue()))
       }
-    }.toDF("key", "id")
-    val kth = cands.groupBy(col("key")).agg(
-      element_at(slice(sort_array(collect_list(col("id"))), 1, k), -1).as("kth"))
-    df.join(kth, col(keyCol) === col("key"))
-      .filter(col(idCol).cast("long") <= col("kth"))
-      .drop("key", "kth")
+    }.toDF("__gq_key", "__gq_id") // prefixed: must not collide with df's columns
+    val kth = cands.groupBy(col("__gq_key")).agg(
+      element_at(slice(sort_array(collect_list(col("__gq_id"))), 1, k), -1)
+        .as("__gq_kth"))
+    df.join(kth,
+        coalesce(col(keyCol).cast("string"), lit("")) === col("__gq_key"))
+      .filter(col(idCol).cast("long") <= col("__gq_kth"))
+      .drop("__gq_key", "__gq_kth")
   }
 
   /** Deterministic hash split: keep a row iff the first hex nibble of

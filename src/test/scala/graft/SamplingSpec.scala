@@ -53,6 +53,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.collect().head.getAs[String]("text") == "body")
   }
 
+  test("sourceQuota: null keys are quota'd as one domain, not dropped") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, None), (3L, None),
+      (4L, Some("s"))).toDF("doc_id", "source")
+    val kept = Sampling.sourceQuota(df, k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 2L, 4L)) // null domain capped at 2: doc 3 dropped
+  }
+
+  test("sourceQuota tolerates input columns named key/kth") {
+    import spark.implicits._
+    val df = Seq((1L, "s", "user-key", "user-kth"))
+      .toDF("doc_id", "source", "key", "kth")
+    val out = Sampling.sourceQuota(df, k = 1)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "key", "kth"))
+    val r = out.collect().head
+    assert(r.getAs[String]("key") == "user-key" && r.getAs[String]("kth") == "user-kth")
+  }
+
   test("hashSample matches the per-row md5 predicate and is deterministic") {
     import spark.implicits._
     val df = (0L until 200L).toDF("doc_id")
