@@ -320,6 +320,14 @@ object SparkEntry {
         (col("doc_id") % 9000 + 1000).cast("string"))
       ops.Pii.scrub(docs(s, d), injected).orderBy("doc_id")
     }),
+    // d22: benchmark decontamination (GPT-3/Pile n-gram overlap). The
+    // benchmark set is the first five docs; n=3 because the synthetic
+    // word-soup vocabulary (~30 words) makes trigram overlap informative
+    // across the whole corpus (real pipelines use n=8..13 — a parameter)
+    "d22_decontaminate" -> ((s, d) =>
+      ops.Decontam.flagOverlap(docs(s, d),
+        docs(s, d).filter(col("doc_id") < 5), n = 3)
+        .orderBy("doc_id")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -632,6 +640,26 @@ object SparkEntry {
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
         |    '\+\d{7,15}', '[PHONE]', 'g') AS scrubbed
         |FROM inj ORDER BY doc_id""".stripMargin,
+    "d22_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+        |      x -> lower(x)) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+        |hits AS (
+        |  SELECT gr.doc_id, count(*) AS c
+        |  FROM grams gr JOIN bench b ON gr.g = b.g GROUP BY 1)
+        |SELECT t.doc_id, CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS contaminated
+        |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -99,6 +99,11 @@ object PlanCheck {
     check("d16_seg_dedup", d16, Seq("HashAggregate"), Seq("Window"))
     val d19 = planOf("d19_source_quota")
     check("d19_source_quota", d19, Seq("MapPartitions"), Seq("Window"))
+    // d22: the benchmark gram set must BROADCAST into the corpus-side join
+    // (the eval set is always the small side; a SortMergeJoin here would
+    // shuffle every corpus gram)
+    val d22 = planOf("d22_decontaminate")
+    check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
     // d20: the hash-split operator itself is a pure narrow filter — no
     // exchange at all (the driver query's orderBy adds one for the oracle's
     // deterministic dump, so audit the bare operator)
