@@ -328,6 +328,12 @@ object SparkEntry {
       ops.Decontam.flagOverlap(docs(s, d),
         docs(s, d).filter(col("doc_id") < 5), n = 3)
         .orderBy("doc_id")),
+    // d23: concatenate-and-chunk sequence packing at 512 tokens — the
+    // distributed prefix-sum path (the oracle's global window cumsum is
+    // exactly the single-task plan the operator exists to avoid)
+    "d23_seq_pack" -> ((s, d) =>
+      ops.Packing.packSequences(docs(s, d), budget = 512)
+        .orderBy("doc_id")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -660,6 +666,23 @@ object SparkEntry {
         |    AS contaminated
         |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "d23_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM t)
+        |SELECT doc_id, n_tok, s // 512 AS seq_id, s % 512 AS seq_off,
+        |  CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE (s + n_tok - 1) // 512 - s // 512 + 1 END AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

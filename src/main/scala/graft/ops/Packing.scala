@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing — the concatenate-and-chunk procedure used to
+  * build fixed-length LM training batches: documents are concatenated in
+  * `idCol` order and the token stream is chunked into `budget`-token
+  * sequences; each document learns which sequence it starts in (`seq_id`),
+  * at which offset (`seq_off`), and how many sequences it spans (`n_seqs`).
+  *
+  * The naive formulation is a global running sum —
+  * `sum(n_tok) OVER (ORDER BY doc_id)` — whose unpartitioned ordering
+  * funnels the entire corpus through ONE task. This implementation is the
+  * distributed two-phase prefix sum instead:
+  *
+  *   1. range-sort the (id, n_tok) pairs (one exchange, balanced);
+  *   2. job 1: per-partition token sums → collect (#partitions longs,
+  *      bounded by cluster size, never by corpus size) → exclusive scan on
+  *      the driver → broadcast;
+  *   3. job 2: a narrow per-partition pass seeds its running sum from the
+  *      broadcast offset and emits each doc's placement.
+  *
+  * Both jobs run over the SAME sorted RDD object, so Spark reuses the sort's
+  * shuffle files for job 2 (the map stage is skipped) — no persist needed,
+  * nothing to release. Token counts use the d01 whitespace convention
+  * ([[TextOps.tokenCount]]) so the DuckDB oracle agrees bit-for-bit.
+  */
+object Packing {
+
+  /** One row per doc: (doc_id, n_tok, seq_id, seq_off, n_seqs) under
+    * concatenate-and-chunk packing at `budget` tokens per sequence.
+    * Empty docs occupy no tokens: n_seqs = 0, seq_id/seq_off = where the
+    * doc's text would have begun. Requires unique ids (packing order). */
+  def packSequences(df: DataFrame, budget: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null text packs as 0 tokens (tokenCount's size(null) is null, which
+    // would NPE the primitive tuple encoder); ids are required non-null
+    val pairs = df.select(col(idCol).cast("long"),
+      coalesce(TextOps.tokenCount(col(textCol)), lit(0)).cast("long"))
+      .as[(Long, Long)]
+    val sorted = pairs.rdd.sortBy(_._1)
+    val partSums = sorted.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val starts = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val b = budget
+    val out = sorted.mapPartitionsWithIndex { (i, it) =>
+      var cum = starts.value(i)
+      it.map { case (id, n) =>
+        val start = cum
+        cum += n
+        val nSeqs = if (n == 0L) 0L else (start + n - 1) / b - start / b + 1
+        (id, n, start / b, start % b, nSeqs)
+      }
+    }
+    spark.createDataFrame(out)
+      .toDF("doc_id", "n_tok", "seq_id", "seq_off", "n_seqs")
+  }
+}

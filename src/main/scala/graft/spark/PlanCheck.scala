@@ -104,6 +104,11 @@ object PlanCheck {
     // shuffle every corpus gram)
     val d22 = planOf("d22_decontaminate")
     check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
+    // d23: packing must be the two-phase scan over the sorted RDD (the
+    // object handoff prints as SerializeFromObject over Scan[obj]) — a
+    // `Window` here would mean the global single-task cumsum crept back in
+    val d23 = planOf("d23_seq_pack")
+    check("d23_seq_pack", d23, Seq("SerializeFromObject"), Seq("Window"))
     // d20: the hash-split operator itself is a pure narrow filter — no
     // exchange at all (the driver query's orderBy adds one for the oracle's
     // deterministic dump, so audit the bare operator)
