@@ -669,7 +669,7 @@ object SparkEntry {
     "d23_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |      ELSE length(regexp_split_to_array(trim(text), '\s+')) END
         |      AS BIGINT) AS n_tok
         |  FROM documents),

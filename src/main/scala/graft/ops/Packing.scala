@@ -31,7 +31,8 @@ object Packing {
   /** One row per doc: (doc_id, n_tok, seq_id, seq_off, n_seqs) under
     * concatenate-and-chunk packing at `budget` tokens per sequence.
     * Empty docs occupy no tokens: n_seqs = 0, seq_id/seq_off = where the
-    * doc's text would have begun. Requires unique ids (packing order). */
+    * doc's text would have begun. Ids must be unique (they define packing
+    * order) — duplicates fail fast rather than packing nondeterministically. */
   def packSequences(df: DataFrame, budget: Long,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -43,10 +44,32 @@ object Packing {
       coalesce(TextOps.tokenCount(col(textCol)), lit(0)).cast("long"))
       .as[(Long, Long)]
     val sorted = pairs.rdd.sortBy(_._1)
-    val partSums = sorted.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(s += _._2); Iterator.single(i -> s)
-    }.collect().sortBy(_._1).map(_._2)
-    val starts = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    // job 1 also proves id uniqueness: after the sort, duplicates are
+    // adjacent within a partition or straddle a boundary, so per-partition
+    // (first, last, locally-strict) plus a driver boundary check is an exact
+    // guard — duplicate ids would make packing order (and the oracle's
+    // window order) nondeterministic, so fail fast instead of silently
+    // diverging. The collect stays #partitions rows, never corpus-sized.
+    val stats = sorted.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; var n = 0L
+      var first = 0L; var last = 0L; var strict = true
+      it.foreach { case (id, t) =>
+        s += t
+        if (n == 0L) first = id
+        else if (id <= last) strict = false
+        last = id; n += 1
+      }
+      Iterator.single((i, s, n, first, last, strict))
+    }.collect().sortBy(_._1)
+    require(stats.forall(p => p._3 == 0L || p._6),
+      s"$idCol values must be unique: duplicate id within a sorted partition")
+    stats.filter(_._3 > 0L).sliding(2).foreach {
+      case Array(a, b) => require(a._5 < b._4,
+        s"$idCol values must be unique: duplicate id ${b._4} at a partition boundary")
+      case _ => ()
+    }
+    val starts = spark.sparkContext.broadcast(
+      stats.map(_._2).scanLeft(0L)(_ + _))
     val b = budget
     val out = sorted.mapPartitionsWithIndex { (i, it) =>
       var cum = starts.value(i)

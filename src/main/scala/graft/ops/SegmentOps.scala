@@ -102,10 +102,7 @@ object SegmentOps {
   def topBigram(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
-      transform(
-        regexp_extract_all(coalesce(col(textCol), lit("")),
-          lit("[A-Za-z0-9]+"), lit(0)),
-        x => lower(x)).as("t"))
+      TextOps.asciiTokens(col(textCol)).as("t"))
     // guard: slice with length size-1 is invalid below 2 tokens, and
     // sequence(1, 0) would be a DECREASING sequence, so gate explicitly
     val bigrams = when(size(col("t")) < 2, array().cast("array<string>"))

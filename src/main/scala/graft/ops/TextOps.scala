@@ -17,6 +17,16 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** ASCII `[A-Za-z0-9]+` token runs, lowercased; null text → no tokens.
+    * The shared tokenization for n-gram ops (SegmentOps bigrams, Decontam
+    * grams): ASCII-only tokens make `lower` bit-identical between Java and
+    * the oracle's RE2/utf8proc, so no locale/Unicode-case drift — keep every
+    * consumer on THIS expression so the convention can't fork. */
+  def asciiTokens(text: Column): Column =
+    transform(
+      regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z0-9]+"), lit(0)),
+      x => lower(x))
+
   /** Punctuation count (fixed class, ASCII) — codegen regexp. */
   def punctCount(text: Column): Column =
     coalesce(regexp_count(text, lit("[.,!?;:]")), lit(0))

@@ -106,7 +106,11 @@ object PlanCheck {
     check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
-    // `Window` here would mean the global single-task cumsum crept back in
+    // `Window` here would mean the global single-task cumsum crept back in.
+    // NOTE: unlike d04/d05 there is no lazy plan mode — the operator is
+    // eager by nature (phase 1 collects per-partition sums), so planOf runs
+    // its two narrow passes over (id, count) pairs at this audit's sf. That
+    // is the documented cost of auditing it, not an execute-to-audit bug.
     val d23 = planOf("d23_seq_pack")
     check("d23_seq_pack", d23, Seq("SerializeFromObject"), Seq("Window"))
     // d20: the hash-split operator itself is a pure narrow filter — no

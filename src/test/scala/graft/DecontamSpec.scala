@@ -31,7 +31,7 @@ class DecontamSpec extends AnyFunSuite {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(
       (0L, "x alpha beta gamma y"),          // 1 hit (alpha beta gamma)
-      (1L, "beta gamma delta beta gamma delta"), // grams at idx 0..3: hits at 0 and 3 (2 occurrences) + 1? see below
+      (1L, "beta gamma delta beta gamma delta"), // 2 occurrences, see below
       (2L, "no overlap here at all"),
       (3L, "al pha beta")                     // <3 shared: 1 gram, no hit
     ).toDF("doc_id", "text")

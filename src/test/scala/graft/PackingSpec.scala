@@ -40,6 +40,16 @@ class PackingSpec extends AnyFunSuite {
     assert(m(5L) == ((0L, 2L, 2L, 0L)))
   }
 
+  test("duplicate ids fail fast instead of packing nondeterministically") {
+    import spark.implicits._
+    val dup = Seq((0L, "a b"), (1L, "c"), (1L, "d e f"), (2L, "g"))
+      .toDF("doc_id", "text").repartition(3)
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(dup, budget = 4).collect()
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("prefix sum is partitioning-invariant (two-phase scan correctness)") {
     import spark.implicits._
     // ids deliberately inserted out of order and spread over many input
