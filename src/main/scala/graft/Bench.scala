@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws records "err" (and its exception class) instead of a
   * bogus fast wall-time — a broken query must be visible in the artifact.
+  *
+  * Queries are materialized through the noop sink, NOT count(): under
+  * count() Catalyst prunes every unused column and can eliminate a left
+  * join whose right side has distinct keys, so a narrow projection query —
+  * or an entire operator pipeline feeding such a join — times at near zero
+  * without executing (d22's gram pipeline "benched" 0.22 s that way while
+  * its real cost was 25× more; BENCH.md "Query-count change: 44 → 46").
+  * The noop write produces every output row and discards it.
   */
 object Bench {
 
@@ -56,7 +64,7 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           roundTotal += dt
           if (dt < best(name)) best(name) = dt

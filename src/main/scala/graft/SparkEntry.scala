@@ -334,6 +334,17 @@ object SparkEntry {
     "d23_seq_pack" -> ((s, d) =>
       ops.Packing.packSequences(docs(s, d), budget = 512)
         .orderBy("doc_id")),
+    // d24: connected components over a deterministic dedup-pair edge set
+    // (chains 10k—10k+1—10k+2—10k+3 per decade of ids; the rest singletons)
+    // — the cluster-assignment step that turns near-dup PAIRS into one
+    // keeper per duplicate cluster. Oracled by a DuckDB recursive CTE.
+    "d24_components" -> ((s, d) => {
+      val n = docCount(s, d)
+      val pairs = docs(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 < 3 && col("doc_id") + 1 < n)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      owned(Dedup.connectedComponents(docs(s, d), pairs)).orderBy("doc_id")
+    }),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -683,6 +694,21 @@ object SparkEntry {
         |  CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
         |       ELSE (s + n_tok - 1) // 512 - s // 512 + 1 END AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    "d24_components" ->
+      """WITH RECURSIVE
+        |e AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        |  WHERE doc_id % 10 < 3
+        |    AND doc_id + 1 < (SELECT count(*) FROM documents)),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |walk(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node)
+        |SELECT node AS doc_id, min(lbl) AS component,
+        |  CAST(CASE WHEN node = min(lbl) THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_keeper
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -21,14 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Space-joined word n-grams of `text`; fewer than n tokens → empty. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Space-joined word n-grams over an ALREADY-PROJECTED token-array column.
+    * `toks` must be a plain attribute (project [[TextOps.asciiTokens]] into
+    * a column first): higher-order functions are interpreted
+    * (CodegenFallback) and re-evaluate any computed expression embedded in
+    * the lambda once PER ELEMENT — passing the tokenization expression
+    * directly turns O(tokens) work into O(tokens²) per document (measured
+    * 25× on the sf0.1 corpus). Fewer than n tokens → empty. */
+  def tokenNgrams(toks: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = TextOps.asciiTokens(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
+
+  /** Convenience single-expression form for tests and SMALL inputs only —
+    * carries the O(tokens²) lambda-recompute hazard documented on
+    * [[tokenNgrams]]; corpus-scale callers must project tokens first. */
+  def wordNgrams(text: Column, n: Int): Column =
+    tokenNgrams(TextOps.asciiTokens(text), n)
 
   /** (doc_id, n_hits, contaminated) per corpus doc: n_hits counts gram
     * OCCURRENCES that appear anywhere in `benchmark`; contaminated = 1 iff
@@ -37,12 +48,15 @@ object Decontam {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def gmd5(g: Column): Column = md5(to_binary(g, lit("utf-8")))
     val bench = broadcast(
-      benchmark.select(explode(wordNgrams(col(textCol), n)).as("g"))
+      benchmark.select(TextOps.asciiTokens(col(textCol)).as("__t"))
+        .select(explode(tokenNgrams(col("__t"), n)).as("g"))
         .select(gmd5(col("g")).as("gmd5")).distinct()
         .withColumn("__hit", lit(1)))
     corpus
       .select(col(idCol).cast("long").as("doc_id"),
-        explode_outer(wordNgrams(col(textCol), n)).as("g"))
+        TextOps.asciiTokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        explode_outer(tokenNgrams(col("__t"), n)).as("g"))
       .select(col("doc_id"),
         when(col("g").isNotNull, gmd5(col("g"))).as("gmd5"))
       .join(bench, Seq("gmd5"), "left")

@@ -279,4 +279,94 @@ object Dedup {
       cached
     }
   }
+
+  /** Connected components over an undirected duplicate-pair edge list — the
+    * cluster-assignment step that completes the pair-producing family above
+    * (minhashPairs / simhashPairs / ngramJaccardPairs / Similarity near-dup
+    * pairs): every node gets its component's minimum id as `component` and
+    * `is_keeper` = 1 on that representative, so "drop all non-keepers" is
+    * one filter/join away.
+    *
+    * Algorithm: iterated min-label propagation with pointer jumping. Each
+    * round first lowers every node's label to the min over its neighbors'
+    * labels (one edge⋈label join + groupBy), then jumps label := label(label)
+    * (one label self-join) to shortcut chains. Labels are node ids and only
+    * ever DECREASE (lbl(u) ≤ u inductively), so Σlbl is a strictly
+    * decreasing convergence witness — no row-diff join needed. Real dedup
+    * graphs (near-clique LSH clusters) converge in 2–4 rounds; the pointer
+    * jump keeps adversarial path graphs at O(log n) rounds instead of
+    * O(diameter). Every round is edge-list-sized shuffles keyed on ids — no
+    * driver-side graph, no Window; per-round caches are swapped and released
+    * eagerly and each round's plan is re-rooted on the cached result so
+    * lineage (and Catalyst analysis time) stays O(1) per round.
+    *
+    * The result is materialized and persisted (the loop must execute to
+    * converge) — callers release it like the pair sets above. `nodes` is
+    * every id that must appear in the output (singletons label themselves);
+    * edges touching ids absent from `nodes` are ignored. Non-convergence
+    * within `maxIter` throws rather than returning a half-merged clustering
+    * (default 50 covers paths beyond 2^25 nodes long).
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    val edges = {
+      val e = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v")).filter(col("u") =!= col("v"))
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // per-round state: `cached` is the handle we persist/release, `labels`
+    // re-roots its rows so each round's plan starts from a LogicalRDD
+    // instead of chaining the previous rounds' joins
+    def reRoot(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var cached = nodes
+      .select(col(idCol).cast("long").as("node"),
+        col(idCol).cast("long").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum = lblSum(cached) // materializes the seed labels
+    var labels = reRoot(cached)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val prop = labels
+        .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
+        .select(col("node"), least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // read by both jump sides
+      val jump = prop.as("x")
+        .join(prop.select(col("node").as("ynode"), col("lbl").as("ylbl")),
+          col("x.lbl") === col("ynode"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("ylbl"), col("x.lbl")).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = lblSum(jump) // materializes this round
+      prop.unpersist(false)
+      cached.unpersist(false)
+      cached = jump
+      labels = reRoot(jump)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
+    val result = labels
+      .select(col("node").as(idCol), col("lbl").as("component"),
+        (col("node") === col("lbl")).cast("int").as("is_keeper"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize so every loop cache can be released now
+    cached.unpersist(false)
+    edges.unpersist(false)
+    result
+  }
 }

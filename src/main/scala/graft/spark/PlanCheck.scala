@@ -113,6 +113,10 @@ object PlanCheck {
     // is the documented cost of auditing it, not an execute-to-audit bug.
     val d23 = planOf("d23_seq_pack")
     check("d23_seq_pack", d23, Seq("SerializeFromObject"), Seq("Window"))
+    // d24: same eager-by-nature caveat as d23 (the label-propagation loop
+    // must run to converge); the audit sees the persisted converged labels
+    val d24 = planOf("d24_components")
+    check("d24_components", d24, Seq("InMemoryTableScan"), Seq("Window"))
     // d20: the hash-split operator itself is a pure narrow filter — no
     // exchange at all (the driver query's orderBy adds one for the oracle's
     // deterministic dump, so audit the bare operator)
