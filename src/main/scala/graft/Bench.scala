@@ -15,13 +15,18 @@ import org.apache.spark.sql.SparkSession
   * A query that throws records "err" (and its exception class) instead of a
   * bogus fast wall-time — a broken query must be visible in the artifact.
   *
-  * Queries are materialized through the noop sink, NOT count(): under
-  * count() Catalyst prunes every unused column and can eliminate a left
-  * join whose right side has distinct keys, so a narrow projection query —
-  * or an entire operator pipeline feeding such a join — times at near zero
-  * without executing (d22's gram pipeline "benched" 0.22 s that way while
-  * its real cost was 25× more; BENCH.md "Query-count change: 44 → 46").
-  * The noop write produces every output row and discards it.
+  * Queries are materialized through a full-width hash aggregate
+  * (bit_xor(xxhash64(struct(every column)))), NOT count() and NOT a plain
+  * write: under count() Catalyst prunes every unused column and can
+  * eliminate a left join whose right side has distinct keys, so a narrow
+  * projection query — or an entire operator pipeline feeding such a join —
+  * times at near zero without executing (d22's gram pipeline "benched"
+  * 0.22 s that way while its real cost was 25× more); a write would be
+  * honest about columns but would also execute each query's trailing
+  * orderBy — a global sort that exists only for the Verify oracle dump and
+  * is pure harness overhead. Hashing every column forces full computation
+  * (nothing prunable, joins not eliminable) while EliminateSorts still
+  * drops the harness-only top-level sort.
   */
 object Bench {
 
@@ -64,7 +69,12 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val df = fn(spark, sfDir)
+          df.agg(org.apache.spark.sql.functions.bit_xor(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.struct(
+                df.columns.map(org.apache.spark.sql.functions.col): _*))))
+            .collect()
           val dt = (System.nanoTime() - t0) / 1e9
           roundTotal += dt
           if (dt < best(name)) best(name) = dt

@@ -297,8 +297,9 @@ object Dedup {
     * jump keeps adversarial path graphs at O(log n) rounds instead of
     * O(diameter). Every round is edge-list-sized shuffles keyed on ids — no
     * driver-side graph, no Window; per-round caches are swapped and released
-    * eagerly and each round's plan is re-rooted on the cached result so
-    * lineage (and Catalyst analysis time) stays O(1) per round.
+    * eagerly, and each round's plan is re-rooted on the persisted result so
+    * the logical tree stays O(1)-sized per round (see reRoot below — without
+    * truncation the tree grows 4^k-fold and dies at ~7 rounds).
     *
     * The result is materialized and persisted (the loop must execute to
     * converge) — callers release it like the pair sets above. `nodes` is
@@ -317,9 +318,18 @@ object Dedup {
       e.union(e.select(col("v").as("u"), col("u").as("v")))
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     }
-    // per-round state: `cached` is the handle we persist/release, `labels`
-    // re-roots its rows so each round's plan starts from a LogicalRDD
-    // instead of chaining the previous rounds' joins
+    // per-round state: `cached` is the persisted handle the finally
+    // releases; `labels` re-roots its rows on a fresh LogicalRDD. The
+    // truncation is NOT optional: `labels` feeds two plan branches per
+    // round (nbrMin and prop) and `prop` feeds both jump sides, so without
+    // re-rooting the logical tree grows 4^k-fold — in-memory it is a shared
+    // DAG, but every tree-shaped walk (AQE plan stringification, cache
+    // lookup canonicalization) traverses it as a tree: at ~7 rounds the
+    // ComponentsSpec path graph dies in generateTreeString. The Row
+    // round-trip costs one (long,long) decode/encode pass per round —
+    // noise next to the round's two shuffles. Every persist taken by the
+    // loop is released in the finally, so a mid-loop failure (job error,
+    // non-convergence throw) cannot strand corpus-sized caches.
     def reRoot(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
@@ -330,43 +340,50 @@ object Dedup {
       .select(col(idCol).cast("long").as("node"),
         col(idCol).cast("long").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum = lblSum(cached) // materializes the seed labels
-    var labels = reRoot(cached)
-    var iter = 0
-    var converged = edges.isEmpty
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
-      val prop = labels
-        .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
-        .select(col("node"), least(col("lbl"),
-          coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // read by both jump sides
-      val jump = prop.as("x")
-        .join(prop.select(col("node").as("ynode"), col("lbl").as("ylbl")),
-          col("x.lbl") === col("ynode"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("ylbl"), col("x.lbl")).as("lbl"))
+    var prop: DataFrame = null
+    var jump: DataFrame = null
+    try {
+      var prevSum = lblSum(cached) // materializes the seed labels
+      var labels = reRoot(cached)
+      var iter = 0
+      var converged = edges.isEmpty
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+        prop = labels
+          .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
+          .select(col("node"), least(col("lbl"),
+            coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK) // read by both jump sides
+        jump = prop.as("x")
+          .join(prop.select(col("node").as("ynode"), col("lbl").as("ylbl")),
+            col("x.lbl") === col("ynode"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("ylbl"), col("x.lbl")).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newSum = lblSum(jump) // materializes this round
+        prop.unpersist(false); prop = null
+        cached.unpersist(false)
+        cached = jump; jump = null
+        labels = reRoot(cached)
+        converged = newSum.compareTo(prevSum) == 0
+        prevSum = newSum
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge within $maxIter rounds")
+      val result = labels
+        .select(col("node").as(idCol), col("lbl").as("component"),
+          (col("node") === col("lbl")).cast("int").as("is_keeper"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = lblSum(jump) // materializes this round
-      prop.unpersist(false)
+      result.count() // materialize so every loop cache can be released now
+      result
+    } finally {
+      if (prop != null) prop.unpersist(false)
+      if (jump != null) jump.unpersist(false)
       cached.unpersist(false)
-      cached = jump
-      labels = reRoot(jump)
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
-      iter += 1
+      edges.unpersist(false)
     }
-    require(converged,
-      s"connectedComponents did not converge within $maxIter rounds")
-    val result = labels
-      .select(col("node").as(idCol), col("lbl").as("component"),
-        (col("node") === col("lbl")).cast("int").as("is_keeper"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize so every loop cache can be released now
-    cached.unpersist(false)
-    edges.unpersist(false)
-    result
   }
 }
