@@ -345,6 +345,30 @@ object SparkEntry {
         .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       owned(Dedup.connectedComponents(docs(s, d), pairs)).orderBy("doc_id")
     }),
+    // d25: Unicode NFC normalization (native codegen'd expression, oracled
+    // by DuckDB nfc_normalize). The corpus may already be NFC, so the query
+    // appends deterministic decomposed sequences IN the query (d21
+    // precedent): "e"+U+0301 must compose to é and "A"+U+030A+U+0301 must
+    // double-compose to Ǻ, so nfc_chars < raw_chars on every row.
+    "d25_nfc_norm" -> ((s, d) => {
+      val messy = concat(col("text"),
+        lit(" cafe\u0301 A\u030A\u0301"))
+      ops.TextOps.nfcNormalize(docs(s, d), messy).orderBy("doc_id")
+    }),
+    // d26: URL canonicalization (native codegen'd expression; planted-truth
+    // oracle — DuckDB constructs the expected canonical directly). The messy
+    // URL exercises scheme/host case, FQDN trailing dot, default vs
+    // non-default port, utm_ stripping, param sorting, and the fragment.
+    "d26_url_canon" -> ((s, d) => {
+      val messy = concat(
+        lit("HTTP://WWW.Site"), (col("doc_id") % 5).cast("string"),
+        lit(".Example.COM.:"),
+        when(col("doc_id") % 2 === 0, lit("80")).otherwise(lit("8080")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a=1#sec"))
+      ops.TextOps.canonUrls(docs(s, d), messy).orderBy("doc_id")
+    }),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -709,6 +733,23 @@ object SparkEntry {
         |  CAST(CASE WHEN node = min(lbl) THEN 1 ELSE 0 END AS INTEGER)
         |    AS is_keeper
         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+    "d25_nfc_norm" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(778) || chr(769) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS INTEGER) AS raw_chars,
+        |  CAST(length(nfc_normalize(t)) AS INTEGER) AS nfc_chars,
+        |  nfc_normalize(t) AS nfc_text
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "d26_url_canon" ->
+      """SELECT doc_id,
+        |  'http://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        |    || CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END
+        |    || '/Path/' || CAST(doc_id AS VARCHAR)
+        |    || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -1,0 +1,182 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.Column
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: Unicode NFC normalization (UAX #15) of a
+  * string column — the standard text-cleaning step before exact/fuzzy dedup
+  * or tokenization, where visually-identical strings with different
+  * codepoint sequences (decomposed e + COMBINING ACUTE vs precomposed é)
+  * must compare equal. Semantics match DuckDB's `nfc_normalize` (both
+  * implement the same Unicode standard), which is the d25 oracle.
+  *
+  * Codegen'd via a single static call (no UDF, no CodegenFallback): the
+  * expression stays inside whole-stage codegen like any built-in string
+  * function. Two allocation-free fast paths cover the bulk of web text:
+  * pure-ASCII input (numBytes == numChars ⇒ already NFC by construction)
+  * and already-normalized input (`Normalizer.isNormalized`, a scan without
+  * building the normalized copy). Null in → null out.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_nfc requires string, got $t")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NfcNormalize$$.MODULE$$.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = {
+    // pure ASCII (every codepoint one byte) is NFC by construction
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** Native Catalyst expression: URL canonicalization for crawl dedup keys.
+  * Deterministic, documented transform — NOT a general URL parser:
+  *
+  *  - the fragment (`#...`) is dropped (never sent to servers);
+  *  - without a `://` the input is returned fragment-stripped and otherwise
+  *    untouched (no scheme ⇒ no authority semantics to normalize);
+  *  - scheme and host are lowercased (RFC 3986 §6.2.2.1); userinfo and path
+  *    keep their case (case-sensitive by spec);
+  *  - one trailing dot on the host (FQDN root) is dropped;
+  *  - the port is normalized textually (leading zeros stripped) and dropped
+  *    when it is the scheme default (http:80, https:443);
+  *  - an empty path becomes `/`;
+  *  - query params are split on `&`; empty params and tracking params
+  *    (name starting with `utm_`, or in [[CanonUrl.TrackingParams]],
+  *    case-insensitive) are dropped; survivors are sorted lexicographically
+  *    (full `k=v` string, UTF-16 order) so param order cannot defeat dedup;
+  *    an emptied query drops its `?`;
+  *  - percent-escapes are left verbatim (decoding can change semantics).
+  *
+  * Codegen'd via a single static call; null in → null out. The d26 oracle
+  * is planted truth: the query synthesizes a messy URL per row and DuckDB
+  * constructs the expected canonical form directly.
+  */
+case class CanonUrl(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_canon_url requires string, got $t")
+  }
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_canon_url"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(CanonUrl.canon(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.CanonUrl$$.MODULE$$.canon($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonUrl =
+    copy(child = newChild)
+}
+
+object CanonUrl {
+
+  /** Tracking params dropped besides the `utm_` prefix family. */
+  val TrackingParams: Set[String] =
+    Set("fbclid", "gclid", "msclkid", "yclid", "igshid", "mc_cid", "mc_eid")
+
+  private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val name = (if (eq >= 0) param.substring(0, eq) else param)
+      .toLowerCase(Locale.ROOT)
+    name.startsWith("utm_") || TrackingParams.contains(name)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def canon(url: String): String = {
+    val hash = url.indexOf('#')
+    val base = if (hash >= 0) url.substring(0, hash) else url
+    val sep = base.indexOf("://")
+    if (sep < 0) return base
+    val scheme = base.substring(0, sep).toLowerCase(Locale.ROOT)
+    val rest = base.substring(sep + 3)
+    var aEnd = 0
+    while (aEnd < rest.length &&
+      rest.charAt(aEnd) != '/' && rest.charAt(aEnd) != '?') aEnd += 1
+    val rawAuth = rest.substring(0, aEnd)
+    // userinfo keeps its case; only the host is case-insensitive
+    val at = rawAuth.lastIndexOf('@')
+    val userinfo = if (at >= 0) rawAuth.substring(0, at + 1) else ""
+    val hostPort = if (at >= 0) rawAuth.substring(at + 1) else rawAuth
+    var host = hostPort
+    var port = ""
+    if (hostPort.startsWith("[")) { // IPv6 literal: port only after "]:"
+      val rb = hostPort.indexOf(']')
+      if (rb >= 0 && rb + 1 < hostPort.length && hostPort.charAt(rb + 1) == ':') {
+        host = hostPort.substring(0, rb + 1)
+        port = hostPort.substring(rb + 2)
+      }
+    } else {
+      val c = hostPort.lastIndexOf(':')
+      if (c >= 0) {
+        val p = hostPort.substring(c + 1)
+        if (p.nonEmpty && p.forall(ch => ch >= '0' && ch <= '9')) {
+          host = hostPort.substring(0, c)
+          port = p
+        }
+      }
+    }
+    host = host.toLowerCase(Locale.ROOT)
+    if (host.length > 1 && host.endsWith(".")) host = host.dropRight(1)
+    val portNorm =
+      if (port.isEmpty) ""
+      else { val t = port.dropWhile(_ == '0'); if (t.isEmpty) "0" else t }
+    val keepPort = portNorm.nonEmpty &&
+      !((scheme == "http" && portNorm == "80") ||
+        (scheme == "https" && portNorm == "443"))
+    val pq = rest.substring(aEnd)
+    val qIdx = pq.indexOf('?')
+    var path = if (qIdx >= 0) pq.substring(0, qIdx) else pq
+    if (path.isEmpty) path = "/"
+    val query =
+      if (qIdx < 0) null
+      else {
+        val kept = pq.substring(qIdx + 1).split("&", -1)
+          .filter(_.nonEmpty).filterNot(isTracking)
+        if (kept.isEmpty) null else { scala.util.Sorting.quickSort(kept); kept.mkString("&") }
+      }
+    val sb = new java.lang.StringBuilder(base.length)
+    sb.append(scheme).append("://").append(userinfo).append(host)
+    if (keepPort) sb.append(':').append(portNorm)
+    sb.append(path)
+    if (query != null) sb.append('?').append(query)
+    sb.toString
+  }
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.graft.Shims
+  /** Column-level entry points used by ops.TextOps. */
+  def nfc(c: Column): Column = Shims.column(NfcNormalize(Shims.expression(c)))
+  def canonUrl(c: Column): Column = Shims.column(CanonUrl(Shims.expression(c)))
+}

@@ -93,12 +93,15 @@ object VecFunctions {
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * (a STATIC conf: it must be present when the SparkContext is created). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.GraftDot)
+    ext.injectFunction(GraftExtensions.GraftNfc)
+    ext.injectFunction(GraftExtensions.GraftCanonUrl)
+  }
 }
 
 object GraftExtensions {
-  /** The (identifier, info, builder) triple — shared by the extensions hook
+  /** The (identifier, info, builder) triples — shared by the extensions hook
     * and by direct FunctionRegistry registration on an existing session. */
   val GraftDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_dot"),
@@ -106,5 +109,21 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "graft_dot takes exactly 2 arguments")
       FloatVecDot(children(0), children(1))
+    })
+
+  val GraftNfc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_nfc takes exactly 1 argument")
+      NfcNormalize(children.head)
+    })
+
+  val GraftCanonUrl: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_canon_url"),
+    new ExpressionInfo(classOf[CanonUrl].getName, "graft_canon_url"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_canon_url takes exactly 1 argument")
+      CanonUrl(children.head)
     })
 }

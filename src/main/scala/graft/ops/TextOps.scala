@@ -77,6 +77,28 @@ object TextOps {
           size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0)))
       ).cast("int").as("keep_flag"))
 
+  /** Unicode NFC normalization stats + text (d25): raw vs normalized
+    * codepoint counts and the normalized string itself, via the native
+    * codegen'd [[graft.functions.NfcNormalize]] expression. A shrinking
+    * `nfc_chars` proves composition actually fired (decomposed sequences
+    * collapse to precomposed codepoints). */
+  def nfcNormalize(df: DataFrame, text: Column): DataFrame = {
+    val n = graft.functions.TextFunctions.nfc(text)
+    df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      length(text).as("raw_chars"),
+      length(n).as("nfc_chars"),
+      n.as("nfc_text"))
+  }
+
+  /** URL canonicalization (d26): dedup key per row via the native codegen'd
+    * [[graft.functions.CanonUrl]] expression (lowercased scheme/host, default
+    * ports and fragments and tracking params dropped, query params sorted). */
+  def canonUrls(df: DataFrame, url: Column): DataFrame =
+    df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      graft.functions.TextFunctions.canonUrl(url).as("url_canon"))
+
   /** Column-expression language ID — the same script-range/stopword heuristic
     * as [[langId]] but as integer-exact codegen'd Catalyst expressions, so a
     * third-party SQL engine can reproduce the decision bit-for-bit (every

@@ -124,6 +124,21 @@ object PlanCheck {
         spark.read.parquet(s"$sfDir/documents.parquet"), 8)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("d20_hash_sample (operator)", d20narrow, Nil, Seq("Exchange"))
+    // d25/d26: the native text expressions must sit in a plain Project over
+    // the scan — no exchange, no BatchEvalPython/fallback wrapper; the
+    // codegen'd executed plan is asserted via the WholeStageCodegen marker
+    import org.apache.spark.sql.functions.{col, lit}
+    for ((nm, bare) <- Seq(
+      "d25_nfc (operator)" -> graft.ops.TextOps.nfcNormalize(
+        spark.read.parquet(s"$sfDir/documents.parquet"), col("text")),
+      "d26_canon_url (operator)" -> graft.ops.TextOps.canonUrls(
+        spark.read.parquet(s"$sfDir/documents.parquet"),
+        org.apache.spark.sql.functions.concat(lit("http://h/"), col("doc_id"))))) {
+      val p = bare.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      check(nm, p, Seq("Project"), Seq("Exchange"))
+      val exec = bare.queryExecution.executedPlan.toString
+      check(s"$nm executed (codegen)", exec, Seq("*(1) Project"))
+    }
 
     if (args.contains("--print")) {
       println(r01); println(r02); println(d01); println(fp); println(d03)

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.functions.{CanonUrl, NfcNormalize}
+import graft.ops.TextOps
+
+/** Planted-truth tests for the native text expressions (graft_nfc,
+  * graft_canon_url): pure-function vectors on the companions, then the same
+  * semantics through a DataFrame (whole-stage codegen path) and through SQL
+  * registration. */
+class TextExprSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-textexpr-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def nfcS(s: String): String =
+    NfcNormalize.nfc(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("nfc composes decomposed sequences (single, double, Hangul)") {
+    assert(nfcS("café") == "café")          // e + acute -> é
+    assert(nfcS("Ǻ") == "Ǻ")           // A + ring + acute -> Ǻ
+    assert(nfcS("가") == "가")            // jamo -> 가
+  }
+
+  test("nfc leaves ASCII and already-NFC text untouched") {
+    assert(nfcS("plain ascii 123") == "plain ascii 123")
+    assert(nfcS("café Ǻ 가") == "café Ǻ 가")
+    assert(nfcS("") == "")
+  }
+
+  test("canon: full messy URL (case, FQDN dot, default port, utm, sort, fragment)") {
+    assert(CanonUrl.canon(
+      "HTTP://WWW.Example.COM.:80/Path/1?utm_source=x&b=2&a=1#frag")
+      == "http://www.example.com/Path/1?a=1&b=2")
+  }
+
+  test("canon: ports — defaults dropped per scheme, leading zeros, non-defaults kept") {
+    assert(CanonUrl.canon("https://Host:443/") == "https://host/")
+    assert(CanonUrl.canon("http://h:0080/x") == "http://h/x")
+    assert(CanonUrl.canon("http://h:08080/x") == "http://h:8080/x")
+    assert(CanonUrl.canon("https://h:80/x") == "https://h:80/x") // http default on https: kept
+  }
+
+  test("canon: path/query edge shapes") {
+    assert(CanonUrl.canon("http://H") == "http://h/")            // empty path -> /
+    assert(CanonUrl.canon("http://h/p?") == "http://h/p")        // empty query dropped
+    assert(CanonUrl.canon("http://h/p?utm_a=1&fbclid=z") == "http://h/p")
+    assert(CanonUrl.canon("http://h/p?a=&&b=1") == "http://h/p?a=&b=1")
+    assert(CanonUrl.canon("http://h/?utm") == "http://h/?utm")   // bare 'utm' is not utm_*
+    assert(CanonUrl.canon("http://h/p#a#b") == "http://h/p")     // cut at FIRST '#'
+  }
+
+  test("canon: userinfo keeps case; IPv6 literals; schemeless passthrough") {
+    assert(CanonUrl.canon("http://User@Host/") == "http://User@host/")
+    assert(CanonUrl.canon("http://[2001:DB8::1]:80/x") == "http://[2001:db8::1]/x")
+    assert(CanonUrl.canon("http://[2001:DB8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+    assert(CanonUrl.canon("www.Example.com/Path#f") == "www.Example.com/Path")
+    assert(CanonUrl.canon("") == "")
+  }
+
+  test("DataFrame path (codegen): same results, null in -> null out") {
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val df = Seq(
+      (0L, "café", "HTTP://WWW.Example.COM.:80/p?utm_source=x&b=2&a=1#f"),
+      (1L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "t", "u")
+    val out = df.select(
+      graft.functions.TextFunctions.nfc(org.apache.spark.sql.functions.col("t")).as("n"),
+      graft.functions.TextFunctions.canonUrl(org.apache.spark.sql.functions.col("u")).as("c"))
+      .collect()
+    assert(out(0).getString(0) == "café")
+    assert(out(0).getString(1) == "http://www.example.com/p?a=1&b=2")
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
+
+  test("SQL registration: graft_nfc / graft_canon_url callable from spark.sql") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    for (triple <- Seq(graft.functions.GraftExtensions.GraftNfc,
+                       graft.functions.GraftExtensions.GraftCanonUrl)) {
+      val (id, info, builder) = triple
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val r = spark.sql(
+      "SELECT graft_nfc('Ǻ') AS n, " +
+        "graft_canon_url('HTTPS://H:443/x?b=1&a=2') AS c").head()
+    assert(r.getString(0) == "Ǻ")
+    assert(r.getString(1) == "https://h/x?a=2&b=1")
+  }
+
+  test("d25 query shape: nfc_chars < raw_chars on every row (composition fired)") {
+    import spark.implicits._
+    val df = Seq((7L, "word soup")).toDF("doc_id", "text")
+    val messy = org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.lit(" café Ǻ"))
+    val row = TextOps.nfcNormalize(df, messy).head()
+    assert(row.getAs[Int]("raw_chars") == row.getAs[Int]("nfc_chars") + 3)
+    assert(row.getAs[String]("nfc_text") == "word soup café Ǻ")
+  }
+}
