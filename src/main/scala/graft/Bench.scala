@@ -69,11 +69,13 @@ object Bench {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try {
-          val df = fn(spark, sfDir)
-          df.agg(org.apache.spark.sql.functions.bit_xor(
+          // struct(col("*")) expands the star at analysis against the
+          // query's own output — no name round-trip, so dotted or duplicate
+          // output column names cannot make the harness misresolve
+          fn(spark, sfDir).agg(org.apache.spark.sql.functions.bit_xor(
             org.apache.spark.sql.functions.xxhash64(
               org.apache.spark.sql.functions.struct(
-                df.columns.map(org.apache.spark.sql.functions.col): _*))))
+                org.apache.spark.sql.functions.col("*")))))
             .collect()
           val dt = (System.nanoTime() - t0) / 1e9
           roundTotal += dt

@@ -59,13 +59,17 @@ object NfcNormalize {
   * Deterministic, documented transform — NOT a general URL parser:
   *
   *  - the fragment (`#...`) is dropped (never sent to servers);
-  *  - without a `://` the input is returned fragment-stripped and otherwise
+  *  - without a `://`, or when the text before the first `://` is not an
+  *    RFC 3986 scheme (a schemeless URL may embed an absolute URL in its
+  *    query), the input is returned fragment-stripped and otherwise
   *    untouched (no scheme ⇒ no authority semantics to normalize);
   *  - scheme and host are lowercased (RFC 3986 §6.2.2.1); userinfo and path
   *    keep their case (case-sensitive by spec);
   *  - one trailing dot on the host (FQDN root) is dropped;
-  *  - the port is normalized textually (leading zeros stripped) and dropped
-  *    when it is the scheme default (http:80, https:443);
+  *  - a digits-only port is normalized textually (leading zeros stripped)
+  *    and dropped when empty (bare `:`, RFC 3986 §6.2.3) or when it is the
+  *    scheme default (http:80, https:443); a malformed port stays verbatim
+  *    in the host so distinct inputs cannot collide;
   *  - an empty path becomes `/`;
   *  - query params are split on `&`; empty params and tracking params
   *    (name starting with `utm_`, or in [[CanonUrl.TrackingParams]],
@@ -112,12 +116,24 @@ object CanonUrl {
     name.startsWith("utm_") || TrackingParams.contains(name)
   }
 
+  /** RFC 3986 scheme shape: ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ).
+    * Anything else before "://" means the text is NOT a scheme (e.g. a
+    * schemeless URL whose query embeds an absolute URL) — treat as no
+    * scheme rather than lowercasing half the input. */
+  private def isScheme(s: String): Boolean =
+    s.nonEmpty && {
+      val c0 = s.charAt(0)
+      (c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z')
+    } && s.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')
+
   /** Shared by interpreted eval and generated code. */
   def canon(url: String): String = {
     val hash = url.indexOf('#')
     val base = if (hash >= 0) url.substring(0, hash) else url
     val sep = base.indexOf("://")
-    if (sep < 0) return base
+    if (sep < 0 || !isScheme(base.substring(0, sep))) return base
     val scheme = base.substring(0, sep).toLowerCase(Locale.ROOT)
     val rest = base.substring(sep + 3)
     var aEnd = 0
@@ -130,17 +146,23 @@ object CanonUrl {
     val hostPort = if (at >= 0) rawAuth.substring(at + 1) else rawAuth
     var host = hostPort
     var port = ""
+    // a digits-only port (possibly empty — RFC 3986 §6.2.3 treats a bare
+    // trailing colon as no port) splits off; a malformed port passes
+    // through verbatim inside the host so distinct inputs stay distinct
     if (hostPort.startsWith("[")) { // IPv6 literal: port only after "]:"
       val rb = hostPort.indexOf(']')
       if (rb >= 0 && rb + 1 < hostPort.length && hostPort.charAt(rb + 1) == ':') {
-        host = hostPort.substring(0, rb + 1)
-        port = hostPort.substring(rb + 2)
+        val p = hostPort.substring(rb + 2)
+        if (p.forall(ch => ch >= '0' && ch <= '9')) {
+          host = hostPort.substring(0, rb + 1)
+          port = p
+        }
       }
     } else {
       val c = hostPort.lastIndexOf(':')
       if (c >= 0) {
         val p = hostPort.substring(c + 1)
-        if (p.nonEmpty && p.forall(ch => ch >= '0' && ch <= '9')) {
+        if (p.forall(ch => ch >= '0' && ch <= '9')) {
           host = hostPort.substring(0, c)
           port = p
         }

@@ -312,12 +312,6 @@ object Dedup {
       aCol: String = "doc_a", bCol: String = "doc_b",
       idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
     val spark = nodes.sparkSession
-    val edges = {
-      val e = pairs.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v")).filter(col("u") =!= col("v"))
-      e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    }
     // per-round state: `cached` is the persisted handle the finally
     // releases; `labels` re-roots its rows on a fresh LogicalRDD. The
     // truncation is NOT optional: `labels` feeds two plan branches per
@@ -327,22 +321,35 @@ object Dedup {
     // lookup canonicalization) traverses it as a tree: at ~7 rounds the
     // ComponentsSpec path graph dies in generateTreeString. The Row
     // round-trip costs one (long,long) decode/encode pass per round —
-    // noise next to the round's two shuffles. Every persist taken by the
-    // loop is released in the finally, so a mid-loop failure (job error,
-    // non-convergence throw) cannot strand corpus-sized caches.
+    // noise next to the round's two shuffles. EVERY persist this method
+    // takes (edges, seed, per-round, and the result itself until it is
+    // handed to the caller) is taken inside the try and released in the
+    // finally, so a failure anywhere — analysis of a bad idCol, a mid-loop
+    // job error, the non-convergence throw, even the result's own
+    // materialization — cannot strand corpus-sized caches.
     def reRoot(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var cached = nodes
-      .select(col(idCol).cast("long").as("node"),
-        col(idCol).cast("long").as("lbl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edges: DataFrame = null
+    var cached: DataFrame = null
     var prop: DataFrame = null
     var jump: DataFrame = null
+    var handedOff = false
+    var result: DataFrame = null
     try {
+      edges = {
+        val e = pairs.select(col(aCol).cast("long").as("u"),
+          col(bCol).cast("long").as("v")).filter(col("u") =!= col("v"))
+        e.union(e.select(col("v").as("u"), col("u").as("v")))
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      }
+      cached = nodes
+        .select(col(idCol).cast("long").as("node"),
+          col(idCol).cast("long").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       var prevSum = lblSum(cached) // materializes the seed labels
       var labels = reRoot(cached)
       var iter = 0
@@ -373,17 +380,19 @@ object Dedup {
       }
       require(converged,
         s"connectedComponents did not converge within $maxIter rounds")
-      val result = labels
+      result = labels
         .select(col("node").as(idCol), col("lbl").as("component"),
           (col("node") === col("lbl")).cast("int").as("is_keeper"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       result.count() // materialize so every loop cache can be released now
+      handedOff = true
       result
     } finally {
       if (prop != null) prop.unpersist(false)
       if (jump != null) jump.unpersist(false)
-      cached.unpersist(false)
-      edges.unpersist(false)
+      if (cached != null) cached.unpersist(false)
+      if (edges != null) edges.unpersist(false)
+      if (!handedOff && result != null) result.unpersist(false)
     }
   }
 }

@@ -63,6 +63,26 @@ class TextExprSpec extends AnyFunSuite {
     assert(CanonUrl.canon("") == "")
   }
 
+  test("canon: non-scheme prefix before :// means no scheme — passthrough") {
+    // a schemeless URL whose QUERY embeds an absolute URL: the text before
+    // the first "://" contains '/'+'?' and is not a scheme, so nothing is
+    // lowercased and the outer path keeps its case
+    assert(CanonUrl.canon("Example.com/Redirect?To=https://Other.COM/p")
+      == "Example.com/Redirect?To=https://Other.COM/p")
+    assert(CanonUrl.canon("1http://h/x") == "1http://h/x") // scheme must start with ALPHA
+  }
+
+  test("canon: malformed and empty ports") {
+    // malformed port stays verbatim (lowercased with the host) — distinct
+    // inputs must stay distinct
+    assert(CanonUrl.canon("http://[2001:DB8::1]:0abc/x") == "http://[2001:db8::1]:0abc/x")
+    assert(CanonUrl.canon("http://H:12ab/x") == "http://h:12ab/x")
+    // bare trailing colon = empty port = no port (RFC 3986 §6.2.3)
+    assert(CanonUrl.canon("http://h:/x") == "http://h/x")
+    assert(CanonUrl.canon("https://h:/") == "https://h/")
+    assert(CanonUrl.canon("http://[2001:DB8::1]:/x") == "http://[2001:db8::1]/x")
+  }
+
   test("DataFrame path (codegen): same results, null in -> null out") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
