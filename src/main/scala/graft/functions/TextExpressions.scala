@@ -65,11 +65,14 @@ object NfcNormalize {
   *    untouched (no scheme ⇒ no authority semantics to normalize);
   *  - scheme and host are lowercased (RFC 3986 §6.2.2.1); userinfo and path
   *    keep their case (case-sensitive by spec);
-  *  - one trailing dot on the host (FQDN root) is dropped;
-  *  - a digits-only port is normalized textually (leading zeros stripped)
-  *    and dropped when empty (bare `:`, RFC 3986 §6.2.3) or when it is the
-  *    scheme default (http:80, https:443); a malformed port stays verbatim
-  *    in the host so distinct inputs cannot collide;
+  *  - trailing host dots (FQDN root) and bare trailing colons (empty
+  *    ports, RFC 3986 §6.2.3) are dropped — stacked in any order they
+  *    collapse in ONE pass, keeping canonicalization idempotent;
+  *  - a digits-only port behind the host's only colon is normalized
+  *    textually (leading zeros stripped) and dropped when it is the scheme
+  *    default (http:80, https:443); a malformed port (non-digits, or
+  *    several colons outside an IPv6 bracket) stays verbatim in the host
+  *    so distinct inputs cannot collide;
   *  - an empty path becomes `/`;
   *  - query params are split on `&`; empty params and tracking params
   *    (name starting with `utm_`, or in [[CanonUrl.TrackingParams]],
@@ -143,12 +146,33 @@ object CanonUrl {
     // userinfo keeps its case; only the host is case-insensitive
     val at = rawAuth.lastIndexOf('@')
     val userinfo = if (at >= 0) rawAuth.substring(0, at + 1) else ""
-    val hostPort = if (at >= 0) rawAuth.substring(at + 1) else rawAuth
+    var hostPort = if (at >= 0) rawAuth.substring(at + 1) else rawAuth
+    // Tail-normalize to a FIXPOINT before the port split: bare trailing
+    // colons are empty ports (RFC 3986 §6.2.3) and trailing dots are FQDN
+    // root dots — both meaningless, and they stack in either order
+    // ("host:.", "host.."). A single-shot strip loses one layer per pass
+    // and breaks canon(canon(x)) == canon(x) (caught by the seeded fuzz).
+    def stripTail(s0: String): String = {
+      var s = s0
+      var again = true
+      while (again) {
+        again = false
+        while (s.nonEmpty && s.charAt(s.length - 1) == ':') {
+          s = s.substring(0, s.length - 1); again = true
+        }
+        while (s.length > 1 && s.charAt(s.length - 1) == '.') {
+          s = s.substring(0, s.length - 1); again = true
+        }
+      }
+      s
+    }
+    hostPort = stripTail(hostPort)
     var host = hostPort
     var port = ""
-    // a digits-only port (possibly empty — RFC 3986 §6.2.3 treats a bare
-    // trailing colon as no port) splits off; a malformed port passes
-    // through verbatim inside the host so distinct inputs stay distinct
+    // a digits-only port behind the host's ONLY colon splits off; anything
+    // else (non-digits, or several colons outside an IPv6 bracket — which
+    // would leave a colon-bearing "host" that the next pass re-splits) is
+    // malformed and passes through verbatim so distinct inputs stay distinct
     if (hostPort.startsWith("[")) { // IPv6 literal: port only after "]:"
       val rb = hostPort.indexOf(']')
       if (rb >= 0 && rb + 1 < hostPort.length && hostPort.charAt(rb + 1) == ':') {
@@ -160,16 +184,15 @@ object CanonUrl {
       }
     } else {
       val c = hostPort.lastIndexOf(':')
-      if (c >= 0) {
+      if (c >= 0 && hostPort.indexOf(':') == c) {
         val p = hostPort.substring(c + 1)
         if (p.forall(ch => ch >= '0' && ch <= '9')) {
-          host = hostPort.substring(0, c)
+          host = stripTail(hostPort.substring(0, c)) // "h.:80" → host "h."
           port = p
         }
       }
     }
     host = host.toLowerCase(Locale.ROOT)
-    if (host.length > 1 && host.endsWith(".")) host = host.dropRight(1)
     val portNorm =
       if (port.isEmpty) ""
       else { val t = port.dropWhile(_ == '0'); if (t.isEmpty) "0" else t }

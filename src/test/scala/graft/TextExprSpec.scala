@@ -77,10 +77,48 @@ class TextExprSpec extends AnyFunSuite {
     // inputs must stay distinct
     assert(CanonUrl.canon("http://[2001:DB8::1]:0abc/x") == "http://[2001:db8::1]:0abc/x")
     assert(CanonUrl.canon("http://H:12ab/x") == "http://h:12ab/x")
-    // bare trailing colon = empty port = no port (RFC 3986 §6.2.3)
+    // bare trailing colons = empty ports = no port (RFC 3986 §6.2.3);
+    // stacked empty ports must collapse in ONE pass (idempotence)
     assert(CanonUrl.canon("http://h:/x") == "http://h/x")
     assert(CanonUrl.canon("https://h:/") == "https://h/")
+    assert(CanonUrl.canon("https://HOST::/p%20q") == "https://host/p%20q")
     assert(CanonUrl.canon("http://[2001:DB8::1]:/x") == "http://[2001:db8::1]/x")
+  }
+
+  test("canon is idempotent and drops fragments on 20k seeded URL-soup cases") {
+    // canonicalization MUST be a projection: canon(canon(x)) == canon(x),
+    // else two passes over the same crawl produce different dedup keys.
+    // Seeded grammar mixes well-formed, hostile, and malformed shapes.
+    val rnd = new scala.util.Random(20260819L)
+    val schemes = Array("http", "HTTP", "https", "ftp", "1bad", "", "we ird")
+    val hosts = Array("Example.COM.", "h", "[2001:DB8::1]", "a.b.c", "HOST:",
+      "u@Host", "U:p@h.co", "", "Host..", "h.:80.")
+    val ports = Array("", ":80", ":443", ":0080", ":8080", ":", ":12ab", ":0")
+    val paths = Array("", "/", "/Path/X", "/a//b", "/p%20q", "/..", "/?")
+    val queries = Array("", "?", "?a=1", "?utm_source=x", "?b=2&a=1&utm_a=0",
+      "?a=&&b=1", "?fbclid=z&x://y", "?a=1&a=0")
+    val frags = Array("", "#f", "#a#b", "#x?y=1", "#")
+    var i = 0
+    while (i < 20000) {
+      val url = (if (rnd.nextInt(4) == 0) "" else schemes(rnd.nextInt(schemes.length)) + "://") +
+        hosts(rnd.nextInt(hosts.length)) + ports(rnd.nextInt(ports.length)) +
+        paths(rnd.nextInt(paths.length)) + queries(rnd.nextInt(queries.length)) +
+        frags(rnd.nextInt(frags.length))
+      val c = CanonUrl.canon(url)
+      assert(CanonUrl.canon(c) == c, s"not idempotent on <$url>: <$c> -> <${CanonUrl.canon(c)}>")
+      assert(!c.contains('#'), s"fragment survived on <$url>: <$c>")
+      i += 1
+    }
+    // NFC idempotence over mixed composed/decomposed soup
+    val pieces = Array("e", "é", "a", " ", "\u0301", "\u030A",
+      "Ǻ", "가", "ᄀ", "ᅡ")
+    var j = 0
+    while (j < 20000) {
+      val s = Seq.fill(1 + rnd.nextInt(8))(pieces(rnd.nextInt(pieces.length))).mkString
+      val n = nfcS(s)
+      assert(nfcS(n) == n, s"nfc not idempotent on <$s>")
+      j += 1
+    }
   }
 
   test("DataFrame path (codegen): same results, null in -> null out") {
