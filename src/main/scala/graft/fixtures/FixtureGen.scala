@@ -962,7 +962,20 @@ object FixtureGen {
           cur = c
         }
       }
-      if (cur.nonEmpty) put(codeOf(cur).get)
+      if (cur.nonEmpty) {
+        put(codeOf(cur).get)
+        // the decoder builds a table entry for this FINAL code too (standard
+        // LZW adds on every code received), so when that entry lands exactly
+        // on an early-change boundary (next == 2^w - 1 after the implied
+        // add) the decoder widens before reading EOD — the encoder must
+        // widen with it or EOD is written one bit narrow and the decoder
+        // sees a truncated stream (fixture id 511476 hit this: 1 in ~1500
+        // LZW streams ends on the boundary)
+        if (next < 4096) {
+          next += 1
+          while (width < 12 && next >= (1 << width)) width += 1
+        }
+      }
       put(257)
       if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
       out.toByteArray

@@ -111,7 +111,14 @@ object ExecutorSim {
     val secs = (System.nanoTime() - t0) / 1e9
     println(s"executor $idx/$nProcs: rows=$rows errors=$errors")
     println(f"JOBSECS $secs%.3f")
-    require(errors == 0L)
+    if (errors != 0L) { // name the offenders before failing — a bare
+      // require(errors == 0) made a 1-in-600k corpus regression undebuggable
+      val pages = spark.read.parquet(files: _*).as[Page]
+      ExtractJob.run(pages).filter(col("error") =!= "")
+        .select(col("url"), col("error")).collect()
+        .foreach(r => println(s"BADROW ${r.getString(0)} :: ${r.getString(1)}"))
+    }
+    require(errors == 0L, s"$errors extraction errors (see BADROW lines)")
     spark.stop()
   }
 }

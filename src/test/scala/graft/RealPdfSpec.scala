@@ -494,7 +494,16 @@ class RealPdfSpec extends AnyFunSuite {
         cur = c
       }
     }
-    if (cur.nonEmpty) put(codeOf(cur).get)
+    if (cur.nonEmpty) {
+      put(codeOf(cur).get)
+      // the decoder adds a table entry for the final code too — widen with
+      // it when that entry lands on the early-change boundary, else EOD is
+      // written one bit narrow (the fixture-id-511476 bug)
+      if (next < 4096) {
+        next += 1
+        while (width < 12 && next >= (1 << width)) width += 1
+      }
+    }
     put(257)
     if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
     out.toByteArray
@@ -513,6 +522,32 @@ class RealPdfSpec extends AnyFunSuite {
     var seed = 12345L
     val big = Array.fill(4000) { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33).toByte }
     assert(RealPdf.lzwDecode(lzwEncode(big)).sameElements(big))
+  }
+
+  test("LZW tail-at-boundary: every input length round-trips (EOD width)") {
+    // The decoder builds a table entry for the FINAL data code and widens
+    // before reading EOD when that entry lands exactly on 2^w - 1. An
+    // encoder that skips the implied increment on its tail emit writes EOD
+    // one bit narrow — the decoder then reports a truncated stream. A dense
+    // length sweep over incompressible bytes drives the tail code across
+    // every table size spanning the 511 and 1023 boundaries.
+    var seed = 98765L
+    def lcg(): Byte = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33).toByte }
+    val pool = Array.fill(1700)(lcg())
+    for (len <- 200 to 1700 by 1) {
+      val raw = java.util.Arrays.copyOf(pool, len)
+      val dec = RealPdf.lzwDecode(lzwEncode(raw))
+      assert(dec.sameElements(raw), s"LZW round-trip failed at len=$len")
+    }
+  }
+
+  test("fixture 511476 (LZW variant whose tail code lands on the boundary) extracts") {
+    // regression pin: this exact corpus row decoded as "truncated LZW" when
+    // the fixture encoder skipped the tail-implied width change — found by
+    // the 600k-row fleet bench, invisible at 150k
+    val got = Extractor.extract(graft.fixtures.FixtureGen.fixture(511476L).page)
+    assert(got.error == "", got.error)
+    assert(got.text.nonEmpty)
   }
 
   test("LZWDecode content stream extracts end-to-end") {
