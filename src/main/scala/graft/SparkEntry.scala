@@ -369,6 +369,13 @@ object SparkEntry {
         lit("&a=1#sec"))
       ops.TextOps.canonUrls(docs(s, d), messy).orderBy("doc_id")
     }),
+    // d27: duplicate-window stats — the counting pass of exact substring
+    // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
+    // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
+    // are short; production uses ~50). At sf0.01 this yields a spread:
+    // ~47 docs with duplicated windows, the exact-dup pairs at 100%.
+    "d27_dup_windows" -> ((s, d) =>
+      Dedup.dupWindowStats(docs(s, d), n = 8).orderBy("doc_id")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -750,6 +757,29 @@ object SparkEntry {
         |    || '/Path/' || CAST(doc_id AS VARCHAR)
         |    || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_canon
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d27_dup_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+        |      x -> lower(x)) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks),
+        |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |per AS (
+        |  SELECT gr.doc_id, count(*) AS w,
+        |    sum(CASE WHEN dg.g IS NOT NULL THEN 1 ELSE 0 END) AS d
+        |  FROM grams gr LEFT JOIN dupg dg ON gr.g = dg.g GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(p.w, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(p.d, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(CASE WHEN coalesce(p.w, 0) = 0 THEN 0
+        |       ELSE floor(100 * p.d / p.w) END AS BIGINT) AS dup_pct
+        |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

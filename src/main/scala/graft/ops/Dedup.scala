@@ -141,6 +141,55 @@ object Dedup {
     }
   }
 
+  /** Duplicate-window statistics — the counting pass of exact substring
+    * deduplication over sliding token windows (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": any n-token
+    * span occurring >= 2 times corpus-wide — including twice in one document
+    * — is a duplicated span; production pipelines use n around 50, a
+    * parameter here). Distinct from [[graft.ops.SegmentOps.segmentDedup]]
+    * (delimiter-bounded segments, not sliding windows) and
+    * [[graft.ops.Decontam.flagOverlap]] (overlap vs an external benchmark
+    * set, not intra-corpus).
+    *
+    * Returns (doc_id, n_windows, n_dup_windows, dup_pct) per document; docs
+    * with fewer than n tokens report 0/0/0 rather than disappearing.
+    *
+    * Plan shape at 10^12 rows: one narrow explode (windows via the shared
+    * [[Decontam.tokenNgrams]] over projected [[TextOps.asciiTokens]], keyed
+    * as 16-byte md5 like d02/d22 so arbitrary-length grams never ride a
+    * shuffle), ONE gram-keyed groupBy for global occurrence counts (map-side
+    * partial agg), the count>=2 survivors joined back gram-keyed — the
+    * duplicated-gram side is output-of-aggregate, one row per gram, never
+    * candidate pairs, so a corpus-hot gram costs one row — then a doc-keyed
+    * groupBy. No corpus self-join, no Window, no collect. */
+  def dupWindowStats(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def gmd5(g: org.apache.spark.sql.Column) = md5(to_binary(g, lit("utf-8")))
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.asciiTokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        explode_outer(Decontam.tokenNgrams(col("__t"), n)).as("g"))
+      .select(col("doc_id"),
+        when(col("g").isNotNull, gmd5(col("g"))).as("gmd5"))
+    val dup = grams.filter(col("gmd5").isNotNull)
+      .groupBy(col("gmd5")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("gmd5"), lit(1).as("__dup"))
+    grams
+      .join(dup, Seq("gmd5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gmd5")).as("n_windows"),
+        count(col("__dup")).as("n_dup_windows"))
+      // floor() keeps the integer percent engine-agnostic: both engines'
+      // `/` on integers yields a double, exact here (operands << 2^53)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        when(col("n_windows") === 0, lit(0L))
+          .otherwise(floor(lit(100) * col("n_dup_windows") / col("n_windows")))
+          .cast("long").as("dup_pct"))
+  }
+
   /** SimHash 64-bit signature of token features. */
   def simhash(text: String): Long = {
     val toks = TextOps.tokenize(if (text == null) "" else text.toLowerCase)

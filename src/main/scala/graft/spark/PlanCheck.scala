@@ -104,6 +104,13 @@ object PlanCheck {
     // shuffle every corpus gram)
     val d22 = planOf("d22_decontaminate")
     check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
+    // d27: duplicate-window stats must be aggregate shapes end to end —
+    // global gram counts via partial HashAggregate, the duplicated-gram set
+    // joined back as one-row-per-gram (never candidate pairs), and NEVER a
+    // corpus Window `partition by gram` (a boilerplate 8-gram duplicated
+    // 10^9 times would funnel through one reducer)
+    val d27 = planOf("d27_dup_windows")
+    check("d27_dup_windows", d27, Seq("HashAggregate"), Seq("Window"))
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
     // `Window` here would mean the global single-task cumsum crept back in.

@@ -47,6 +47,28 @@ class OpsSpec extends AnyFunSuite {
     assert(dupGroup.head.getAs[Long]("n_dups") == 2L)
   }
 
+  test("dupWindowStats: planted window truth incl. intra-doc repeats, short and empty docs") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "a b c d e"),     // 3 windows, all shared with doc 1 -> 100%
+      (1L, "A B C D E"),     // case-folds to doc 0's tokens
+      (2L, "x y z a b c"),   // 4 windows, only "a b c" duplicated -> 25%
+      (3L, "p q"),           // fewer than n tokens -> 0/0/0
+      (4L, "m m m m"),       // "m m m" twice IN one doc: both count -> 100%
+      (5L, "")               // empty -> 0/0/0
+    )
+    val out = Dedup.dupWindowStats(rows.toDF("doc_id", "text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((3L, 3L, 100L)))
+    assert(out(1L) == ((3L, 3L, 100L)))
+    assert(out(2L) == ((4L, 1L, 25L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((2L, 2L, 100L)))
+    assert(out(5L) == ((0L, 0L, 0L)))
+    assert(out.size == 6)
+  }
+
   test("minhash-LSH finds planted near-dups, no false pairs across distinct docs") {
     val pairs = Dedup.minhashPairs(spark, docs, threshold = 0.6)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
