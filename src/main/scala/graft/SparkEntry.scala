@@ -376,6 +376,13 @@ object SparkEntry {
     // ~47 docs with duplicated windows, the exact-dup pairs at 100%.
     "d27_dup_windows" -> ((s, d) =>
       Dedup.dupWindowStats(docs(s, d), n = 8).orderBy("doc_id")),
+    // d28: minhash ORACLE WITNESS — signature position j = min over char-5
+    // shingles of md5("j:"+shingle), replicated exactly in DuckDB. Pins the
+    // min-over-hash-family semantics the production d05 path (JVM affine
+    // permutations) can't expose to a SQL oracle.
+    "d28_minhash_witness" -> ((s, d) =>
+      Dedup.minhashSignaturesWitness(docs(s, d), numHashes = 16, shingleK = 5)
+        .orderBy("doc_id", "hash_idx")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -780,6 +787,23 @@ object SparkEntry {
         |       ELSE floor(100 * p.d / p.w) END AS BIGINT) AS dup_pct
         |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "d28_minhash_witness" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)),
+        |      ' ') AS b
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(b) - 4, 0) + 1),
+        |      i -> substr(b, i, 5)) AS shingles
+        |  FROM base)
+        |SELECT doc_id, CAST(j AS INTEGER) AS hash_idx,
+        |  list_min(list_transform(shingles,
+        |    s -> md5(CAST(j AS VARCHAR) || ':' || s))) AS minhash
+        |FROM sh CROSS JOIN range(0, 16) r(j)
+        |ORDER BY doc_id, hash_idx""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

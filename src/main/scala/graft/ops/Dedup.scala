@@ -141,6 +141,46 @@ object Dedup {
     }
   }
 
+  /** MinHash signatures in an engine-agnostic md5 hash family — the oracle
+    * WITNESS for minhash semantics: signature position j is the minimum of
+    * md5("j:" ++ shingle) over the document's char-`shingleK`-shingles
+    * (classic k-independent-hash minhash, Broder 1997). Shingles are drawn
+    * over the space-joined [[TextOps.asciiTokens]] text, so case folding and
+    * substring positions are bit-identical between Spark and the DuckDB
+    * oracle (no locale/Unicode drift). Long output (doc_id, hash_idx,
+    * minhash) so the driver's value hash covers every signature position.
+    *
+    * The production path is [[minhashSignatures]] (JVM affine permutations
+    * over one shingle-hash pass — far cheaper); THIS form exists to pin the
+    * min-over-hash-family semantics against an independent engine. Same
+    * narrow shape: tokenize → shingle (projected attribute) → explode of
+    * `numHashes` seed rows per doc → per-row array_min. No shuffle at all.
+    * Docs shorter than one shingle emit null minhashes rather than
+    * disappearing (list_min of an empty list is NULL in both engines). */
+  def minhashSignaturesWitness(docs: DataFrame, numHashes: Int = 16,
+      shingleK: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_join(TextOps.asciiTokens(col(textCol)), " ").as("__b"))
+      // guard the short-doc case explicitly: Spark's sequence(1, 0) counts
+      // DOWN ([1, 0]) instead of returning empty, which would fabricate
+      // out-of-range shingles ("" substrings) on sub-shingle docs
+      .select(col("doc_id"),
+        when(length(col("__b")) < shingleK, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), length(col("__b")) - (shingleK - 1)),
+            i => col("__b").substr(i, lit(shingleK)))).as("__sh"))
+      .select(col("doc_id"), col("__sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("hash_idx"))
+      .select(col("doc_id"), col("hash_idx").cast("int").as("hash_idx"),
+        array_min(transform(col("__sh"), s =>
+          md5(to_binary(concat(col("hash_idx").cast("string"), lit(":"), s),
+            lit("utf-8"))))).as("minhash"))
+  }
+
   /** Duplicate-window statistics — the counting pass of exact substring
     * deduplication over sliding token windows (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better": any n-token

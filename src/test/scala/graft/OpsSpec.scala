@@ -69,6 +69,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("minhashSignaturesWitness matches an independent MessageDigest reference; short docs null") {
+    import spark.implicits._
+    val rows = Seq((0L, "Alpha beta-GAMMA"), (1L, "ab"), (2L, ""))
+    val out = Dedup.minhashSignaturesWitness(
+        rows.toDF("doc_id", "text"), numHashes = 4, shingleK = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> Option(r.getString(2))).toMap
+    // independent reference: same semantics via java.security directly
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    val b = "alpha beta gamma"
+    for (j <- 0 until 4) {
+      val expect = (0 to b.length - 5).map(i => md5hex(s"$j:${b.substring(i, i + 5)}")).min
+      assert(out((0L, j)) == Some(expect))
+      // doc 1 tokenizes to "ab" (< shingleK) and doc 2 is empty: null minhash
+      assert(out((1L, j)).isEmpty && out((2L, j)).isEmpty)
+    }
+    assert(out.size == 12)
+  }
+
   test("minhash-LSH finds planted near-dups, no false pairs across distinct docs") {
     val pairs = Dedup.minhashPairs(spark, docs, threshold = 0.6)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
