@@ -383,6 +383,11 @@ object SparkEntry {
     "d28_minhash_witness" -> ((s, d) =>
       Dedup.minhashSignaturesWitness(docs(s, d), numHashes = 16, shingleK = 5)
         .orderBy("doc_id", "hash_idx")),
+    // d29: simhash ORACLE WITNESS — per-bit majority over md5-60-bit token
+    // hashes, replicated exactly in DuckDB (pins the semantics the fnv1a64
+    // production d06 path can't expose to a SQL oracle)
+    "d29_simhash_witness" -> ((s, d) =>
+      Dedup.simhashWitness(docs(s, d)).orderBy("doc_id")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -804,6 +809,27 @@ object SparkEntry {
         |    s -> md5(CAST(j AS VARCHAR) || ':' || s))) AS minhash
         |FROM sh CROSS JOIN range(0, 16) r(j)
         |ORDER BY doc_id, hash_idx""".stripMargin,
+    "d29_simhash_witness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN range(0, 60) r(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |        ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(g.simhash, 0) AS BIGINT) AS simhash
+        |FROM documents d LEFT JOIN sig g ON d.doc_id = g.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

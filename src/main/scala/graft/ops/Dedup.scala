@@ -181,6 +181,45 @@ object Dedup {
             lit("utf-8"))))).as("minhash"))
   }
 
+  /** SimHash in an engine-agnostic md5 hash family — the oracle WITNESS for
+    * simhash semantics (per-bit majority vote over token hashes, Charikar
+    * 2002): token hash = the top 60 bits of md5 (15 hex chars parsed as an
+    * integer — 60 so the value is sign-safe as a BIGINT in both engines),
+    * bit b of the signature = 1 iff strictly more token hashes have bit b
+    * set than clear (ties → 0, the same convention as the production
+    * [[simhash]]). Output (doc_id, simhash) with the 60-bit signature as a
+    * non-negative long; docs with no tokens emit 0, not a missing row.
+    *
+    * The production path is [[simhash]]/[[simhashPairs]] (one fused JVM
+    * pass, fnv1a64, 64 bits); THIS form exists to pin the per-bit-majority
+    * semantics against an independent engine — every intermediate (md5,
+    * hex parse, shift, majority, bit assembly) is bit-identical in DuckDB.
+    * Shape: narrow explode of tokens × 60 bit rows, then two partial-agg
+    * groupBys ((doc, bit) majority, then doc assembly) — no Window, no
+    * self-join; a witness query, not the corpus-scale path. */
+  def simhashWitness(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.asciiTokens(col(textCol)).as("__t"))
+    toks
+      .select(col("doc_id"), explode_outer(col("__t")).as("tok"))
+      .select(col("doc_id"),
+        when(col("tok").isNotNull,
+          conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 15),
+            16, 10).cast("long")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(col("h").isNull, lit(0L))
+          .otherwise(when(expr("(h >> b) & 1") === 1, lit(1L))
+            .otherwise(lit(-1L))).as("v"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
   /** Duplicate-window statistics — the counting pass of exact substring
     * deduplication over sliding token windows (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better": any n-token

@@ -92,6 +92,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 12)
   }
 
+  test("simhashWitness matches an independent per-bit-majority reference; empty doc -> 0") {
+    import spark.implicits._
+    val rows = Seq((0L, "Alpha beta alpha 42"), (1L, ""))
+    val out = Dedup.simhashWitness(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val hs = Seq("alpha", "beta", "alpha", "42").map(h60)
+    val expect = (0 until 60).map { b =>
+      val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+      if (s > 0) 1L << b else 0L
+    }.sum
+    assert(out(0L) == expect)
+    assert(out(1L) == 0L)
+    assert(out.size == 2)
+  }
+
   test("minhash-LSH finds planted near-dups, no false pairs across distinct docs") {
     val pairs = Dedup.minhashPairs(spark, docs, threshold = 0.6)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
