@@ -379,9 +379,14 @@ object SparkEntry {
     // d28: minhash ORACLE WITNESS — signature position j = min over char-5
     // shingles of md5("j:"+shingle), replicated exactly in DuckDB. Pins the
     // min-over-hash-family semantics the production d05 path (JVM affine
-    // permutations) can't expose to a SQL oracle.
+    // permutations) can't expose to a SQL oracle. Witness-only economics:
+    // 16 md5 passes per shingle are ~10x the production cost, so the query
+    // runs on the deterministic doc_id%10 slice (50 docs at sf0.01 — the
+    // semantics pin doesn't need the whole corpus; 17s -> 1.7s at sf0.1).
     "d28_minhash_witness" -> ((s, d) =>
-      Dedup.minhashSignaturesWitness(docs(s, d), numHashes = 16, shingleK = 5)
+      Dedup.minhashSignaturesWitness(
+          docs(s, d).filter(col("doc_id") % 10 === 0),
+          numHashes = 16, shingleK = 5)
         .orderBy("doc_id", "hash_idx")),
     // d29: simhash ORACLE WITNESS — per-bit majority over md5-60-bit token
     // hashes, replicated exactly in DuckDB (pins the semantics the fnv1a64
@@ -798,7 +803,7 @@ object SparkEntry {
         |    array_to_string(list_transform(
         |      regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)),
         |      ' ') AS b
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 10 = 0),
         |sh AS (
         |  SELECT doc_id,
         |    list_transform(range(1, greatest(length(b) - 4, 0) + 1),
