@@ -375,7 +375,7 @@ object SparkEntry {
     // are short; production uses ~50). At sf0.01 this yields a spread:
     // ~47 docs with duplicated windows, the exact-dup pairs at 100%.
     "d27_dup_windows" -> ((s, d) =>
-      Dedup.dupWindowStats(docs(s, d), n = 8).orderBy("doc_id")),
+      owned(Dedup.dupWindowStats(docs(s, d), n = 8)).orderBy("doc_id")),
     // d28: minhash ORACLE WITNESS — signature position j = min over char-5
     // shingles of md5("j:"+shingle), replicated exactly in DuckDB. Pins the
     // min-over-hash-family semantics the production d05 path (JVM affine

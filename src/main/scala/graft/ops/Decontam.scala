@@ -46,7 +46,7 @@ object Decontam {
     * any hit. */
   def flagOverlap(corpus: DataFrame, benchmark: DataFrame, n: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def gmd5(g: Column): Column = md5(to_binary(g, lit("utf-8")))
+    def gmd5(g: Column): Column = TextOps.md5Key(g)
     val bench = broadcast(
       benchmark.select(TextOps.asciiTokens(col(textCol)).as("__t"))
         .select(explode(tokenNgrams(col("__t"), n)).as("g"))

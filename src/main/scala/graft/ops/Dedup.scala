@@ -31,7 +31,7 @@ object Dedup {
     * canonical representative. One shuffle. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
-      .select(col(idCol), md5(to_binary(col(textCol), lit("utf-8"))).as("content_md5"))
+      .select(col(idCol), TextOps.md5Key(col(textCol)).as("content_md5"))
       .groupBy(col("content_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
@@ -231,32 +231,41 @@ object Dedup {
     * set, not intra-corpus).
     *
     * Returns (doc_id, n_windows, n_dup_windows, dup_pct) per document; docs
-    * with fewer than n tokens report 0/0/0 rather than disappearing.
+    * with fewer than n tokens report 0/0/0 rather than disappearing. The
+    * result is MATERIALIZED (persisted MEMORY_AND_DISK, already computed)
+    * with the gram cache released before returning — the d05/d07 ownership
+    * discipline; caller may `unpersist()` the result. `materialize = false`
+    * returns the UNEXECUTED plan for explain/audit only (executing it would
+    * build an ownerless gram cache — see minhashPairs).
     *
     * Plan shape at 10^12 rows: one narrow explode (windows via the shared
     * [[Decontam.tokenNgrams]] over projected [[TextOps.asciiTokens]], keyed
-    * as 16-byte md5 like d02/d22 so arbitrary-length grams never ride a
-    * shuffle), ONE gram-keyed groupBy for global occurrence counts (map-side
-    * partial agg), the count>=2 survivors joined back gram-keyed — the
-    * duplicated-gram side is output-of-aggregate, one row per gram, never
-    * candidate pairs, so a corpus-hot gram costs one row — then a doc-keyed
-    * groupBy. No corpus self-join, no Window, no collect. */
+    * via [[TextOps.md5Key]] like d02/d22 so arbitrary-length grams never
+    * ride a shuffle) persisted as compact (doc_id, gmd5) rows — it feeds
+    * BOTH the global gram-count aggregate and the join-back left side, so
+    * without the persist the tokenize+explode+md5 pass over every document
+    * runs twice — then ONE gram-keyed groupBy for global occurrence counts
+    * (map-side partial agg), the count>=2 survivors joined back gram-keyed —
+    * the duplicated-gram side is output-of-aggregate, one row per gram,
+    * never candidate pairs, so a corpus-hot gram costs one row — then a
+    * doc-keyed groupBy. No corpus self-join, no Window, no collect. */
   def dupWindowStats(docs: DataFrame, n: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      materialize: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    def gmd5(g: org.apache.spark.sql.Column) = md5(to_binary(g, lit("utf-8")))
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"),
         TextOps.asciiTokens(col(textCol)).as("__t"))
       .select(col("doc_id"),
         explode_outer(Decontam.tokenNgrams(col("__t"), n)).as("g"))
       .select(col("doc_id"),
-        when(col("g").isNotNull, gmd5(col("g"))).as("gmd5"))
+        when(col("g").isNotNull, TextOps.md5Key(col("g"))).as("gmd5"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dup = grams.filter(col("gmd5").isNotNull)
       .groupBy(col("gmd5")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
       .select(col("gmd5"), lit(1).as("__dup"))
-    grams
+    val out = grams
       .join(dup, Seq("gmd5"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("gmd5")).as("n_windows"),
@@ -267,6 +276,13 @@ object Dedup {
         when(col("n_windows") === 0, lit(0L))
           .otherwise(floor(lit(100) * col("n_dup_windows") / col("n_windows")))
           .cast("long").as("dup_pct"))
+    if (!materialize) out // plan-only: nothing executed, nothing cached yet
+    else {
+      val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count() // materialize so the gram cache can be released now
+      grams.unpersist()
+      cached
+    }
   }
 
   /** SimHash 64-bit signature of token features. */

@@ -27,6 +27,13 @@ object TextOps {
       regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z0-9]+"), lit(0)),
       x => lower(x))
 
+  /** 16-byte md5 key over the UTF-8 bytes of a string column — the shared
+    * gram/content join-key convention (d02/d22/d27): arbitrary-length text
+    * never rides a shuffle, and the encoding is THE thing the DuckDB oracle
+    * must agree on, so every consumer (Dedup.exact, Decontam.flagOverlap,
+    * Dedup.dupWindowStats) calls this one definition. */
+  def md5Key(c: Column): Column = md5(to_binary(c, lit("utf-8")))
+
   /** Punctuation count (fixed class, ASCII) — codegen regexp. */
   def punctCount(text: Column): Column =
     coalesce(regexp_count(text, lit("[.,!?;:]")), lit(0))

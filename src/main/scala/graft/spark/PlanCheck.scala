@@ -105,12 +105,19 @@ object PlanCheck {
     val d22 = planOf("d22_decontaminate")
     check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
     // d27: duplicate-window stats must be aggregate shapes end to end —
-    // global gram counts via partial HashAggregate, the duplicated-gram set
-    // joined back as one-row-per-gram (never candidate pairs), and NEVER a
-    // corpus Window `partition by gram` (a boilerplate 8-gram duplicated
-    // 10^9 times would funnel through one reducer)
-    val d27 = planOf("d27_dup_windows")
-    check("d27_dup_windows", d27, Seq("HashAggregate"), Seq("Window"))
+    // global gram counts via partial HashAggregate, the gram relation read
+    // from the persisted cache on BOTH consuming branches (count + join-back
+    // — without it the tokenize+explode+md5 corpus pass runs twice), and
+    // NEVER a corpus Window `partition by gram` (a boilerplate 8-gram
+    // duplicated 10^9 times would funnel through one reducer) — audited on
+    // the lazy (materialize = false) plan, nothing executed
+    val d27 = graft.ops.Dedup.dupWindowStats(
+        spark.read.parquet(s"$sfDir/documents.parquet"), n = 8,
+        materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d27_dup_windows (lazy plan)", d27,
+      Seq("HashAggregate", "InMemoryTableScan"), Seq("Window"))
+    spark.catalog.clearCache() // drop plan-only persist markers
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
     // `Window` here would mean the global single-task cumsum crept back in.
