@@ -458,10 +458,13 @@ object SparkEntry {
     "x15_curation" -> ((s, d) => {
       // end-to-end curation chain over the EXTRACTION surface — the shape a
       // real 100 TB run takes: extract → drop error/empty rows → exact
-      // dedup (canonical per content) → per-host quota (zipf-hot fixture
-      // domains actually hit the cap) → deterministic hash split. Fixture
-      // corpus, so rows-only at the driver; every stage is individually
-      // oracled/golden-gated elsewhere (x01, d02/x08, d19, d20).
+      // dedup (canonical per content) → near-dup cull (drop docs whose
+      // 8-token windows are >= 75% duplicated corpus-wide: template/
+      // boilerplate-heavy survivors of exact dedup) → per-host quota
+      // (zipf-hot fixture domains actually hit the cap) → deterministic
+      // hash split. Fixture corpus, so rows-only at the driver; every stage
+      // is individually oracled/golden-gated elsewhere (x01, d02/x08, d27,
+      // d19, d20).
       val ex = extracted(s, d)
         .filter(col("error") === "" && length(col("text")) > 0).toDF()
       val canon = Dedup.exact(ex, "text", "url")
@@ -469,7 +472,12 @@ object SparkEntry {
       val kept = ex.join(canon, Seq("url"), "left_semi")
         .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
         .withColumn("uid", xxhash64(col("url")))
-      val quota = ops.Sampling.sourceQuota(kept, k = 25,
+      val dw = owned(Dedup.dupWindowStats(kept, n = 8,
+        textCol = "text", idCol = "uid"))
+      val clean = kept.join(
+        dw.filter(col("dup_pct") < 75).select(col("doc_id").as("uid")),
+        Seq("uid"), "left_semi")
+      val quota = ops.Sampling.sourceQuota(clean, k = 25,
         keyCol = "host", idCol = "uid")
       ops.Sampling.hashSample(quota, keepNibbles = 12, idCol = "uid")
         .select(col("url"), col("host"), col("lang"),
