@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -240,18 +240,29 @@ object Dedup {
     *
     * Plan shape at 10^12 rows: one narrow explode (windows via the shared
     * [[Decontam.tokenNgrams]] over projected [[TextOps.asciiTokens]], keyed
-    * via [[TextOps.md5Key]] like d02/d22 so arbitrary-length grams never
-    * ride a shuffle) persisted as compact (doc_id, gmd5) rows — it feeds
+    * via `keyFn` so arbitrary-length grams never ride a shuffle) persisted
+    * as compact (doc_id, gkey) rows — it feeds
     * BOTH the global gram-count aggregate and the join-back left side, so
-    * without the persist the tokenize+explode+md5 pass over every document
+    * without the persist the tokenize+explode+hash pass over every document
     * runs twice — then ONE gram-keyed groupBy for global occurrence counts
     * (map-side partial agg), the count>=2 survivors joined back gram-keyed —
     * the duplicated-gram side is output-of-aggregate, one row per gram,
     * never candidate pairs, so a corpus-hot gram costs one row — then a
-    * doc-keyed groupBy. No corpus self-join, no Window, no collect. */
+    * doc-keyed groupBy. No corpus self-join, no Window, no collect.
+    *
+    * `keyFn` picks the window key. Default [[TextOps.md5Key]] — the shared
+    * d02/d22/d27 convention an independent SQL engine can recompute, which
+    * is what the d27 oracle does. Pipeline stages that never meet the oracle
+    * (x15's cull) should pass `xxhash64(_)` instead: a codegen'd 8-byte long
+    * vs a 32-char hex string is ~4x less shuffle payload on the two
+    * gram-keyed exchanges and far cheaper per-window CPU. A 64-bit collision
+    * falsely marks BOTH colliding windows duplicated; by birthday bound,
+    * even at 10^12 corpus windows that is ~1e-8 of windows — noise against
+    * a whole-document dup_pct threshold. */
   def dupWindowStats(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      keyFn: Column => Column = TextOps.md5Key): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -259,16 +270,16 @@ object Dedup {
       .select(col("doc_id"),
         explode_outer(Decontam.tokenNgrams(col("__t"), n)).as("g"))
       .select(col("doc_id"),
-        when(col("g").isNotNull, TextOps.md5Key(col("g"))).as("gmd5"))
+        when(col("g").isNotNull, keyFn(col("g"))).as("gkey"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dup = grams.filter(col("gmd5").isNotNull)
-      .groupBy(col("gmd5")).agg(count(lit(1)).as("__c"))
+    val dup = grams.filter(col("gkey").isNotNull)
+      .groupBy(col("gkey")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
-      .select(col("gmd5"), lit(1).as("__dup"))
+      .select(col("gkey"), lit(1).as("__dup"))
     val out = grams
-      .join(dup, Seq("gmd5"), "left")
+      .join(dup, Seq("gkey"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(col("gmd5")).as("n_windows"),
+      .agg(count(col("gkey")).as("n_windows"),
         count(col("__dup")).as("n_dup_windows"))
       // floor() keeps the integer percent engine-agnostic: both engines'
       // `/` on integers yields a double, exact here (operands << 2^53)
