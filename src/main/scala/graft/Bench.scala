@@ -57,7 +57,12 @@ object Bench {
     catch { case _: Throwable => () }
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
 
+    // optional comma-separated allowlist for focused A/B runs (the driver
+    // never sets it, so driver artifacts always cover every query)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.MaxValue): _*)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val roundTotals = Vector.newBuilder[Double]

@@ -473,8 +473,8 @@ object SparkEntry {
         .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
         .withColumn("uid", xxhash64(col("url")))
       // xxhash64 window keys, not md5: this stage never meets the DuckDB
-      // oracle (d27 does, with the md5 default), and long keys make the two
-      // gram-keyed exchanges ~4x lighter at identical cull decisions.
+      // oracle (d27 does, with the md5 default), and long keys make the
+      // gram-keyed exchange ~4x lighter at identical cull decisions.
       val dw = owned(Dedup.dupWindowStats(kept, n = 8,
         textCol = "text", idCol = "uid", keyFn = xxhash64(_)))
       val clean = kept.join(

@@ -232,66 +232,83 @@ object Dedup {
     *
     * Returns (doc_id, n_windows, n_dup_windows, dup_pct) per document; docs
     * with fewer than n tokens report 0/0/0 rather than disappearing. The
-    * result is MATERIALIZED (persisted MEMORY_AND_DISK, already computed)
-    * with the gram cache released before returning — the d05/d07 ownership
-    * discipline; caller may `unpersist()` the result. `materialize = false`
-    * returns the UNEXECUTED plan for explain/audit only (executing it would
-    * build an ownerless gram cache — see minhashPairs).
+    * result is MATERIALIZED (persisted MEMORY_AND_DISK, already computed);
+    * caller may `unpersist()` it. `materialize = false` returns the
+    * UNEXECUTED plan (leak-free: unlike minhashPairs there is no internal
+    * gram cache to orphan — see plan shape below).
     *
-    * Plan shape at 10^12 rows: one narrow explode (windows via the shared
-    * [[Decontam.tokenNgrams]] over projected [[TextOps.asciiTokens]], keyed
-    * via `keyFn` so arbitrary-length grams never ride a shuffle) persisted
-    * as compact (doc_id, gkey) rows — it feeds
-    * BOTH the global gram-count aggregate and the join-back left side, so
-    * without the persist the tokenize+explode+hash pass over every document
-    * runs twice — then ONE gram-keyed groupBy for global occurrence counts
-    * (map-side partial agg), the count>=2 survivors joined back gram-keyed —
-    * the duplicated-gram side is output-of-aggregate, one row per gram,
-    * never candidate pairs, so a corpus-hot gram costs one row — then a
-    * doc-keyed groupBy. No corpus self-join, no Window, no collect.
+    * Plan shape at 10^12 rows — built on the complement identity
+    * n_dup_windows = n_windows − n_singleton_windows, where a singleton
+    * window is one whose gram occurs exactly once corpus-wide and therefore
+    * has exactly ONE owning document:
+    *  1. narrow explode (windows via the shared [[Decontam.tokenNgrams]]
+    *     over projected [[TextOps.asciiTokens]], keyed via `keyFn` so
+    *     arbitrary-length grams never ride a shuffle) into ONE gram-keyed
+    *     groupBy carrying (count, any owner doc_id) with map-side partial
+    *     agg — the only window-cardinality exchange in the plan;
+    *  2. count==1 survivors collapse doc-keyed (partial agg shrinks each
+    *     map partition to ≤ #distinct-docs rows) into per-doc singleton
+    *     counts;
+    *  3. n_windows comes from a second NARROW tokenize (token count only —
+    *     no gram strings, no explode), left-joined doc-keyed against (2).
+    * Versus the previous persist-the-grams + join-back-on-gram-key shape
+    * this trades a cache write+read of every window row and a second
+    * window-cardinality exchange for one extra tokenize pass — at 250 MB
+    * text / 40 M windows per 20 k docs that is ~2× faster, and at 10^12
+    * docs it removes the single biggest exchange. A corpus-hot gram still
+    * costs one aggregate row, never candidate pairs. No corpus self-join,
+    * no Window, no collect, no internal persist.
     *
     * `keyFn` picks the window key. Default [[TextOps.md5Key]] — the shared
     * d02/d22/d27 convention an independent SQL engine can recompute, which
     * is what the d27 oracle does. Pipeline stages that never meet the oracle
     * (x15's cull) should pass `xxhash64(_)` instead: a codegen'd 8-byte long
-    * vs a 32-char hex string is ~4x less shuffle payload on the two
-    * gram-keyed exchanges and far cheaper per-window CPU. A 64-bit collision
-    * falsely marks BOTH colliding windows duplicated; by birthday bound,
-    * even at 10^12 corpus windows that is ~1e-8 of windows — noise against
-    * a whole-document dup_pct threshold. */
+    * vs a 32-char hex string is ~4x less shuffle payload on the gram-keyed
+    * exchange and far cheaper per-window CPU. A 64-bit collision falsely
+    * marks BOTH colliding windows duplicated; by birthday bound, even at
+    * 10^12 corpus windows that is ~1e-8 of windows — noise against a
+    * whole-document dup_pct threshold. */
   def dupWindowStats(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       materialize: Boolean = true,
       keyFn: Column => Column = TextOps.md5Key): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextOps.asciiTokens(col(textCol)).as("__t"))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__txt"))
+    // per-doc window counts: tokenize only — no gram strings, no explode.
+    // The doc-keyed agg (cheap: partial agg collapses each map partition to
+    // ≤ #distinct-docs rows) keeps the one-output-row-per-doc_id contract
+    // even if an id appears on several input rows, exactly like the final
+    // doc-keyed groupBy of the previous formulation.
+    val counts = base.select(col("doc_id"),
+      greatest(size(TextOps.asciiTokens(col("__txt"))) - (n - 1), lit(0))
+        .cast("long").as("n_windows"))
+      .groupBy(col("doc_id")).agg(sum(col("n_windows")).as("n_windows"))
+    val singletons = base
+      .select(col("doc_id"), TextOps.asciiTokens(col("__txt")).as("__t"))
       .select(col("doc_id"),
-        explode_outer(Decontam.tokenNgrams(col("__t"), n)).as("g"))
-      .select(col("doc_id"),
-        when(col("g").isNotNull, keyFn(col("g"))).as("gkey"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dup = grams.filter(col("gkey").isNotNull)
-      .groupBy(col("gkey")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2)
-      .select(col("gkey"), lit(1).as("__dup"))
-    val out = grams
-      .join(dup, Seq("gkey"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(col("gkey")).as("n_windows"),
-        count(col("__dup")).as("n_dup_windows"))
+        explode(Decontam.tokenNgrams(col("__t"), n)).as("g"))
+      .select(col("doc_id"), keyFn(col("g")).as("gkey"))
+      .groupBy(col("gkey"))
+      // deterministic despite first(): count==1 groups hold exactly one row
+      .agg(count(lit(1)).as("__c"), first(col("doc_id")).as("doc_id"))
+      .filter(col("__c") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_singleton"))
+    val out = counts
+      .join(singletons, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        (col("n_windows") - coalesce(col("__n_singleton"), lit(0L)))
+          .as("n_dup_windows"))
       // floor() keeps the integer percent engine-agnostic: both engines'
       // `/` on integers yields a double, exact here (operands << 2^53)
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         when(col("n_windows") === 0, lit(0L))
           .otherwise(floor(lit(100) * col("n_dup_windows") / col("n_windows")))
           .cast("long").as("dup_pct"))
-    if (!materialize) out // plan-only: nothing executed, nothing cached yet
+    if (!materialize) out // plan-only OR lazy composition: nothing cached
     else {
       val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
-      cached.count() // materialize so the gram cache can be released now
-      grams.unpersist()
+      cached.count()
       cached
     }
   }

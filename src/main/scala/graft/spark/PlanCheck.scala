@@ -105,9 +105,9 @@ object PlanCheck {
     val d22 = planOf("d22_decontaminate")
     check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
     // d27: duplicate-window stats must be aggregate shapes end to end —
-    // global gram counts via partial HashAggregate, the gram relation read
-    // from the persisted cache on BOTH consuming branches (count + join-back
-    // — without it the tokenize+explode+md5 corpus pass runs twice), and
+    // global gram counts via ONE partial HashAggregate over the exploded
+    // windows (the singleton-complement formulation has no gram persist and
+    // no gram-keyed join-back, so no InMemoryTableScan is expected), and
     // NEVER a corpus Window `partition by gram` (a boilerplate 8-gram
     // duplicated 10^9 times would funnel through one reducer) — audited on
     // the lazy (materialize = false) plan, nothing executed
@@ -116,8 +116,7 @@ object PlanCheck {
         materialize = false)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("d27_dup_windows (lazy plan)", d27,
-      Seq("HashAggregate", "InMemoryTableScan"), Seq("Window"))
-    spark.catalog.clearCache() // drop plan-only persist markers
+      Seq("HashAggregate"), Seq("Window", "InMemoryTableScan"))
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
     // `Window` here would mean the global single-task cumsum crept back in.
