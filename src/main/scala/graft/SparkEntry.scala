@@ -472,11 +472,12 @@ object SparkEntry {
       val kept = ex.join(canon, Seq("url"), "left_semi")
         .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
         .withColumn("uid", xxhash64(col("url")))
-      // xxhash64 window keys, not md5: this stage never meets the DuckDB
-      // oracle (d27 does, with the md5 default), and long keys make the
-      // gram-keyed exchange ~4x lighter at identical cull decisions.
+      // native xx64 window keys, not md5 gram strings: this stage never
+      // meets the DuckDB oracle (d27 does, with the md5 default), and long
+      // keys make the gram-keyed exchange ~4x lighter at identical cull
+      // decisions.
       val dw = owned(Dedup.dupWindowStats(kept, n = 8,
-        textCol = "text", idCol = "uid", keyFn = xxhash64(_)))
+        textCol = "text", idCol = "uid", oracleKeys = false))
       val clean = kept.join(
         dw.filter(col("dup_pct") < 75).select(col("doc_id").as("uid")),
         Seq("uid"), "left_semi")

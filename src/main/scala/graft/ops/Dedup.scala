@@ -242,7 +242,7 @@ object Dedup {
     * window is one whose gram occurs exactly once corpus-wide and therefore
     * has exactly ONE owning document:
     *  1. narrow explode (windows via the shared [[Decontam.tokenNgrams]]
-    *     over projected [[TextOps.asciiTokens]], keyed via `keyFn` so
+    *     over projected [[TextOps.asciiTokens]], keyed per `oracleKeys` so
     *     arbitrary-length grams never ride a shuffle) into ONE gram-keyed
     *     groupBy carrying (count, any owner doc_id) with map-side partial
     *     agg — the only window-cardinality exchange in the plan;
@@ -259,36 +259,44 @@ object Dedup {
     * costs one aggregate row, never candidate pairs. No corpus self-join,
     * no Window, no collect, no internal persist.
     *
-    * `keyFn` picks the window key. Default [[TextOps.md5Key]] — the shared
-    * d02/d22/d27 convention an independent SQL engine can recompute, which
-    * is what the d27 oracle does. Pipeline stages that never meet the oracle
-    * (x15's cull) should pass `xxhash64(_)` instead: a codegen'd 8-byte long
-    * vs a 32-char hex string is ~4x less shuffle payload on the gram-keyed
-    * exchange and far cheaper per-window CPU. A 64-bit collision falsely
-    * marks BOTH colliding windows duplicated; by birthday bound, even at
-    * 10^12 corpus windows that is ~1e-8 of windows — noise against a
+    * `oracleKeys` picks the window key. Default true — md5 over the
+    * space-joined gram STRING, the shared d02/d22/d27 convention an
+    * independent SQL engine can recompute, which is what the d27 oracle
+    * does. Pipeline stages that never meet the oracle (x15's cull) should
+    * pass false: the native codegen'd [[graft.functions.WindowXx64Keys]]
+    * emits 8-byte long keys straight from per-token xxhash64s — no gram
+    * strings, no interpreted higher-order functions, ~4x less shuffle
+    * payload on the gram-keyed exchange. A 64-bit collision falsely marks
+    * BOTH colliding windows duplicated; by birthday bound, even at 10^12
+    * corpus windows that is ~1e-8 of windows — noise against a
     * whole-document dup_pct threshold. */
   def dupWindowStats(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       materialize: Boolean = true,
-      keyFn: Column => Column = TextOps.md5Key): DataFrame = {
+      oracleKeys: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__txt"))
-    // per-doc window counts: tokenize only — no gram strings, no explode.
-    // The doc-keyed agg (cheap: partial agg collapses each map partition to
-    // ≤ #distinct-docs rows) keeps the one-output-row-per-doc_id contract
-    // even if an id appears on several input rows, exactly like the final
-    // doc-keyed groupBy of the previous formulation.
+    // per-doc window counts: a native token-count scan — no token array, no
+    // gram strings, no explode. The doc-keyed agg (cheap: partial agg
+    // collapses each map partition to ≤ #distinct-docs rows) keeps the
+    // one-output-row-per-doc_id contract even if an id appears on several
+    // input rows, exactly like the final doc-keyed groupBy of the previous
+    // formulation.
     val counts = base.select(col("doc_id"),
-      greatest(size(TextOps.asciiTokens(col("__txt"))) - (n - 1), lit(0))
+      greatest(TextOps.asciiTokenCount(col("__txt")) - (n - 1), lit(0))
         .cast("long").as("n_windows"))
       .groupBy(col("doc_id")).agg(sum(col("n_windows")).as("n_windows"))
-    val singletons = base
-      .select(col("doc_id"), TextOps.asciiTokens(col("__txt")).as("__t"))
-      .select(col("doc_id"),
-        explode(Decontam.tokenNgrams(col("__t"), n)).as("g"))
-      .select(col("doc_id"), keyFn(col("g")).as("gkey"))
+    val keyed =
+      if (oracleKeys) base
+        .select(col("doc_id"), TextOps.asciiTokens(col("__txt")).as("__t"))
+        .select(col("doc_id"),
+          explode(Decontam.tokenNgrams(col("__t"), n)).as("g"))
+        .select(col("doc_id"), TextOps.md5Key(col("g")).as("gkey"))
+      else base.select(col("doc_id"),
+        explode(graft.functions.TokenFunctions.windowXx64Keys(
+          TextOps.asciiTokens(col("__txt")), n)).as("gkey"))
+    val singletons = keyed
       .groupBy(col("gkey"))
       // deterministic despite first(): count==1 groups hold exactly one row
       .agg(count(lit(1)).as("__c"), first(col("doc_id")).as("doc_id"))

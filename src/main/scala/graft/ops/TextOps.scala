@@ -21,11 +21,27 @@ object TextOps {
     * The shared tokenization for n-gram ops (SegmentOps bigrams, Decontam
     * grams): ASCII-only tokens make `lower` bit-identical between Java and
     * the oracle's RE2/utf8proc, so no locale/Unicode-case drift — keep every
-    * consumer on THIS expression so the convention can't fork. */
+    * consumer on THIS expression so the convention can't fork.
+    *
+    * Implemented by the native codegen'd [[graft.functions.AsciiTokens]]
+    * byte-scan — `transform(regexp_extract_all(...), lower)` is an
+    * interpreted higher-order function and was the dominant cost of every
+    * window/gram pass; [[asciiTokensViaRegexp]] keeps the SQL-shaped form as
+    * the reference the equivalence spec pins the native scan against (and
+    * documents exactly what the DuckDB oracles recompute). */
   def asciiTokens(text: Column): Column =
+    graft.functions.TokenFunctions.asciiTokens(coalesce(text, lit("")))
+
+  /** Reference (slow) form of [[asciiTokens]] — oracle-shaped SQL; used only
+    * by the native/reference equivalence spec. */
+  private[graft] def asciiTokensViaRegexp(text: Column): Column =
     transform(
       regexp_extract_all(coalesce(text, lit("")), lit("[A-Za-z0-9]+"), lit(0)),
       x => lower(x))
+
+  /** `size(asciiTokens(text))` as one allocation-free native scan. */
+  def asciiTokenCount(text: Column): Column =
+    graft.functions.TokenFunctions.asciiTokenCount(coalesce(text, lit("")))
 
   /** 16-byte md5 key over the UTF-8 bytes of a string column — the shared
     * gram/content join-key convention (d02/d22/d27): arbitrary-length text

@@ -69,18 +69,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
-  test("dupWindowStats: xxhash64 key mode yields the identical stats as md5 keys") {
+  test("dupWindowStats: native fast-key mode yields the identical stats as md5 keys") {
     import spark.implicits._
     val rows = Seq(
       (0L, "a b c d e"), (1L, "A B C D E"), (2L, "x y z a b c"),
       (3L, "p q"), (4L, "m m m m"), (5L, ""))
-    def run(k: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      Dedup.dupWindowStats(rows.toDF("doc_id", "text"), n = 3, keyFn = k)
+    def run(oracle: Boolean) =
+      Dedup.dupWindowStats(rows.toDF("doc_id", "text"), n = 3, oracleKeys = oracle)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
-    val viaMd5 = run(graft.ops.TextOps.md5Key)
-    val viaXx = run(org.apache.spark.sql.functions.xxhash64(_))
-    assert(viaXx == viaMd5)
+    assert(run(false) == run(true))
   }
 
   test("minhashSignaturesWitness matches an independent MessageDigest reference; short docs null") {
