@@ -196,11 +196,88 @@ object WindowXx64Keys {
   }
 }
 
+/** Space-joined n-grams of a token array as one native pass — the gram
+  * STRING form whose md5 the DuckDB oracles recompute (d07/d16/d22/d27), so
+  * unlike [[WindowXx64Keys]] this one must reproduce the SQL reference
+  * `transform(sequence(1, size-n+1), i -> array_join(slice(toks, i, n), ' '))`
+  * byte-for-byte (pinned by TokenExprSpec): `array_join` SKIPS null elements
+  * and their separators, so a null token contributes nothing to its grams.
+  * Fewer than n tokens → empty array. Output strings are fresh buffers,
+  * never views of the input. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_token_ngrams requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenNgrams.grams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenNgrams$$.MODULE$$.grams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+}
+
+object TokenNgrams {
+
+  /** Shared by interpreted eval and generated code. */
+  def grams(toks: ArrayData, n: Int): ArrayData = {
+    val t = toks.numElements()
+    if (t < n) return new GenericArrayData(Array.empty[AnyRef])
+    // materialize token byte arrays once (getUTF8String per (gram, slot)
+    // would re-read the ArrayData n times per token)
+    val tb = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      val s = toks.getUTF8String(i)
+      tb(i) = if (s == null) null else s.getBytes
+      i += 1
+    }
+    val out = new Array[AnyRef](t - n + 1)
+    i = 0
+    while (i < out.length) {
+      var len = 0
+      var present = 0
+      var j = i
+      val end = i + n
+      while (j < end) {
+        if (tb(j) != null) { len += tb(j).length; present += 1 }
+        j += 1
+      }
+      if (present > 1) len += present - 1 // separators between present tokens
+      val g = new Array[Byte](len)
+      var pos = 0
+      var first = true
+      j = i
+      while (j < end) {
+        if (tb(j) != null) {
+          if (!first) { g(pos) = ' '; pos += 1 }
+          System.arraycopy(tb(j), 0, g, pos, tb(j).length)
+          pos += tb(j).length
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(g)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TokenFunctions {
   import org.apache.spark.sql.graft.Shims
   import org.apache.spark.sql.Column
-  /** Column-level entry points used by ops.TextOps / ops.Dedup. */
+  /** Column-level entry points used by ops.TextOps / ops.Dedup / ops.Decontam. */
   def asciiTokens(c: Column): Column = Shims.column(AsciiTokens(Shims.expression(c)))
   def asciiTokenCount(c: Column): Column = Shims.column(AsciiTokenCount(Shims.expression(c)))
   def windowXx64Keys(c: Column, n: Int): Column = Shims.column(WindowXx64Keys(Shims.expression(c), n))
+  def tokenNgrams(c: Column, n: Int): Column = Shims.column(TokenNgrams(Shims.expression(c), n))
 }

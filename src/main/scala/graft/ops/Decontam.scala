@@ -21,23 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Space-joined word n-grams over an ALREADY-PROJECTED token-array column.
-    * `toks` must be a plain attribute (project [[TextOps.asciiTokens]] into
-    * a column first): higher-order functions are interpreted
-    * (CodegenFallback) and re-evaluate any computed expression embedded in
-    * the lambda once PER ELEMENT — passing the tokenization expression
-    * directly turns O(tokens) work into O(tokens²) per document (measured
-    * 25× on the sf0.1 corpus). Fewer than n tokens → empty. */
-  def tokenNgrams(toks: Column, n: Int): Column = {
+  /** Space-joined word n-grams of a token array; fewer than n tokens →
+    * empty. Implemented by the native codegen'd
+    * [[graft.functions.TokenNgrams]] one-pass builder — the historical
+    * higher-order-function form ([[tokenNgramsViaHof]]) is interpreted
+    * (CodegenFallback) and additionally re-evaluates any computed expression
+    * embedded in the lambda once PER ELEMENT, turning O(tokens) into
+    * O(tokens²) per document when handed an unprojected tokenizer (measured
+    * 25× on the sf0.1 corpus). The native expression evaluates its child
+    * exactly once, so that caller hazard is gone too. */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    graft.functions.TokenFunctions.tokenNgrams(toks, n)
+
+  /** Reference (slow) HOF form of [[tokenNgrams]] — the SQL shape the
+    * DuckDB oracles recompute; used only by the equivalence spec. */
+  private[graft] def tokenNgramsViaHof(toks: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
-  /** Convenience single-expression form for tests and SMALL inputs only —
-    * carries the O(tokens²) lambda-recompute hazard documented on
-    * [[tokenNgrams]]; corpus-scale callers must project tokens first. */
+  /** Convenience single-expression form: grams straight from text. */
   def wordNgrams(text: Column, n: Int): Column =
     tokenNgrams(TextOps.asciiTokens(text), n)
 

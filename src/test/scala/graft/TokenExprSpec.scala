@@ -118,6 +118,29 @@ class TokenExprSpec extends AnyFunSuite {
     assert(k.size == 2 && k(0) == k(1))
   }
 
+  test("native TokenNgrams == HOF reference on adversarial vectors, n in 1..9") {
+    import spark.implicits._
+    import graft.ops.Decontam
+    val df = vectors.toDF("t")
+      .select(TextOps.asciiTokens(col("t")).as("toks"))
+    for (n <- Seq(1, 2, 3, 8, 9)) {
+      val both = df.select(
+        Decontam.tokenNgrams(col("toks"), n).as("native"),
+        Decontam.tokenNgramsViaHof(col("toks"), n).as("ref")).collect()
+      for (r <- both)
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+    }
+    // null elements: array_join skips them and their separators — the
+    // native builder must agree (AsciiTokens never emits nulls, but the
+    // expression accepts any array<string>)
+    val withNulls = Seq(Tuple1(Seq[String]("a", null, "b", "c"))).toDF("toks")
+    val r = withNulls.select(
+      Decontam.tokenNgrams(col("toks"), 2).as("native"),
+      Decontam.tokenNgramsViaHof(col("toks"), 2).as("ref")).collect().head
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(r.getSeq[String](0) == Seq("a", "b", "b c"))
+  }
+
   test("WindowXx64Keys through a DataFrame explode equals pure form") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps", "", "a b").toDF("t")
