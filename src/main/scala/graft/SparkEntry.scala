@@ -469,9 +469,15 @@ object SparkEntry {
         .filter(col("error") === "" && length(col("text")) > 0).toDF()
       val canon = Dedup.exact(ex, "text", "url")
         .select(col("canonical_id").cast("string").as("url"))
-      val kept = ex.join(canon, Seq("url"), "left_semi")
+      // kept is consumed by FOUR downstream branches (dupWindowStats'
+      // count + key passes, the cull join's left side, and sourceQuota's
+      // two passes over clean); without a persist each one re-runs the
+      // exact-dedup md5 aggregate + semi-join over the full text corpus.
+      // Registered as builder-owned so Bench/long sessions release it.
+      val kept = owned(ex.join(canon, Seq("url"), "left_semi")
         .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
         .withColumn("uid", xxhash64(col("url")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // native xx64 window keys, not md5 gram strings: this stage never
       // meets the DuckDB oracle (d27 does, with the md5 default), and long
       // keys make the gram-keyed exchange ~4x lighter at identical cull
