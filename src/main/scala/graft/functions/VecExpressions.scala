@@ -97,6 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.GraftDot)
     ext.injectFunction(GraftExtensions.GraftNfc)
     ext.injectFunction(GraftExtensions.GraftCanonUrl)
+    ext.injectFunction(GraftExtensions.GraftAsciiTokens)
+    ext.injectFunction(GraftExtensions.GraftAsciiTokenCount)
+    ext.injectFunction(GraftExtensions.GraftTokenNgrams)
+    ext.injectFunction(GraftExtensions.GraftWindowKeys)
   }
 }
 
@@ -125,5 +129,47 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "graft_canon_url takes exactly 1 argument")
       CanonUrl(children.head)
+    })
+
+  val GraftAsciiTokens: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ascii_tokens"),
+    new ExpressionInfo(classOf[AsciiTokens].getName, "graft_ascii_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_ascii_tokens takes exactly 1 argument")
+      AsciiTokens(children.head)
+    })
+
+  val GraftAsciiTokenCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_ascii_token_count"),
+    new ExpressionInfo(classOf[AsciiTokenCount].getName, "graft_ascii_token_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_ascii_token_count takes exactly 1 argument")
+      AsciiTokenCount(children.head)
+    })
+
+  /** SQL form requires a foldable INT second argument (the window width is a
+    * plan-time parameter, mirroring the Column API's Int). */
+  private def foldableN(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name requires a literal INT n, got $other")
+  }
+
+  val GraftTokenNgrams: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_token_ngrams"),
+    new ExpressionInfo(classOf[TokenNgrams].getName, "graft_token_ngrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_token_ngrams takes (array<string>, n)")
+      TokenNgrams(children(0), foldableN("graft_token_ngrams", children(1)))
+    })
+
+  val GraftWindowKeys: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_window_keys"),
+    new ExpressionInfo(classOf[WindowXx64Keys].getName, "graft_window_keys"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "graft_window_keys takes (array<string>, n)")
+      WindowXx64Keys(children(0), foldableN("graft_window_keys", children(1)))
     })
 }

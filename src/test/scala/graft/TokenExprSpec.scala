@@ -141,6 +141,30 @@ class TokenExprSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) == Seq("a", "b", "b c"))
   }
 
+  test("SQL registration: token family callable from spark.sql; non-literal n rejected") {
+    for (triple <- Seq(graft.functions.GraftExtensions.GraftAsciiTokens,
+                       graft.functions.GraftExtensions.GraftAsciiTokenCount,
+                       graft.functions.GraftExtensions.GraftTokenNgrams,
+                       graft.functions.GraftExtensions.GraftWindowKeys)) {
+      val (id, info, builder) = triple
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val r = spark.sql(
+      "SELECT graft_ascii_tokens('Hello, World!') AS t, " +
+        "graft_ascii_token_count('Hello, World!') AS c, " +
+        "graft_token_ngrams(graft_ascii_tokens('a b c'), 2) AS g, " +
+        "size(graft_window_keys(graft_ascii_tokens('a b c'), 2)) AS k").head()
+    assert(r.getSeq[String](0) == Seq("hello", "world"))
+    assert(r.getInt(1) == 2)
+    assert(r.getSeq[String](2) == Seq("a b", "b c"))
+    assert(r.getInt(3) == 2)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_window_keys(graft_ascii_tokens('a b'), 1 + 1)").head()
+    }
+    assert(e.getMessage.contains("literal INT"))
+  }
+
   test("WindowXx64Keys through a DataFrame explode equals pure form") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps", "", "a b").toDF("t")
