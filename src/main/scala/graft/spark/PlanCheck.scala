@@ -153,6 +153,26 @@ object PlanCheck {
       check(s"$nm executed (codegen)", exec, Seq("*(1) Project"))
     }
 
+    // token family: the native scans must execute inside whole-stage
+    // codegen (the whole point — the HOF forms they replaced were
+    // interpreted), and the window-key explode must be a codegen'd
+    // Generate over a codegen'd Project, with no fallback wrapper
+    {
+      val toks = graft.ops.TextOps.asciiTokens(col("text"))
+      val bare = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+          graft.functions.TokenFunctions.windowXx64Keys(toks, 8)).as("gkey"))
+      val p = bare.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      check("token family (operator)", p, Seq("Generate"), Seq("Exchange"))
+      val exec = bare.queryExecution.executedPlan.toString
+      check("token family executed (codegen)", exec, Seq("*(1) Generate"),
+        Seq("BatchEvalPython"))
+      val cnt = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(graft.ops.TextOps.asciiTokenCount(col("text")).as("n"))
+      check("token count executed (codegen)",
+        cnt.queryExecution.executedPlan.toString, Seq("*(1) Project"))
+    }
+
     if (args.contains("--print")) {
       println(r01); println(r02); println(d01); println(fp); println(d03)
     }
