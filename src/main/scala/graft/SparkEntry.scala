@@ -393,6 +393,15 @@ object SparkEntry {
     // production d06 path can't expose to a SQL oracle)
     "d29_simhash_witness" -> ((s, d) =>
       Dedup.simhashWitness(docs(s, d)).orderBy("doc_id")),
+    // d30: winnowing ORACLE WITNESS — the distinct per-document set of
+    // window-min md5 gram hashes, replicated exactly in DuckDB (pins the
+    // Schleimer-et-al window-min semantics the fnv-based production d09
+    // fingerprint can't expose to a SQL oracle). Same witness-slice
+    // economics as d28: the semantics pin doesn't need the whole corpus.
+    "d30_winnow_witness" -> ((s, d) =>
+      ops.TextOps.fingerprintWitness(
+          docs(s, d).filter(col("doc_id") % 10 === 0), n = 3, w = 4)
+        .orderBy("doc_id", "fp")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -853,6 +862,22 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(g.simhash, 0) AS BIGINT) AS simhash
         |FROM documents d LEFT JOIN sig g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "d30_winnow_witness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |      i -> md5(array_to_string(t[i:i+2], ' '))) AS hs
+        |  FROM toks)
+        |SELECT doc_id,
+        |  unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(hs) - 3, 0) + 1),
+        |    i -> list_min(hs[i:i+3])))) AS fp
+        |FROM grams
+        |ORDER BY doc_id, fp""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

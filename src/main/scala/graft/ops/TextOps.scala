@@ -242,6 +242,34 @@ object TextOps {
     h
   }
 
+  /** Winnowing oracle witness (d30) — the d28/d29 pattern applied to the
+    * fingerprint family: [[fingerprint]] is the fnv-based SCALE path whose
+    * hash family an independent engine cannot recompute, so this witness
+    * pins the winnowing SEMANTICS (Schleimer et al.: the distinct set of
+    * per-window minima over sliding windows of w gram hashes) with an
+    * md5 hash family both engines compute bit-identically. Output is the
+    * per-document DISTINCT set of window-min hashes — distinct makes the
+    * result tie-break-free (whichever position attains a tied min, the
+    * selected VALUE set is identical), so no engine-specific argmin rule
+    * can drift. Docs with fewer than w full windows emit no rows. A
+    * witness query, not the corpus-scale path: per-doc local list ops
+    * (interpreted HOFs are fine at witness scale), no corpus Window, the
+    * only exchange is the driver dump's orderBy. */
+  def fingerprintWitness(docs: DataFrame, n: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && w >= 1, s"n and w must be >= 1, got n=$n w=$w")
+    val hs = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        asciiTokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        transform(Decontam.tokenNgrams(col("__t"), n), g => md5Key(g)).as("__h"))
+    hs.select(col("doc_id"),
+        explode(array_distinct(
+          when(size(col("__h")) < w, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("__h")) - (w - 1)),
+              i => array_min(slice(col("__h"), i, lit(w))))))).as("fp"))
+  }
+
   /** Rolling document fingerprint: winnowed min-sampling of token 3-gram
     * hashes (w=8) — robust to local edits (Rabin-Karp / winnowing style). */
   def fingerprint(text: String): Long = {

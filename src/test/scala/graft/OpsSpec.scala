@@ -104,6 +104,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 12)
   }
 
+  test("fingerprintWitness matches an independent sliding-window-min reference") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "a b c d e f g h"),      // 6 grams, 3 full windows
+      (1L, "A B C D E F G H"),      // case-folds to doc 0: identical fps
+      (2L, "m m m m m m m m"),      // all windows share one min -> 1 fp
+      (3L, "p q r s t"),            // 3 grams < w windows -> no rows
+      (4L, ""))                     // empty -> no rows
+    val out = graft.ops.TextOps.fingerprintWitness(
+        rows.toDF("doc_id", "text"), n = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def ref(text: String): Seq[String] = {
+      val toks = "[A-Za-z0-9]+".r.findAllIn(text).map(_.toLowerCase).toVector
+      val grams =
+        if (toks.size < 3) Vector() else toks.sliding(3).map(_.mkString(" ")).toVector
+      val hs = grams.map(md5hex)
+      if (hs.size < 4) Seq()
+      else hs.sliding(4).map(_.min).toVector.distinct.sorted
+    }
+    assert(out.getOrElse(0L, Seq()) == ref("a b c d e f g h"))
+    assert(out.getOrElse(1L, Seq()) == out.getOrElse(0L, Seq())) // case-fold
+    assert(out.getOrElse(2L, Seq()) == Seq(md5hex("m m m")))
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
+
   test("simhashWitness matches an independent per-bit-majority reference; empty doc -> 0") {
     import spark.implicits._
     val rows = Seq((0L, "Alpha beta alpha 42"), (1L, ""))
