@@ -58,9 +58,17 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
 
     // optional comma-separated allowlist for focused A/B runs (the driver
-    // never sets it, so driver artifacts always cover every query)
+    // never sets it, so driver artifacts always cover every query); names
+    // that match nothing are a hard error — a typo'd allowlist would
+    // otherwise bench zero queries and print total=0 with exit code 0,
+    // which an A/B comparison reads as a dramatic speedup
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val best = scala.collection.mutable.LinkedHashMap[String, Double](names.map(_ -> Double.MaxValue): _*)

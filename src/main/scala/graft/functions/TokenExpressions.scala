@@ -54,10 +54,17 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object AsciiTokens {
-
-  @inline private def isAlnum(b: Byte): Boolean =
+/** THE byte-class predicate that defines the shared tokenization convention
+  * — exactly one definition, so [[AsciiTokens]] and [[AsciiTokenCount]] can
+  * never drift apart (dupWindowStats' counts pass and keyed pass must see
+  * the same windows, or n_dup_windows could go negative). */
+private[functions] object AsciiScan {
+  @inline def isAlnum(b: Byte): Boolean =
     (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+}
+
+object AsciiTokens {
+  import AsciiScan.isAlnum
 
   /** Shared by interpreted eval and generated code. */
   def tokens(s: UTF8String): ArrayData = {
@@ -114,9 +121,7 @@ case class AsciiTokenCount(child: Expression) extends UnaryExpression {
 }
 
 object AsciiTokenCount {
-
-  @inline private def isAlnum(b: Byte): Boolean =
-    (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  import AsciiScan.isAlnum
 
   /** Shared by interpreted eval and generated code. */
   def count(s: UTF8String): Int = {

@@ -302,8 +302,16 @@ object Dedup {
       .agg(count(lit(1)).as("__c"), first(col("doc_id")).as("doc_id"))
       .filter(col("__c") === 1)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("__n_singleton"))
+    // NULL-SAFE doc join (<=>): ids that are null or fail the long cast
+    // group under the null key in BOTH aggregates (groupBy keeps a null
+    // group), and a plain equi-join would never match them — silently
+    // dropping their singleton credit and reporting dup_pct = 100 for
+    // unique text. The old gram-join formulation handled the null group
+    // correctly; this keeps that contract.
+    val sNulls = singletons.select(col("doc_id").as("__sdoc"),
+      col("__n_singleton"))
     val out = counts
-      .join(singletons, Seq("doc_id"), "left")
+      .join(sNulls, col("doc_id") <=> col("__sdoc"), "left")
       .select(col("doc_id"), col("n_windows"),
         (col("n_windows") - coalesce(col("__n_singleton"), lit(0L)))
           .as("n_dup_windows"))

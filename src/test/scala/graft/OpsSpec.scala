@@ -69,6 +69,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("dupWindowStats: null / uncastable ids keep correct stats (null-safe doc join)") {
+    import spark.implicits._
+    // a null id with fully unique text must report 0 dup windows, not 100%
+    // (a plain equi-join would drop the null group's singleton credit)
+    val rows = Seq(
+      (Some(0L), "u1 u2 u3 u4 u5"),          // unique text, real id
+      (None, "w1 w2 w3 w4 w5"),              // unique text, NULL id
+      (None, "w1 w2 w3 w4 w5"))              // same text again: null group dups
+    val out = Dedup.dupWindowStats(rows.toDF("doc_id", "text"), n = 3)
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(Some(0L)) == ((3L, 0L, 0L)))
+    // the two null-id rows merge into one group: 6 windows, all duplicated
+    assert(out(None) == ((6L, 6L, 100L)))
+    assert(out.size == 2)
+    // an uncastable STRING id is an ANSI hard error, not a silent null —
+    // callers with UUID ids must key via xxhash64/md5 first (x15 precedent)
+    val uuid = Seq(("not-a-long", "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val e = intercept[Exception] { Dedup.dupWindowStats(uuid, n = 3).collect() }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT")
+      || Option(e.getCause).exists(_.getMessage.contains("CAST_INVALID_INPUT")))
+  }
+
   test("dupWindowStats: native fast-key mode yields the identical stats as md5 keys") {
     import spark.implicits._
     val rows = Seq(
