@@ -402,6 +402,15 @@ object SparkEntry {
       ops.TextOps.fingerprintWitness(
           docs(s, d).filter(col("doc_id") % 10 === 0), n = 3, w = 4)
         .orderBy("doc_id", "fp")),
+    // d31: Jaccard ORACLE WITNESS — exact set-overlap over md5 gram keys,
+    // all pairs sharing >= 1 gram on a witness slice, replicated exactly in
+    // DuckDB (pins the semantics the fnv-keyed production d07 path can't
+    // expose to a SQL oracle). The slice bounds the quadratic gram
+    // self-join that the production operator df-caps away.
+    "d31_jaccard_witness" -> ((s, d) =>
+      Dedup.jaccardWitness(
+          docs(s, d).filter(col("doc_id") % 10 === 0), n = 3)
+        .orderBy("doc_a", "doc_b")),
     "d15_neardup_lsh" -> ((s, d) => {
       // the 1e12-row near-dup path: LSH OR-construction candidates + exact
       // cosine verify (no O(n^2) product anywhere)
@@ -878,6 +887,27 @@ object SparkEntry {
         |    i -> list_min(hs[i:i+3])))) AS fp
         |FROM grams
         |ORDER BY doc_id, fp""".stripMargin,
+    "d31_jaccard_witness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x)) AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |      i -> md5(array_to_string(t[i:i+2], ' ')))) AS gkey
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM grams a JOIN grams b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT x.doc_a, x.doc_b,
+        |  CAST(floor(100 * x.i / (sa.n + sb.n - x.i)) AS BIGINT) AS jaccard_pct
+        |FROM inter x
+        |JOIN sizes sa ON x.doc_a = sa.doc_id
+        |JOIN sizes sb ON x.doc_b = sb.doc_id
+        |ORDER BY x.doc_a, x.doc_b""".stripMargin,
     "r05_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

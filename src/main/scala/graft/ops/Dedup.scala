@@ -403,6 +403,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Jaccard oracle witness (d31) — the d28/d29/d30 pattern applied to the
+    * last hash-defined dedup family: [[ngramJaccardPairs]]' scale path keys
+    * gram sets with fnv hashes an independent engine cannot recompute, so
+    * this witness pins the SET-OVERLAP semantics (exact Jaccard over
+    * per-document DISTINCT n-gram sets, the Lee-et-al/Gopher near-dup
+    * definition) with md5 gram keys both engines compute bit-identically.
+    * ALL pairs sharing >= 1 gram over the given (small, sliced) corpus —
+    * plain joins and aggregates, no list functions, so the DuckDB oracle is
+    * the literal same query. floor() keeps the integer percent
+    * engine-agnostic (d27 precedent). A witness, not the scale path: the
+    * gram self-join is quadratic in docs-per-shared-gram and must only run
+    * on a witness slice ([[ngramJaccardPairs]] is the df-capped production
+    * operator). */
+  def jaccardWitness(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.asciiTokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        explode(Decontam.tokenNgrams(col("__t"), n)).as("g"))
+      .select(col("doc_id"), TextOps.md5Key(col("g")).as("gkey"))
+      .distinct()
+    val sizes = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"))
+    val inter = grams.select(col("doc_id").as("doc_a"), col("gkey"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gkey")), Seq("gkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("__n").as("__na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("__n").as("__nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(100) * col("__i") / (col("__na") + col("__nb") - col("__i")))
+          .cast("long").as("jaccard_pct"))
+  }
+
   /** Token-3-gram Jaccard near-dups via rare-shingle inverted-index blocking:
     * only shingles with document frequency <= maxDf generate candidates (the
     * common-shingle tail would explode quadratically), then exact Jaccard on

@@ -157,6 +157,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.contains(3L) && !out.contains(4L))
   }
 
+  test("jaccardWitness: planted overlap truth, case folding, disjoint pairs absent") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "a b c d e"),       // grams: abc bcd cde
+      (1L, "A B C D E"),       // case-folds identical -> 100 with doc 0
+      (2L, "a b c x y z"),     // grams: abc bcx cxy xyz -> |∩|=1 |∪|=6 -> 16
+      (3L, "p q r s"),         // disjoint from everything -> no pairs
+      (4L, ""))                // no grams -> no pairs
+    val out = Dedup.jaccardWitness(rows.toDF("doc_id", "text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 1L)) == 100L)
+    assert(out((0L, 2L)) == 16L) // floor(100 * 1 / 6)
+    assert(out((1L, 2L)) == 16L)
+    assert(out.size == 3) // no pair involves docs 3 or 4
+  }
+
   test("simhashWitness matches an independent per-bit-majority reference; empty doc -> 0") {
     import spark.implicits._
     val rows = Seq((0L, "Alpha beta alpha 42"), (1L, ""))
