@@ -307,6 +307,15 @@ object SparkEntry {
       ops.Sampling.hashSample(docs(s, d), keepNibbles = 8)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")),
+    // d32: GROUP-level deterministic split — keyed on `source` instead of
+    // doc_id, so every document of a source lands in the same split
+    // (train/eval leakage hygiene: near-dups concentrate within a source,
+    // and a per-doc split would put one copy in train and one in eval).
+    // Same operator as d20, different key column; narrow, no exchange.
+    "d32_host_split" -> ((s, d) =>
+      ops.Sampling.hashSample(docs(s, d), keepNibbles = 8, idCol = "source")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy("doc_id")),
     // d21: PII scrub. The synthetic corpus carries no PII, so the query
     // injects a deterministic email/IP/phone per row IN the query (same
     // expression in the oracle SQL) — the redaction paths actually fire
@@ -719,6 +728,10 @@ object SparkEntry {
     "d20_hash_sample" ->
       """SELECT doc_id FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |ORDER BY doc_id""".stripMargin,
+    "d32_host_split" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(source), 1, 1) < '8'
         |ORDER BY doc_id""".stripMargin,
     "d21_pii_scrub" ->
       """WITH inj AS (

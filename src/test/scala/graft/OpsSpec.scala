@@ -69,6 +69,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 6)
   }
 
+  test("dupWindowStats at the production window width (n=50), both key modes") {
+    import spark.implicits._
+    // Lee et al. production configs use ~50-token windows; pin the operator
+    // at that parameter: 60 shared + 40 unique tokens per doc
+    val shared = (0 until 60).map(i => s"s$i").mkString(" ")
+    def uniq(d: Int) = (0 until 40).map(i => s"u${d}x$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"$shared ${uniq(0)}"),   // 100 toks -> 51 windows; 11 all-shared
+      (1L, s"$shared ${uniq(1)}"),   // windows (positions 1..11) duplicated
+      (2L, uniq(2)))                 // 40 toks < 50 -> 0/0/0
+    for (oracle <- Seq(true, false)) {
+      val out = Dedup.dupWindowStats(rows.toDF("doc_id", "text"), n = 50,
+          oracleKeys = oracle)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out(0L) == ((51L, 11L, 21L)), s"oracleKeys=$oracle")
+      assert(out(1L) == ((51L, 11L, 21L)), s"oracleKeys=$oracle")
+      assert(out(2L) == ((0L, 0L, 0L)), s"oracleKeys=$oracle")
+    }
+  }
+
   test("dupWindowStats: null / uncastable ids keep correct stats (null-safe doc join)") {
     import spark.implicits._
     // a null id with fully unique text must report 0 dup windows, not 100%

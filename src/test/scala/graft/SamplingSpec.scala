@@ -95,4 +95,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hashSample(df, 0).count() == 0L)
     assert(Sampling.hashSample(df, 16).count() == 50L)
   }
+
+  test("hashSample keyed on a group column keeps or drops each group whole") {
+    import spark.implicits._
+    // 40 hosts x 5 docs: a GROUP-keyed split (d32, leakage hygiene) must
+    // never separate two docs of the same host into different splits
+    val df = (0L until 200L).map(i => (i, s"host${i % 40}")).toDF("doc_id", "source")
+    val kept = Sampling.hashSample(df, keepNibbles = 8, idCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keptHosts = kept.map(_._2).toSet
+    // all-or-none per host
+    for (h <- keptHosts)
+      assert(kept.count(_._2 == h) == 5, s"host $h split across the boundary")
+    // and the host decision matches the per-row md5 predicate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedHosts = (0 until 40).map(i => s"host$i").filter { h =>
+      ((md.digest(h.getBytes("UTF-8"))(0) >> 4) & 0xF) < 8
+    }.toSet
+    assert(keptHosts == expectedHosts)
+  }
 }
