@@ -175,6 +175,23 @@ class TokenExprSpec extends AnyFunSuite {
     }
   }
 
+  test("type checks reject wrong input types at analysis, not at runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.Shims
+    val df = Seq((1, Seq(1L, 2L))).toDF("i", "longs")
+    def fails(c: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception] { df.select(c).collect() }
+      assert(e.getMessage.contains("requires"), e.getMessage.take(200))
+    }
+    fails(Shims.column(graft.functions.AsciiTokens(Shims.expression(col("i")))))
+    fails(Shims.column(graft.functions.AsciiTokenCount(Shims.expression(col("i")))))
+    fails(Shims.column(graft.functions.TokenNgrams(Shims.expression(col("longs")), 2)))
+    fails(Shims.column(graft.functions.WindowXx64Keys(Shims.expression(col("longs")), 2)))
+    intercept[IllegalArgumentException] {
+      graft.functions.WindowXx64Keys(Shims.expression(col("longs")), 0)
+    }
+  }
+
   test("SQL registration: token family callable from spark.sql; non-literal n rejected") {
     for (triple <- Seq(graft.functions.GraftExtensions.GraftAsciiTokens,
                        graft.functions.GraftExtensions.GraftAsciiTokenCount,
