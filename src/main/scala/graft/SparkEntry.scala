@@ -316,6 +316,24 @@ object SparkEntry {
       ops.Sampling.hashSample(docs(s, d), keepNibbles = 8, idCol = "source")
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // d33: incremental-crawl dedup — "seen" = first 70% of doc_ids (the
+    // historical corpus), "batch" = last 60% (today's crawl: the middle 30%
+    // of the corpus re-crawled unchanged + the last 30% genuinely new).
+    // Content-keyed (md5); the Bloom prefilter is built over the batch and
+    // applied to the seen side (runtime-filter direction), then an exact
+    // anti-join confirms — the result is exactly the never-seen rows.
+    "d33_incremental" -> ((s, d) => {
+      val n = docCount(s, d)
+      val keyed = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.md5Key(col("text")).as("content_md5"))
+      val seen = keyed.filter(col("doc_id") < lit((n * 7) / 10))
+      val batch = keyed.filter(col("doc_id") >= lit((n * 4) / 10))
+      Dedup.incrementalNew(batch, seen, "content_md5",
+          expectedBatchKeys = n - (n * 4) / 10)
+        .select(col("doc_id"), col("content_md5"), col("source"))
+        .orderBy("doc_id")
+    }),
     // d21: PII scrub. The synthetic corpus carries no PII, so the query
     // injects a deterministic email/IP/phone per row IN the query (same
     // expression in the oracle SQL) — the redaction paths actually fire
@@ -733,6 +751,17 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(source), 1, 1) < '8'
         |ORDER BY doc_id""".stripMargin,
+    "d33_incremental" ->
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |k AS (SELECT doc_id, source, md5(text) AS content_md5 FROM documents)
+        |SELECT b.doc_id, b.content_md5, b.source
+        |FROM k b, n
+        |WHERE b.doc_id >= (n.c * 4) // 10
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM k s, n
+        |    WHERE s.doc_id < (n.c * 7) // 10
+        |      AND s.content_md5 = b.content_md5)
+        |ORDER BY b.doc_id""".stripMargin,
     "d21_pii_scrub" ->
       """WITH inj AS (
         |  SELECT doc_id,

@@ -104,6 +104,13 @@ object PlanCheck {
     // shuffle every corpus gram)
     val d22 = planOf("d22_decontaminate")
     check("d22_decontaminate", d22, Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
+    // d33: incremental-crawl dedup — the seen side must carry the Bloom
+    // prefilter (the broadcast-probing lambda, embedded by Catalyst as a
+    // row-level Filter invoke — no Serialize/Deserialize pair) so only
+    // batch-colliding seen keys reach the anti-join; no Window anywhere.
+    val d33 = planOf("d33_incremental")
+    check("d33_incremental", d33,
+      Seq("LeftAnti", "graft.ops.Dedup"), Seq("Window"))
     // d27: duplicate-window stats must be aggregate shapes end to end —
     // global gram counts via ONE partial HashAggregate over the exploded
     // windows (the singleton-complement formulation has no gram persist and

@@ -509,4 +509,35 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.minhashPairs(spark, docs, bands = 0))
     intercept[IllegalArgumentException](Dedup.minhashPairs(spark, docs, bands = 24))
   }
+
+  test("incrementalNew: bloom path, anti-join fallback, and extreme fpp all equal the exact anti-join") {
+    import spark.implicits._
+    val seen = Seq((1L, "k1"), (2L, "k2"), (3L, "k3"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "key")
+    val batch = Seq((10L, "k2"), (11L, "k9"), (12L, "k3"),
+      (13L, "brand-new"), (14L, null.asInstanceOf[String]))
+      .toDF("doc_id", "key")
+    val exact = batch.join(seen.select("key").where(col("key").isNotNull),
+      Seq("key"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(exact sameElements Array(11L, 13L, 14L)) // null key survives, like NOT EXISTS
+    // bloom path (default), degenerate-fpp bloom (max FPs), and size-capped
+    // fallback (bloom skipped) must all produce the exact result
+    for ((fpp, cap) <- Seq((0.01, 256L << 20), (0.5, 256L << 20), (0.01, 0L))) {
+      val got = Dedup.incrementalNew(batch, seen, "key", fpp = fpp, maxBloomBytes = cap)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got sameElements exact, s"fpp=$fpp cap=$cap")
+    }
+  }
+
+  test("incrementalNew: integral keys work; unsupported key types reject loudly") {
+    import spark.implicits._
+    val seen = Seq(1, 2, 3).toDF("key")
+    val batch = Seq((10L, 2), (11L, 7), (12L, 3)).toDF("doc_id", "key")
+    val got = Dedup.incrementalNew(batch, seen, "key")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got sameElements Array(11L))
+    val bad = Seq((1L, Array(1.0f))).toDF("doc_id", "key")
+    intercept[IllegalArgumentException](Dedup.incrementalNew(bad, bad, "key"))
+  }
 }
