@@ -396,6 +396,42 @@ object SparkEntry {
         lit("&a=1#sec"))
       ops.TextOps.canonUrls(docs(s, d), messy).orderBy("doc_id")
     }),
+    // d35: stratified mixture sampling — down-weight the over-represented
+    // languages (en to 50%, zh to 25%) to rebalance the corpus mix; other
+    // langs keep everything. Same md5 determinism as d20, 4-nibble
+    // granularity, nested kept-sets across rate changes. Narrow, no
+    // exchange.
+    "d35_mix_sample" -> ((s, d) =>
+      ops.Sampling.stratifiedSample(docs(s, d),
+          Map("en" -> 0.5, "zh" -> 0.25))
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    // d34: canonical-URL dedup — the CDX-style frontier/index dedup every
+    // crawl runs: canonicalize, group, keep one representative per
+    // canonical URL. Two messy variants per target (uppercase scheme/host +
+    // trailing host dot + default :80 + utm param + fragment on even ids;
+    // already-clean on odd ids) collapse to doc_id%50 targets on doc_id%5
+    // hosts — 50 groups of 10 aliases at sf0.01. Composition of two audited
+    // operators: the native codegen'd canonicalizer (d26) + the exact-dedup
+    // hash groupBy (d02 shape) — one shuffle, map-side combine.
+    "d34_url_dedup" -> ((s, d) => {
+      val messy = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://WWW.Site"))
+          .otherwise(lit("http://www.site")),
+        (col("doc_id") % 5).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".Example.COM.:80"))
+          .otherwise(lit(".example.com")),
+        lit("/Page/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&x=1#sec"))
+          .otherwise(lit("?x=1")))
+      docs(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.canonUrl(messy).as("url_canon"))
+        .groupBy(col("url_canon"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_aliases"))
+        .orderBy("canonical_id")
+    }),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -852,6 +888,22 @@ object SparkEntry {
         |    || '/Path/' || CAST(doc_id AS VARCHAR)
         |    || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_canon
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d35_mix_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+        |    ELSE 'g' END
+        |ORDER BY doc_id""".stripMargin,
+    "d34_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'http://www.site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example.com/Page/' || CAST(doc_id % 50 AS VARCHAR)
+        |      || '?x=1' AS url_canon
+        |  FROM documents)
+        |SELECT url_canon, min(doc_id) AS canonical_id,
+        |  count(*) AS n_aliases
+        |FROM c GROUP BY url_canon ORDER BY canonical_id""".stripMargin,
     "d27_dup_windows" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -78,4 +78,37 @@ object Sampling {
     val bound = "0123456789abcdefg".charAt(keepNibbles).toString
     df.filter(nibble < lit(bound))
   }
+
+  /** Deterministic stratified (mixture) sampling: per-group keep-rates over
+    * the same stable content hash as [[hashSample]] — the source/language
+    * REWEIGHTING step of corpus mixing (down-weight an over-represented
+    * source or language to a target distribution, Pile/Dolma-style). A row
+    * in group g survives iff the first FOUR hex nibbles of md5(id as
+    * string) fall below floor(rate_g × 65536), giving 1/65536-granular
+    * rates with hashSample's rerun/engine/partitioning stability — and
+    * because every group thresholds the SAME hash, kept sets NEST as rates
+    * grow (the 25% sample is a subset of the 50% sample), so retuning a
+    * mixture only adds or removes documents, never churns them.
+    *
+    * Groups absent from `rates` (and null groups) keep `defaultRate`. The
+    * rate table is mixture-weights-sized (tens of entries), so it compiles
+    * into a when-chain: pure narrow filter, zero exchange, whole-stage
+    * codegen — at 10^12 rows this is a scan-speed pass. */
+  def stratifiedSample(df: DataFrame, rates: Map[String, Double],
+      groupCol: String = "lang", idCol: String = "doc_id",
+      defaultRate: Double = 1.0): DataFrame = {
+    def hex4(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+      val t = math.floor(rate * 65536).toLong
+      if (t >= 65536) "g" else f"$t%04x" // 'g' > every hex char: keep all
+    }
+    val nib4 = substring(
+      md5(to_binary(col(idCol).cast("string"), lit("utf-8"))), 1, 4)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hex4(defaultRate))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol).cast("string") === lit(g), lit(hex4(r)))
+          .otherwise(acc)
+    }
+    df.filter(nib4 < threshold)
+  }
 }

@@ -114,4 +114,47 @@ class SamplingSpec extends AnyFunSuite {
     }.toSet
     assert(keptHosts == expectedHosts)
   }
+
+  /** First four hex nibbles of md5(s) as an int in [0, 65536). */
+  private def md5Nib4(s: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+  }
+
+  test("stratifiedSample matches the per-row md5 threshold predicate per group") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i =>
+      (i, Seq("en", "zh", "de", "fr")((i % 4).toInt))).toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "zh" -> 0.25)
+    val kept = Sampling.stratifiedSample(df, rates)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (0L until 400L).map(i =>
+      (i, Seq("en", "zh", "de", "fr")((i % 4).toInt))).filter { case (i, g) =>
+      md5Nib4(i.toString) < math.floor(rates.getOrElse(g, 1.0) * 65536).toInt
+    }.toSet
+    assert(kept == expected)
+    // unknown groups kept whole at the default rate 1.0
+    assert(kept.count(_._2 == "de") == 100 && kept.count(_._2 == "fr") == 100)
+    // and en was genuinely downweighted below de
+    assert(kept.count(_._2 == "en") < 100)
+  }
+
+  test("stratifiedSample kept sets nest as rates grow; null groups take the default; bad rates reject") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 10 == 0) null else "en")).toDF("doc_id", "lang")
+    def keptAt(r: Double): Set[Long] =
+      Sampling.stratifiedSample(df, Map("en" -> r), defaultRate = 0.0)
+        .collect().map(_.getLong(0)).toSet
+    val at25 = keptAt(0.25); val at50 = keptAt(0.5); val at100 = keptAt(1.0)
+    assert(at25.subsetOf(at50) && at50.subsetOf(at100))
+    assert(at100.size == 270) // null-lang rows took defaultRate=0.0
+    // null groups at default 1.0 all survive
+    val withNullsKept = Sampling.stratifiedSample(df, Map("en" -> 0.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(withNullsKept.size == 30 && withNullsKept.forall(_ % 10 == 0))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df, Map("en" -> 1.5)))
+  }
 }
