@@ -432,6 +432,39 @@ object SparkEntry {
           count(lit(1)).as("n_aliases"))
         .orderBy("canonical_id")
     }),
+    // d36: LSH-signature oracle witness — the production broadcast-plane
+    // signature kernel (withSignatures, the exact code d10/d15 bucket on)
+    // over a 16-dim slice at 12 bits, against a DuckDB oracle that
+    // re-derives each bit from the SAME plane constants embedded as SQL
+    // literals: sign of an index-order double dot product, bit b -> 2^b.
+    // Ragged rows (null / short slices — the shapes the kernel must emit
+    // signature 0 for) are injected in-query so the guard fires. Narrow
+    // map over a broadcast plane matrix, no exchange.
+    "d36_lsh_witness" -> ((s, d) => {
+      val sliced = emb(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        when(col("vec_id") % 37 === 0, lit(null).cast("array<float>"))
+          .when(col("vec_id") % 41 === 0, expr("slice(embedding, 1, 8)"))
+          .otherwise(expr("slice(embedding, 1, 16)")).as("embedding"))
+      Similarity.withSignatures(sliced, 16, 12, Seq(42L))
+        .select(col("vec_id"), col("buckets").getItem(0).as("sig"))
+        .orderBy("vec_id")
+    }),
+    // d37: IVF-assignment oracle witness — the production nearestCell
+    // kernel (the narrow map d13 assigns the corpus with) against 8
+    // deterministic 16-dim centroids, vs a DuckDB oracle computing the
+    // same argmin of squared L2 from the same centroid literals
+    // (index-order double accumulation, lowest index on ties). Ragged
+    // rows are excluded exactly as d13 excludes them.
+    "d37_ivf_witness" -> ((s, d) => {
+      val sliced = emb(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        when(col("vec_id") % 37 === 0, lit(null).cast("array<float>"))
+          .when(col("vec_id") % 41 === 0, expr("slice(embedding, 1, 8)"))
+          .otherwise(expr("slice(embedding, 1, 16)")).as("embedding"))
+      Similarity.ivfAssignWitness(sliced, Similarity.planesFor(16, 8, 7L))
+        .orderBy("vec_id")
+    }),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -904,6 +937,42 @@ object SparkEntry {
         |SELECT url_canon, min(doc_id) AS canonical_id,
         |  count(*) AS n_aliases
         |FROM c GROUP BY url_canon ORDER BY canonical_id""".stripMargin,
+    // Programmatic oracle: the SQL embeds the plane constants the Spark
+    // side broadcasts, so DuckDB re-derives every signature bit from first
+    // principles — identical index-order double arithmetic on both sides.
+    "d36_lsh_witness" -> {
+      val planes = Similarity.planesFor(16, 12, 42L)
+      val bits = planes.zipWithIndex.map { case (p, b) =>
+        val dot = p.zipWithIndex
+          .map { case (c, i) => s"embedding[${i + 1}] * $c" }.mkString(" + ")
+        s"CASE WHEN ($dot) > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("\n  + ")
+      s"""SELECT vec_id,
+         |  CAST(CASE WHEN vec_id % 37 = 0 OR vec_id % 41 = 0 THEN 0
+         |  ELSE $bits
+         |  END AS BIGINT) AS sig
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+    // Programmatic oracle: same centroid literals as the Spark broadcast;
+    // LEAST + first-match CASE reproduces the strict-< lowest-index argmin.
+    "d37_ivf_witness" -> {
+      val cs = Similarity.planesFor(16, 8, 7L)
+      val dcols = cs.zipWithIndex.map { case (cvec, ci) =>
+        val terms = cvec.zipWithIndex.map { case (c, i) =>
+          s"(embedding[${i + 1}] - $c) * (embedding[${i + 1}] - $c)"
+        }.mkString(" + ")
+        s"$terms AS d$ci"
+      }.mkString(",\n    ")
+      val m = cs.indices.map(ci => s"d$ci").mkString(", ")
+      val argmin = cs.indices.map(ci => s"WHEN d$ci = m THEN $ci").mkString(" ")
+      s"""WITH dist AS (
+         |  SELECT vec_id, $dcols
+         |  FROM embeddings
+         |  WHERE vec_id % 37 <> 0 AND vec_id % 41 <> 0),
+         |dm AS (SELECT *, LEAST($m) AS m FROM dist)
+         |SELECT vec_id, CAST(CASE $argmin END AS INTEGER) AS cell
+         |FROM dm ORDER BY vec_id""".stripMargin
+    },
     "d27_dup_windows" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -111,7 +111,7 @@ object Similarity {
 
   /** Deterministic pseudo-gaussian hyperplanes (sum of 4 xorshift draws),
     * shared by the literal-expression and broadcast signature paths. */
-  private[ops] def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+  private[graft] def planesFor(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
     Array.tabulate(bits, dim) { (b, d) =>
       var x = seed + b * 1341L + d * 7919L + 1
       var s = 0.0
@@ -225,6 +225,47 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Nearest-centroid assignment kernel shared by the IVF k-means trainer,
+    * the corpus-assignment map, and [[ivfAssignWitness]]: argmin of squared
+    * L2 over the first `dim` entries, accumulated in index order in double,
+    * lowest index winning exact ties. Factored out so the oracle witness
+    * exercises the same code the production path runs. */
+  private[graft] def nearestCell(v: Array[Float], cs: Array[Array[Double]],
+      dim: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-assignment oracle witness: assign every well-formed vector to its
+    * nearest of the GIVEN literal centroids via the production
+    * [[nearestCell]] kernel → (vec_id, cell). Pins the assignment semantics
+    * the trained-k-means path (d13) cannot expose to SQL — argmin squared-L2
+    * with index-order double accumulation and lowest-index tie-break — in a
+    * DuckDB oracle whose SQL embeds the same centroid literals. Ragged rows
+    * (null or shorter than the centroid dim) are excluded exactly as
+    * [[ivfTopK]] excludes them ("never a candidate"). Narrow map over a
+    * broadcast centroid matrix: no shuffle, scan-speed at any corpus size. */
+  def ivfAssignWitness(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids(0).length
+    require(centroids.forall(_.length == dim), "ragged centroid matrix")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .filter(r => r._2 != null && r._2.length >= dim)
+      .map { case (id, v) => (id, nearestCell(v, bc.value, dim)) }
+      .toDF("vec_id", "cell")
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer over a
     * driver-side sample partitions the corpus into cells; queries probe the
     * `nProbe` nearest centroids and score only those cells (Jégou et al.,
@@ -263,22 +304,11 @@ object Similarity {
     val rnd = new java.util.Random(seed)
     var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
       sample(rnd.nextInt(sample.length)).map(_.toDouble))
-    def nearest(v: Array[Float], cs: Array[Array[Double]]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < dim) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
     for (_ <- 0 until 10) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)
       for (v <- sample) {
-        val c = nearest(v, centroids)
+        val c = nearestCell(v, centroids, dim)
         counts(c) += 1
         var i = 0
         while (i < dim) { sums(c)(i) += v(i); i += 1 }
@@ -292,7 +322,7 @@ object Similarity {
     // assign corpus rows to cells (narrow map; no shuffle); ragged short
     // rows are excluded the same way the LSH path never candidates them
     val assigned = vecs.filter(_._2.length >= dim)
-      .map { case (id, v) => (nearest(v, bcCentroids.value), id, v) }
+      .map { case (id, v) => (nearestCell(v, bcCentroids.value, dim), id, v) }
       .toDF("cell", "neighbor_id", "n_emb")
     // queries probe their nProbe nearest cells
     val queries = vecs.filter(r => queryIds.contains(r._1) && r._2.length >= dim).collect()

@@ -286,6 +286,37 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall too low")
   }
 
+  test("ivfAssignWitness matches an independent argmin-L2 reference; ragged rows excluded") {
+    import spark.implicits._
+    val cs = Similarity.planesFor(16, 8, 7L)
+    // inject the ragged shapes the witness must exclude: null, shorter than
+    // the centroid dim, and one LONGER row (only the first 16 dims count)
+    val ragged = embeddings.select(
+      col("vec_id").cast("long").as("vec_id"),
+      when(col("vec_id") === 3L, lit(null).cast("array<float>"))
+        .when(col("vec_id") === 5L, expr("slice(embedding, 1, 7)"))
+        .when(col("vec_id") === 9L, expr("concat(embedding, array(9.9f))"))
+        .otherwise(col("embedding")).as("embedding"))
+    val got = Similarity.ivfAssignWitness(ragged, cs).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val src = ragged.as[(Long, Array[Float])].collect()
+    // independent reference: fold-left argmin over squared L2, lowest index
+    // wins ties; written with different iteration machinery than the kernel
+    val expected = src.collect {
+      case (id, v) if v != null && v.length >= 16 =>
+        val dists = cs.map(c =>
+          (0 until 16).map(i => { val t = v(i) - c(i); t * t }).sum)
+        id -> dists.zipWithIndex.minBy { case (dd, i) => (dd, i) }._2
+    }.toMap
+    assert(got == expected)
+    assert(!got.contains(3L) && !got.contains(5L) && got.contains(9L))
+    assert(got.values.toSet.size > 1) // non-degenerate: multiple cells used
+    intercept[IllegalArgumentException](
+      Similarity.ivfAssignWitness(ragged, Array.empty))
+    intercept[IllegalArgumentException](
+      Similarity.ivfAssignWitness(ragged, Array(Array(1.0), Array(1.0, 2.0))))
+  }
+
   test("near-dup pairs by cosine: same-cluster pairs only at 0.9") {
     val pairs = Similarity.nearDupPairs(embeddings, 0.9).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
