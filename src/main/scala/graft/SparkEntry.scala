@@ -22,6 +22,16 @@ object SparkEntry {
     spark.read.parquet(s"$dir/documents.parquet")
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+  /** Ragged 16-dim embedding slice shared by the d36/d37 witnesses: null at
+    * vec_id%37, an 8-dim short row at %41, the first 16 dims otherwise —
+    * injected in-query so the kernels' ragged-row guards (sig 0 / excluded)
+    * fire on both the Spark and oracle sides. */
+  private def raggedSlice16(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).select(
+      col("vec_id").cast("long").as("vec_id"),
+      when(col("vec_id") % 37 === 0, lit(null).cast("array<float>"))
+        .when(col("vec_id") % 41 === 0, expr("slice(embedding, 1, 8)"))
+        .otherwise(expr("slice(embedding, 1, 16)")).as("embedding"))
   private def li(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
   private def ord(spark: SparkSession, dir: String): DataFrame =
@@ -437,16 +447,10 @@ object SparkEntry {
     // over a 16-dim slice at 12 bits, against a DuckDB oracle that
     // re-derives each bit from the SAME plane constants embedded as SQL
     // literals: sign of an index-order double dot product, bit b -> 2^b.
-    // Ragged rows (null / short slices — the shapes the kernel must emit
-    // signature 0 for) are injected in-query so the guard fires. Narrow
+    // Ragged rows (see raggedSlice16) exercise the sig-0 guard. Narrow
     // map over a broadcast plane matrix, no exchange.
     "d36_lsh_witness" -> ((s, d) => {
-      val sliced = emb(s, d).select(
-        col("vec_id").cast("long").as("vec_id"),
-        when(col("vec_id") % 37 === 0, lit(null).cast("array<float>"))
-          .when(col("vec_id") % 41 === 0, expr("slice(embedding, 1, 8)"))
-          .otherwise(expr("slice(embedding, 1, 16)")).as("embedding"))
-      Similarity.withSignatures(sliced, 16, 12, Seq(42L))
+      Similarity.withSignatures(raggedSlice16(s, d), 16, 12, Seq(42L))
         .select(col("vec_id"), col("buckets").getItem(0).as("sig"))
         .orderBy("vec_id")
     }),
@@ -455,14 +459,10 @@ object SparkEntry {
     // deterministic 16-dim centroids, vs a DuckDB oracle computing the
     // same argmin of squared L2 from the same centroid literals
     // (index-order double accumulation, lowest index on ties). Ragged
-    // rows are excluded exactly as d13 excludes them.
+    // rows (see raggedSlice16) are excluded exactly as d13 excludes them.
     "d37_ivf_witness" -> ((s, d) => {
-      val sliced = emb(s, d).select(
-        col("vec_id").cast("long").as("vec_id"),
-        when(col("vec_id") % 37 === 0, lit(null).cast("array<float>"))
-          .when(col("vec_id") % 41 === 0, expr("slice(embedding, 1, 8)"))
-          .otherwise(expr("slice(embedding, 1, 16)")).as("embedding"))
-      Similarity.ivfAssignWitness(sliced, Similarity.planesFor(16, 8, 7L))
+      Similarity.ivfAssignWitness(raggedSlice16(s, d),
+          Similarity.planesFor(16, 8, 7L))
         .orderBy("vec_id")
     }),
     // d27: duplicate-window stats — the counting pass of exact substring

@@ -18,6 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd --only list would otherwise verify zero queries and exit 0
+    // (vacuous success) — unknown names are a hard error, like Bench's
+    // SPARK_GRAFT_BENCH_ONLY validation
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"Verify: names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

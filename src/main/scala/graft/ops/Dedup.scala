@@ -536,25 +536,43 @@ object Dedup {
     * `expectedBatchKeys` <= 0 means "count the batch first" (one cheap
     * columnar job); pass the known crawl size to skip it. Supported key
     * types: string and integral (both hashed exactly as
-    * `DataFrameStatFunctions.bloomFilter` puts them). */
+    * `DataFrameStatFunctions.bloomFilter` puts them); both sides must
+    * agree on which of the two families the key is — a string batch
+    * against an integral seen is a loud error here, not a task-side
+    * ClassCastException or an implicit cross-type cast in the join.
+    *
+    * Building the Bloom sketch is an EAGER driver-coordinated aggregation
+    * over the batch keys (exactly like a broadcast join build, just ahead
+    * of plan execution). `materialize = false` skips it and returns the
+    * plain exact anti-join as an UNEXECUTED plan — same rows, no
+    * prefilter, nothing run — for explain/audit or for callers that know
+    * the seen-side scan discount isn't worth a batch pass. */
   def incrementalNew(batch: DataFrame, seen: DataFrame,
       keyCol: String = "content_md5",
       fpp: Double = 0.01,
       maxBloomBytes: Long = 256L << 20,
-      expectedBatchKeys: Long = -1L): DataFrame = {
+      expectedBatchKeys: Long = -1L,
+      materialize: Boolean = true): DataFrame = {
     import org.apache.spark.util.sketch.BloomFilter
     import org.apache.spark.sql.types.{StringType, ByteType, ShortType, IntegerType, LongType}
     val spark = batch.sparkSession
-    val isString = batch.schema(keyCol).dataType match {
-      case StringType => true
-      case ByteType | ShortType | IntegerType | LongType => false
-      case t => throw new IllegalArgumentException(
-        s"incrementalNew: unsupported key type $t for '$keyCol' (string or integral)")
-    }
+    def keyKind(side: String, df: DataFrame): Boolean =
+      df.schema(keyCol).dataType match {
+        case StringType => true
+        case ByteType | ShortType | IntegerType | LongType => false
+        case t => throw new IllegalArgumentException(
+          s"incrementalNew: unsupported $side key type $t for '$keyCol' (string or integral)")
+      }
+    val isString = keyKind("batch", batch)
+    if (keyKind("seen", seen) != isString)
+      throw new IllegalArgumentException(
+        s"incrementalNew: batch and seen disagree on '$keyCol' " +
+          s"(${batch.schema(keyCol).dataType} vs ${seen.schema(keyCol).dataType})")
     val seenKeys = {
       val k = seen.select(col(keyCol)).where(col(keyCol).isNotNull)
       if (isString) k else k.select(col(keyCol).cast("long").as(keyCol))
     }
+    if (!materialize) return batch.join(seenKeys, Seq(keyCol), "left_anti")
     val nBatch =
       if (expectedBatchKeys > 0) expectedBatchKeys
       else batch.select(col(keyCol)).where(col(keyCol).isNotNull).count()

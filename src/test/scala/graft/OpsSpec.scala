@@ -570,5 +570,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got sameElements Array(11L))
     val bad = Seq((1L, Array(1.0f))).toDF("doc_id", "key")
     intercept[IllegalArgumentException](Dedup.incrementalNew(bad, bad, "key"))
+    // a bad SEEN side must reject just as loudly (not a task-side CCE)
+    intercept[IllegalArgumentException](Dedup.incrementalNew(batch, bad, "key"))
+    // cross-family keys (string batch vs integral seen) are a loud error,
+    // not an implicit cast inside the join
+    val strBatch = Seq((10L, "2")).toDF("doc_id", "key")
+    intercept[IllegalArgumentException](Dedup.incrementalNew(strBatch, seen, "key"))
+    intercept[IllegalArgumentException](
+      Dedup.incrementalNew(batch, strBatch.select("key"), "key"))
+  }
+
+  test("incrementalNew: materialize=false is plan-only (no jobs) and row-identical when executed") {
+    import spark.implicits._
+    val seen = Seq("k1", "k2", "k3").toDF("key")
+    val batch = Seq((10L, "k2"), (11L, "k9"), (13L, "new")).toDF("doc_id", "key")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan = Dedup.incrementalNew(batch, seen, "key", materialize = false)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "materialize=false must not run any Spark job")
+    val got = plan.select("doc_id").as[Long].collect().sorted
+    assert(got sameElements Array(11L, 13L))
   }
 }
