@@ -465,6 +465,17 @@ object SparkEntry {
           Similarity.planesFor(16, 8, 7L))
         .orderBy("vec_id")
     }),
+    // d38: DSIR importance weights (Xie et al. 2023) — every document
+    // scored by the log-likelihood ratio of its hashed-unigram bag under a
+    // target model (here: the doc_id%7 slice standing in for the quality
+    // corpus) vs the raw-corpus model, in exact integer micro-units (the
+    // per-bucket log-ratio is the single rounding point, so the DuckDB
+    // oracle reproduces every weight bit-exactly).
+    "d38_dsir_weights" -> ((s, d) => {
+      val all = docs(s, d)
+      owned(ops.Sampling.dsirWeights(all, all.filter(col("doc_id") % 7 === 0)))
+        .orderBy("doc_id")
+    }),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -973,6 +984,37 @@ object SparkEntry {
          |SELECT vec_id, CAST(CASE $argmin END AS INTEGER) AS cell
          |FROM dm ORDER BY vec_id""".stripMargin
     },
+    // Same smoothed unigram models re-derived from scratch: md5-hash
+    // buckets, Laplace +1, one round() per bucket log-ratio, bigint sums.
+    "d38_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt
+        |  FROM toks),
+        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+        |rc AS (SELECT bkt, sum(c) AS cr FROM db GROUP BY 1),
+        |tc AS (SELECT bkt, sum(c) AS ct FROM db WHERE doc_id % 7 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM db) AS tr,
+        |               (SELECT coalesce(sum(c), 0) FROM db WHERE doc_id % 7 = 0) AS tt),
+        |lr AS (
+        |  SELECT rc.bkt,
+        |    CAST(round(1e6 * (ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 256.0))
+        |                    - ln((rc.cr + 1.0) / (tot.tr + 256.0)))) AS BIGINT)
+        |      AS lr_micros
+        |  FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt CROSS JOIN tot),
+        |w AS (
+        |  SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_grams,
+        |    CAST(sum(db.c * lr.lr_micros) AS BIGINT) AS weight_micros
+        |  FROM db JOIN lr ON db.bkt = lr.bkt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(w.n_grams, 0) AS n_grams,
+        |  coalesce(w.weight_micros, 0) AS weight_micros
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d27_dup_windows" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -111,4 +111,90 @@ object Sampling {
     }
     df.filter(nib4 < threshold)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS): score every `raw`
+    * document by how target-like its hashed-unigram bag is — the
+    * log-likelihood ratio of the document's tokens under two smoothed
+    * unigram models over `buckets` hashed feature buckets, one estimated
+    * from `target` (the small quality corpus) and one from `raw` (the crawl
+    * being selected from). Selecting the top-weight documents (or Gumbel
+    * resampling on the weights) is then one orderBy/filter away.
+    *
+    * Exact fixed-point semantics (so the DuckDB oracle can pin it):
+    * tokens are the lower-cased `[A-Za-z0-9]+` runs ([[TextOps.asciiTokens]],
+    * the corpus-wide token convention), bucket = first-8-hex-digits of
+    * md5(token) mod `buckets`, and each bucket's log-ratio
+    * `ln((ct+1)/(T+B)) - ln((cr+1)/(R+B))` (Laplace-smoothed, natural log)
+    * is rounded ONCE to integer micro-units; a document's
+    * `weight_micros` is the exact bigint sum of its per-token bucket
+    * micros, so the per-doc aggregation is order-independent and
+    * engine-exact — the only doubles in the pipeline are the `buckets`
+    * per-bucket ratios, each a correctly-rounded IEEE division pair
+    * through one `ln`.
+    *
+    * Scale shape: the corpus is tokenized ONCE into per-(doc, bucket)
+    * counts (one shuffle with map-side combine; ≤ `buckets` distinct rows
+    * per doc); both model estimates reduce over that relation (bucket
+    * cardinality = `buckets`, so those aggregates broadcast), and the
+    * final per-doc sum joins the bucket table back as a broadcast. No
+    * corpus self-join, no Window, no driver-side token data.
+    * `materialize = true` (default) persists the shared per-(doc,bucket)
+    * relation for the duration of the computation and releases it before
+    * returning the cached result; `materialize = false` returns the
+    * unexecuted plan (the tokenize pass appears in multiple branches —
+    * explain/audit or lazy composition only). */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 256,
+      materialize: Boolean = true): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("doc_id"),
+          explode(TextOps.asciiTokens(col(textCol))).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 8),
+            16, 10).cast("long") % buckets).as("bkt"))
+        .groupBy(col("doc_id"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+    val rawCounts = bucketCounts(raw)
+    val handle =
+      if (materialize)
+        rawCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawCounts
+    try {
+      // model estimates: bucket-keyed aggregates (<= `buckets` rows each)
+      val rc = handle.groupBy(col("bkt")).agg(sum(col("c")).as("cr"))
+      val tc = bucketCounts(target).groupBy(col("bkt")).agg(sum(col("c")).as("ct"))
+      val totals = rc.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
+        .crossJoin(tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
+      // per-bucket log-ratio in integer micros: the ONE rounding point.
+      // Buckets unseen in the target get ct=0 (+1 smoothing); every bucket
+      // reaching the join below exists in raw by construction.
+      val lr = rc.join(tc, Seq("bkt"), "left").crossJoin(totals)
+        .select(col("bkt"),
+          round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+                     (col("tt") + lit(buckets.toDouble))) -
+                 log((col("cr") + lit(1.0)) /
+                     (col("tr") + lit(buckets.toDouble)))) * lit(1e6))
+            .cast("long").as("lr_micros"))
+      val w = handle.join(broadcast(lr), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(col("c") * col("lr_micros")).as("weight_micros"))
+      // one row per raw doc: token-free docs score 0 (an empty product)
+      val out = raw.select(col(idCol).cast("long").as("doc_id"))
+        .join(w, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("weight_micros"), lit(0L)).as("weight_micros"))
+      if (!materialize) out // plan-only: nothing executed, nothing cached
+      else {
+        val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // materialize so the shared token pass can be released
+        cached
+      }
+    } finally if (materialize) handle.unpersist()
+  }
 }

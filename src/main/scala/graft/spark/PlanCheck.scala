@@ -124,6 +124,18 @@ object PlanCheck {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("d27_dup_windows (lazy plan)", d27,
       Seq("HashAggregate"), Seq("Window", "InMemoryTableScan"))
+    // d38: DSIR weights — the bucket log-ratio table (<= `buckets` rows)
+    // must BROADCAST into the corpus-side per-doc sum (a SortMergeJoin
+    // there would shuffle the whole per-(doc,bucket) relation against a
+    // 256-row table), and per-doc weights must never use a Window —
+    // audited on the lazy (materialize = false) plan, nothing executed
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d38 = graft.ops.Sampling.dsirWeights(docsDf,
+        docsDf.filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0),
+        materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d38_dsir_weights (lazy plan)", d38,
+      Seq("BroadcastHashJoin", "HashAggregate"), Seq("Window"))
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
     // `Window` here would mean the global single-task cumsum crept back in.

@@ -157,4 +157,55 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Sampling.stratifiedSample(df, Map("en" -> 1.5)))
   }
+
+  test("dsirWeights: target-vocabulary docs outscore off-distribution docs; empty docs 0") {
+    import spark.implicits._
+    // planted truth: the target model is pure 'alpha'-vocabulary; raw mixes
+    // alpha docs with 'omega'-vocabulary docs the target never mentions.
+    // DSIR must rank every alpha doc above every omega doc.
+    val alpha = "alpha beta gamma delta alpha beta"
+    val omega = "omega sigma tau rho omega sigma"
+    val raw = Seq(
+      (0L, alpha), (1L, omega), (2L, alpha), (3L, omega),
+      (4L, alpha + " " + omega), // mixed: must land strictly between
+      (5L, ""), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text").repartition(3)
+    val target = Seq((100L, alpha), (101L, alpha)).toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(raw, target)
+    val w = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      assert(w.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L)) // one row per raw doc
+      assert(w(5L) == ((0L, 0L)) && w(6L) == ((0L, 0L)))  // token-free: 0/0
+      assert(w(0L) == w(2L) && w(1L) == w(3L))            // same text, same weight
+      val (alphaW, omegaW, mixedW) = (w(0L)._2, w(1L)._2, w(4L)._2)
+      assert(alphaW > omegaW, s"alpha $alphaW must outscore omega $omegaW")
+      // the weight is a log-likelihood SUM over tokens (longer docs sum
+      // more terms), so the mixed doc is EXACTLY the sum of its halves...
+      assert(mixedW == alphaW + omegaW)
+      // ...and sits strictly between them PER TOKEN (6+6 vs 12 tokens)
+      assert(mixedW * 6 > omegaW * 12 && mixedW * 6 < alphaW * 12,
+        s"per-token mixed ${mixedW / 12.0} must land between " +
+          s"${omegaW / 6.0} and ${alphaW / 6.0}")
+      assert(w(0L)._1 == 6L && w(4L)._1 == 12L) // n_grams = token counts
+    } finally out.unpersist() // release the materialized result cache
+    intercept[IllegalArgumentException](Sampling.dsirWeights(raw, target, buckets = 1))
+  }
+
+  test("dsirWeights: materialize=false is plan-only (no jobs), broadcast bucket join, no Window") {
+    import spark.implicits._
+    val raw = Seq((0L, "a b c"), (1L, "d e f")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan = Sampling.dsirWeights(raw, target, materialize = false)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "materialize=false must not run any Spark job")
+    val s = plan.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!s.contains("Window"), "per-doc weights must never use a Window")
+    assert(s.contains("BroadcastHashJoin"),
+      "the bucket log-ratio table must broadcast into the corpus side")
+    // the lazy plan still computes the same rows when executed
+    val got = plan.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(0L, 1L) && got(0L) > got(1L))
+  }
 }
