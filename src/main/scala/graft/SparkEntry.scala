@@ -476,6 +476,17 @@ object SparkEntry {
       owned(ops.Sampling.dsirWeights(all, all.filter(col("doc_id") % 7 === 0)))
         .orderBy("doc_id")
     }),
+    // d39: DSIR end-to-end — Gumbel-top-k resampling over the d38 weights
+    // (select 100 docs without replacement ∝ exp(weight)). The Gumbel draw
+    // is md5-seeded and fixed-point, so the selected SET is engine-exact;
+    // the plan is TakeOrderedAndProject (bounded per-partition top-k), no
+    // global sort.
+    "d39_dsir_sample" -> ((s, d) => {
+      val all = docs(s, d)
+      val w = owned(ops.Sampling.dsirWeights(all, all.filter(col("doc_id") % 7 === 0)))
+      ops.Sampling.gumbelTopK(w, k = 100)
+        .orderBy(col("key_micros").desc, col("doc_id"))
+    }),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -1015,6 +1026,43 @@ object SparkEntry {
         |  coalesce(w.weight_micros, 0) AS weight_micros
         |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // d38's weights + the md5-seeded fixed-point Gumbel key; the LIMIT
+    // boundary is deterministic because (key DESC, doc_id) is a total order
+    "d39_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt
+        |  FROM toks),
+        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+        |rc AS (SELECT bkt, sum(c) AS cr FROM db GROUP BY 1),
+        |tc AS (SELECT bkt, sum(c) AS ct FROM db WHERE doc_id % 7 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM db) AS tr,
+        |               (SELECT coalesce(sum(c), 0) FROM db WHERE doc_id % 7 = 0) AS tt),
+        |lr AS (
+        |  SELECT rc.bkt,
+        |    CAST(round(1e6 * (ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 256.0))
+        |                    - ln((rc.cr + 1.0) / (tot.tr + 256.0)))) AS BIGINT)
+        |      AS lr_micros
+        |  FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt CROSS JOIN tot),
+        |w AS (
+        |  SELECT db.doc_id, CAST(sum(db.c * lr.lr_micros) AS BIGINT) AS wm
+        |  FROM db JOIN lr ON db.bkt = lr.bkt GROUP BY 1),
+        |wfull AS (
+        |  SELECT d.doc_id, coalesce(w.wm, 0) AS weight_micros
+        |  FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
+        |g AS (
+        |  SELECT doc_id, weight_micros,
+        |    weight_micros + CAST(round(1e6 * -ln(-ln(
+        |      (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |         AS BIGINT) + 0.5) / 4503599627370496.0)))
+        |      AS BIGINT) AS key_micros
+        |  FROM wfull)
+        |SELECT doc_id, weight_micros, key_micros
+        |FROM g ORDER BY key_micros DESC, doc_id LIMIT 100""".stripMargin,
     "d27_dup_windows" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -197,4 +197,39 @@ object Sampling {
       }
     } finally if (materialize) handle.unpersist()
   }
+
+  /** Gumbel-top-k resampling over importance weights — the selection step
+    * that completes [[dsirWeights]] into DSIR proper: drawing k documents
+    * without replacement with probability ∝ exp(weight/temperature) is
+    * exactly "add independent Gumbel noise to each log-weight and keep the
+    * k largest keys" (the Gumbel-top-k trick; Xie et al. 2023 §2.3).
+    *
+    * Deterministic and engine-exact: the uniform driving each document's
+    * Gumbel draw is the first 13 md5 hex digits of `seed:doc_id` (u =
+    * (h + 0.5) / 16^13, strictly inside (0,1); 16^13 = 2^52 so every step
+    * is an exact double), g = -ln(-ln(u)), and the sampling key is the
+    * integer `key_micros = round(weight/temperature) + round(1e6·g)` —
+    * ties broken by doc_id, so the selected SET is a pure function of
+    * (weights, seed, k, temperature) on any engine and any partitioning.
+    *
+    * Scale shape: one narrow projection then `orderBy(...).limit(k)`,
+    * which Spark plans as TakeOrderedAndProject — bounded per-partition
+    * top-k merged on the driver, no global sort, no Window, no corpus
+    * shuffle. k rows cross the wire, nothing else. */
+  def gumbelTopK(weights: DataFrame, k: Int, seed: Long = 42L,
+      weightCol: String = "weight_micros", idCol: String = "doc_id",
+      temperature: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    val h = conv(substring(md5(to_binary(
+        concat(lit(seed.toString), lit(":"), col(idCol).cast("string")),
+        lit("utf-8"))), 1, 13), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 16^13
+    val gumbelMicros = round(lit(1e6) * -log(-log(u))).cast("long")
+    val key = (round(col(weightCol) / lit(temperature)).cast("long") +
+      gumbelMicros).as("key_micros")
+    weights.select(col(idCol), col(weightCol), key)
+      .orderBy(col("key_micros").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -208,4 +208,36 @@ class SamplingSpec extends AnyFunSuite {
     val got = plan.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got.keySet == Set(0L, 1L) && got(0L) > got(1L))
   }
+
+  test("gumbelTopK: deterministic selection, weight dominance, partition invariance") {
+    import spark.implicits._
+    // one overwhelming weight among near-zero ones: 20 log-units above the
+    // rest dwarfs any Gumbel draw, so doc 0 must be selected at every seed
+    val w = ((0L, 20000000L) +: (1L to 49L).map(i => (i, -i * 1000L)))
+      .toDF("doc_id", "weight_micros")
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int, seed: Long) =
+      Sampling.gumbelTopK(df, k, seed).collect().map(_.getLong(0)).toSet
+    val s1 = ids(w, 10, seed = 7L)
+    assert(s1 == ids(w, 10, seed = 7L), "same seed must select the same set")
+    assert(s1 == ids(w.repartition(7), 10, seed = 7L),
+      "selection must not depend on partitioning")
+    assert(s1.contains(0L) && ids(w, 10, seed = 8L).contains(0L) &&
+      ids(w, 10, seed = 9L).contains(0L), "dominant weight always selected")
+    assert(s1 != ids(w, 10, seed = 8L) || s1 != ids(w, 10, seed = 9L),
+      "different seeds must be able to select different sets")
+    assert(ids(w, 1000, seed = 7L).size == 50, "k >= n returns every row")
+    // keys are reproducible values, not per-run randomness: re-collecting
+    // yields identical key_micros row for row
+    val k1 = Sampling.gumbelTopK(w, 5, 7L).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val k2 = Sampling.gumbelTopK(w, 5, 7L).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(k1.sameElements(k2))
+    intercept[IllegalArgumentException](Sampling.gumbelTopK(w, 0))
+    intercept[IllegalArgumentException](Sampling.gumbelTopK(w, 5, temperature = 0.0))
+    // plan shape: bounded per-partition top-k merged on the driver — no
+    // global sort exchange, no Window
+    val s = Sampling.gumbelTopK(w, 10).queryExecution
+      .executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("Window"), s)
+  }
 }
