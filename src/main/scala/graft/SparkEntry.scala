@@ -487,6 +487,14 @@ object SparkEntry {
       ops.Sampling.gumbelTopK(w, k = 100)
         .orderBy(col("key_micros").desc, col("doc_id"))
     }),
+    // d40: CCNet-style perplexity score — average token NLL under the
+    // hashed-unigram LM estimated from the corpus itself (self-perplexity:
+    // low = stereotypical/repetitive text, high = off-distribution). The
+    // quality gate "keep the low-ppl head/middle" is one filter away.
+    "d40_unigram_ppl" -> ((s, d) => {
+      val all = docs(s, d)
+      owned(ops.Sampling.unigramNll(all, all)).orderBy("doc_id")
+    }),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -1063,6 +1071,37 @@ object SparkEntry {
         |  FROM wfull)
         |SELECT doc_id, weight_micros, key_micros
         |FROM g ORDER BY key_micros DESC, doc_id LIMIT 100""".stripMargin,
+    // Same hashed-unigram LM re-derived from scratch; lm = corpus, so the
+    // bucket join is total. floor of an IEEE division of two < 2^53
+    // integers keeps the per-token average engine-exact.
+    "d40_unigram_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt
+        |  FROM toks),
+        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+        |mc AS (SELECT bkt, sum(c) AS cm FROM db GROUP BY 1),
+        |tot AS (SELECT coalesce(sum(c), 0) AS tm FROM db),
+        |nll AS (
+        |  SELECT mc.bkt,
+        |    CAST(round(1e6 * -ln((mc.cm + 1.0) / (tot.tm + 256.0))) AS BIGINT)
+        |      AS m
+        |  FROM mc CROSS JOIN tot),
+        |w AS (
+        |  SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_grams,
+        |    CAST(floor(CAST(sum(db.c * nll.m) AS DOUBLE)
+        |               / CAST(sum(db.c) AS DOUBLE)) AS BIGINT)
+        |      AS nll_micros_per_tok
+        |  FROM db JOIN nll ON db.bkt = nll.bkt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(w.n_grams, 0) AS n_grams,
+        |  coalesce(w.nll_micros_per_tok, 0) AS nll_micros_per_tok
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "d27_dup_windows" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -144,21 +144,27 @@ object Sampling {
     * returning the cached result; `materialize = false` returns the
     * unexecuted plan (the tokenize pass appears in multiple branches —
     * explain/audit or lazy composition only). */
+  /** Per-(doc, bucket) token counts — the hashed-unigram feature relation
+    * shared by [[dsirWeights]] and [[unigramNll]]: corpus-convention ascii
+    * tokens, bucket = first-8-hex-digits of md5(token) mod `buckets`. One
+    * shuffle with map-side combine; ≤ `buckets` rows per doc. */
+  private def bucketCounts(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.asciiTokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 8),
+          16, 10).cast("long") % buckets).as("bkt"))
+      .groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+
   def dsirWeights(raw: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 256,
       materialize: Boolean = true): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
-    def bucketCounts(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("doc_id"),
-          explode(TextOps.asciiTokens(col(textCol))).as("tok"))
-        .select(col("doc_id"),
-          (conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 8),
-            16, 10).cast("long") % buckets).as("bkt"))
-        .groupBy(col("doc_id"), col("bkt"))
-        .agg(count(lit(1)).as("c"))
-    val rawCounts = bucketCounts(raw)
+    val rawCounts = bucketCounts(raw, textCol, idCol, buckets)
     val handle =
       if (materialize)
         rawCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -166,7 +172,8 @@ object Sampling {
     try {
       // model estimates: bucket-keyed aggregates (<= `buckets` rows each)
       val rc = handle.groupBy(col("bkt")).agg(sum(col("c")).as("cr"))
-      val tc = bucketCounts(target).groupBy(col("bkt")).agg(sum(col("c")).as("ct"))
+      val tc = bucketCounts(target, textCol, idCol, buckets)
+        .groupBy(col("bkt")).agg(sum(col("c")).as("ct"))
       val totals = rc.agg(coalesce(sum(col("cr")), lit(0L)).as("tr"))
         .crossJoin(tc.agg(coalesce(sum(col("ct")), lit(0L)).as("tt")))
       // per-bucket log-ratio in integer micros: the ONE rounding point.
@@ -231,5 +238,70 @@ object Sampling {
     weights.select(col(idCol), col(weightCol), key)
       .orderBy(col("key_micros").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Per-document negative log-likelihood under a hashed-unigram language
+    * model — the CCNet-style perplexity-filter score (Wenzek et al. 2020
+    * score documents with an in-domain LM and keep the low-perplexity
+    * head/middle; here the LM is the Laplace-smoothed hashed-unigram model
+    * over `buckets` features, estimated from `lm` — pass a quality corpus,
+    * or `corpus` itself for a self-perplexity repetitiveness signal).
+    *
+    * Output per doc: `n_grams` and `nll_micros_per_tok` =
+    * floor(Σ_tokens −ln p(bucket(token)) · 1e6 / n_grams) — average
+    * token NLL in integer micros (log-perplexity; perplexity =
+    * exp(micros/1e6)). Fixed-point contract like [[dsirWeights]]: each
+    * bucket's −ln p is rounded ONCE to micros, the per-doc sum is an exact
+    * bigint, and the final average is floor of an IEEE division of two
+    * < 2^53 integers — engine-exact everywhere. Token-free docs score 0.
+    *
+    * Scale shape: identical to [[dsirWeights]] — one tokenize pass into
+    * per-(doc,bucket) counts, a bucket-cardinality model aggregate that
+    * broadcasts back, one per-doc sum; no Window, no corpus self-join. */
+  def unigramNll(corpus: DataFrame, lm: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 256,
+      materialize: Boolean = true): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val corpusCounts = bucketCounts(corpus, textCol, idCol, buckets)
+    val handle =
+      if (materialize)
+        corpusCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else corpusCounts
+    try {
+      // when lm eq corpus, reuse the (possibly persisted) corpus relation
+      val lmCounts =
+        if (lm eq corpus) handle else bucketCounts(lm, textCol, idCol, buckets)
+      val mc = lmCounts.groupBy(col("bkt")).agg(sum(col("c")).as("cm"))
+      val total = mc.agg(coalesce(sum(col("cm")), lit(0L)).as("tm"))
+      // per-bucket token NLL in integer micros: the ONE rounding point.
+      // Corpus buckets absent from the LM get the cm=0 smoothed mass via a
+      // left join from the corpus bucket set.
+      val corpusBkts = handle.select(col("bkt")).distinct()
+      val nll = corpusBkts.join(mc, Seq("bkt"), "left").crossJoin(total)
+        .select(col("bkt"),
+          round(lit(1e6) * -log((coalesce(col("cm"), lit(0L)) + lit(1.0)) /
+              (col("tm") + lit(buckets.toDouble))))
+            .cast("long").as("nll_micros"))
+      val perDoc = handle.join(broadcast(nll), Seq("bkt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(col("c") * col("nll_micros")).as("nll_sum"))
+        .select(col("doc_id"), col("n_grams"),
+          floor(col("nll_sum").cast("double") / col("n_grams").cast("double"))
+            .cast("long").as("nll_micros_per_tok"))
+      val out = corpus.select(col(idCol).cast("long").as("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("nll_micros_per_tok"), lit(0L)).as("nll_micros_per_tok"))
+      if (!materialize) out // plan-only: nothing executed, nothing cached
+      else {
+        val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        cached
+      }
+    } finally if (materialize) handle.unpersist()
   }
 }

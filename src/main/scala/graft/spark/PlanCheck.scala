@@ -136,6 +136,13 @@ object PlanCheck {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("d38_dsir_weights (lazy plan)", d38,
       Seq("BroadcastHashJoin", "HashAggregate"), Seq("Window"))
+    // d40: same audit for the perplexity scorer — LM table broadcasts,
+    // per-doc NLL is aggregate-shaped, never a Window
+    val d40 = graft.ops.Sampling.unigramNll(docsDf, docsDf,
+        materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d40_unigram_ppl (lazy plan)", d40,
+      Seq("BroadcastHashJoin", "HashAggregate"), Seq("Window"))
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
     // `Window` here would mean the global single-task cumsum crept back in.

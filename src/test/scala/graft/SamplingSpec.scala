@@ -240,4 +240,48 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"), s)
     assert(!s.contains("Window"), s)
   }
+
+  test("unigramNll: common-vocabulary docs score lower than rare-vocabulary docs") {
+    import spark.implicits._
+    // LM corpus: 'common'-family tokens dominate, 'rare' appears once.
+    // A doc of common tokens must have strictly lower per-token NLL than a
+    // doc of rare tokens, and one whose tokens never appear in the LM
+    // (smoothed zero-count mass) must score highest of all.
+    val lm = (1L to 20L).map(i => (100L + i, "common tokens appear everywhere"))
+      .:+((200L, "rare once")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "common tokens appear everywhere"),
+      (1L, "rare rare rare"),
+      (2L, "unseen vocabulary entirely"),
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text").repartition(3)
+    val out = Sampling.unigramNll(corpus, lm)
+    try {
+      val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(m.keySet == Set(0L, 1L, 2L, 3L, 4L))
+      assert(m(3L) == ((0L, 0L)) && m(4L) == ((0L, 0L))) // token-free: 0/0
+      assert(m(0L)._2 < m(1L)._2, s"common ${m(0L)._2} must beat rare ${m(1L)._2}")
+      assert(m(1L)._2 < m(2L)._2, s"rare ${m(1L)._2} must beat unseen ${m(2L)._2}")
+      assert(m(0L)._1 == 4L && m(1L)._1 == 3L)
+    } finally out.unpersist()
+    // self-perplexity (lm eq corpus) reuses the persisted token pass and
+    // still returns one row per doc
+    val self = Sampling.unigramNll(corpus, corpus)
+    try assert(self.count() == 5L) finally self.unpersist()
+    intercept[IllegalArgumentException](Sampling.unigramNll(corpus, lm, buckets = 1))
+  }
+
+  test("unigramNll: materialize=false is plan-only (no jobs), broadcast LM join, no Window") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val plan = Sampling.unigramNll(corpus, corpus, materialize = false)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "materialize=false must not run any Spark job")
+    val s = plan.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!s.contains("Window"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(plan.count() == 2L) // the lazy plan still executes correctly
+  }
 }
