@@ -271,6 +271,80 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.unigramNll(corpus, lm, buckets = 1))
   }
 
+  test("dsirWeights and unigramNll match an independent in-memory reference on a seeded random corpus") {
+    import spark.implicits._
+    // independent reference: java.util.regex tokenization, MessageDigest
+    // md5 bucketing, scala.math log/rounding — none of the Column machinery
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def toks(s: String): Seq[String] =
+      if (s == null) Nil
+      else "[A-Za-z0-9]+".r.findAllIn(s).map(_.toLowerCase).toSeq
+    def bkt(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    // Spark round() is HALF_UP (away from zero), NOT math.round (half-even
+    // toward +inf for negatives)
+    def halfUp(x: Double): Long =
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    val rnd = new scala.util.Random(20260820L)
+    val vocab = Vector.tabulate(40)(i => s"w${rnd.nextInt(10000)}x$i")
+    val docsSeq = (0L until 120L).map { i =>
+      val n = rnd.nextInt(30)
+      val body =
+        if (i == 7L) null.asInstanceOf[String]
+        else if (i == 11L) ""
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (i, body)
+    }
+    val df = docsSeq.toDF("doc_id", "text").repartition(5)
+    val targetIds = docsSeq.map(_._1).filter(_ % 3 == 0).toSet
+    val target = df.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+
+    val perDoc = docsSeq.map { case (i, s) =>
+      i -> toks(s).map(bkt).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    def totals(ids: Iterable[Long]): (Map[Long, Long], Long) = {
+      val m = ids.flatMap(perDoc(_).toSeq).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sum).toMap
+      (m, m.values.sum)
+    }
+    val (rcm, tr) = totals(docsSeq.map(_._1))
+    val (tcm, tt) = totals(docsSeq.map(_._1).filter(targetIds))
+
+    // dsirWeights reference
+    val lrRef = rcm.keys.map { b =>
+      b -> halfUp(1e6 * (math.log((tcm.getOrElse(b, 0L) + 1.0) / (tt + 256.0))
+                       - math.log((rcm(b) + 1.0) / (tr + 256.0))))
+    }.toMap
+    val expectedW = docsSeq.map { case (i, _) =>
+      val cs = perDoc(i)
+      i -> (cs.values.sum, cs.map { case (b, c) => c * lrRef(b) }.sum)
+    }.toMap
+    val w = Sampling.dsirWeights(df, target)
+    try {
+      val got = w.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expectedW)
+    } finally w.unpersist()
+
+    // unigramNll reference (lm = target corpus: exercises unseen buckets)
+    val nllRef = rcm.keys.map { b =>
+      b -> halfUp(1e6 * -math.log((tcm.getOrElse(b, 0L) + 1.0) / (tt + 256.0)))
+    }.toMap
+    val expectedN = docsSeq.map { case (i, _) =>
+      val cs = perDoc(i)
+      val n = cs.values.sum
+      val s = cs.map { case (b, c) => c * nllRef(b) }.sum
+      i -> (n, if (n == 0) 0L else math.floor(s.toDouble / n.toDouble).toLong)
+    }.toMap
+    val nll = Sampling.unigramNll(df, target)
+    try {
+      val got = nll.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expectedN)
+    } finally nll.unpersist()
+  }
+
   test("unigramNll: materialize=false is plan-only (no jobs), broadcast LM join, no Window") {
     import spark.implicits._
     val corpus = Seq((0L, "a b"), (1L, "c d")).toDF("doc_id", "text")
