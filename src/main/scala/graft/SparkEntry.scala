@@ -694,6 +694,31 @@ object SparkEntry {
     })
   )
 
+  /** Shared DSIR model-estimation CTE chain (d38/d39 oracles): tokens →
+    * md5 buckets → per-(doc,bucket) counts → both smoothed unigram models →
+    * per-bucket log-ratio micros. One definition so the two oracles cannot
+    * drift apart on the weight semantics. */
+  private val dsirWeightCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt
+      |  FROM toks),
+      |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+      |rc AS (SELECT bkt, sum(c) AS cr FROM db GROUP BY 1),
+      |tc AS (SELECT bkt, sum(c) AS ct FROM db WHERE doc_id % 7 = 0 GROUP BY 1),
+      |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM db) AS tr,
+      |               (SELECT coalesce(sum(c), 0) FROM db WHERE doc_id % 7 = 0) AS tt),
+      |lr AS (
+      |  SELECT rc.bkt,
+      |    CAST(round(1e6 * (ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 256.0))
+      |                    - ln((rc.cr + 1.0) / (tot.tr + 256.0)))) AS BIGINT)
+      |      AS lr_micros
+      |  FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt CROSS JOIN tot)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "d01_text_stats" ->
       """SELECT doc_id,
@@ -1005,27 +1030,8 @@ object SparkEntry {
     },
     // Same smoothed unigram models re-derived from scratch: md5-hash
     // buckets, Laplace +1, one round() per bucket log-ratio, bigint sums.
-    "d38_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt
-        |  FROM toks),
-        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
-        |rc AS (SELECT bkt, sum(c) AS cr FROM db GROUP BY 1),
-        |tc AS (SELECT bkt, sum(c) AS ct FROM db WHERE doc_id % 7 = 0 GROUP BY 1),
-        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM db) AS tr,
-        |               (SELECT coalesce(sum(c), 0) FROM db WHERE doc_id % 7 = 0) AS tt),
-        |lr AS (
-        |  SELECT rc.bkt,
-        |    CAST(round(1e6 * (ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 256.0))
-        |                    - ln((rc.cr + 1.0) / (tot.tr + 256.0)))) AS BIGINT)
-        |      AS lr_micros
-        |  FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt CROSS JOIN tot),
-        |w AS (
+    "d38_dsir_weights" -> (dsirWeightCtes + "," + "\n" +
+      """w AS (
         |  SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_grams,
         |    CAST(sum(db.c * lr.lr_micros) AS BIGINT) AS weight_micros
         |  FROM db JOIN lr ON db.bkt = lr.bkt GROUP BY 1)
@@ -1033,30 +1039,11 @@ object SparkEntry {
         |  coalesce(w.n_grams, 0) AS n_grams,
         |  coalesce(w.weight_micros, 0) AS weight_micros
         |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     // d38's weights + the md5-seeded fixed-point Gumbel key; the LIMIT
     // boundary is deterministic because (key DESC, doc_id) is a total order
-    "d39_dsir_sample" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_transform(
-        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS t
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256 AS bkt
-        |  FROM toks),
-        |db AS (SELECT doc_id, bkt, count(*) AS c FROM b GROUP BY 1, 2),
-        |rc AS (SELECT bkt, sum(c) AS cr FROM db GROUP BY 1),
-        |tc AS (SELECT bkt, sum(c) AS ct FROM db WHERE doc_id % 7 = 0 GROUP BY 1),
-        |tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM db) AS tr,
-        |               (SELECT coalesce(sum(c), 0) FROM db WHERE doc_id % 7 = 0) AS tt),
-        |lr AS (
-        |  SELECT rc.bkt,
-        |    CAST(round(1e6 * (ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 256.0))
-        |                    - ln((rc.cr + 1.0) / (tot.tr + 256.0)))) AS BIGINT)
-        |      AS lr_micros
-        |  FROM rc LEFT JOIN tc ON rc.bkt = tc.bkt CROSS JOIN tot),
-        |w AS (
+    "d39_dsir_sample" -> (dsirWeightCtes + "," + "\n" +
+      """w AS (
         |  SELECT db.doc_id, CAST(sum(db.c * lr.lr_micros) AS BIGINT) AS wm
         |  FROM db JOIN lr ON db.bkt = lr.bkt GROUP BY 1),
         |wfull AS (
@@ -1070,7 +1057,7 @@ object SparkEntry {
         |      AS BIGINT) AS key_micros
         |  FROM wfull)
         |SELECT doc_id, weight_micros, key_micros
-        |FROM g ORDER BY key_micros DESC, doc_id LIMIT 100""".stripMargin,
+        |FROM g ORDER BY key_micros DESC, doc_id LIMIT 100""".stripMargin),
     // Same hashed-unigram LM re-derived from scratch; lm = corpus, so the
     // bucket join is total. floor of an IEEE division of two < 2^53
     // integers keeps the per-token average engine-exact.

@@ -112,6 +112,54 @@ object Sampling {
     df.filter(nib4 < threshold)
   }
 
+  /** Per-(doc, bucket) token counts — the hashed-unigram feature relation
+    * shared by [[dsirWeights]] and [[unigramNll]]: corpus-convention ascii
+    * tokens, bucket = first-8-hex-digits of md5(token) mod `buckets`. One
+    * shuffle with map-side combine; ≤ `buckets` rows per doc. */
+  private def bucketCounts(df: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.asciiTokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(TextOps.md5Key(col("tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bkt"))
+      .groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Shared lifecycle for the two hashed-unigram kernels: optionally persist
+    * the per-(doc,bucket) relation while `body` builds the result over it,
+    * then (materialize=true) cache+execute the result so the token pass can
+    * be released before returning — unpersisting the result again if the
+    * execution itself throws, so no cache outlives an exception. With
+    * materialize=false the UNEXECUTED plan is returned (explain/audit or
+    * lazy composition only — executing it re-runs the tokenize pass per
+    * branch, and nothing is cached). Callers of a materialized result own
+    * the returned cache and must unpersist it when done. */
+  private def withBucketRelation(counts: DataFrame, materialize: Boolean)(
+      body: DataFrame => DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val handle = if (materialize) counts.persist(lvl) else counts
+    try {
+      val out = body(handle)
+      if (!materialize) out
+      else {
+        val cached = out.persist(lvl)
+        try { cached.count(); cached }
+        catch { case t: Throwable => cached.unpersist(); throw t }
+      }
+    } finally if (materialize) handle.unpersist()
+  }
+
+  /** One row per source doc: left-join the per-doc scores back onto the full
+    * id set, coalescing each score column to 0 (token-free docs score 0 — an
+    * empty sum). Shared tail of [[dsirWeights]] and [[unigramNll]]. */
+  private def allDocsLeft(source: DataFrame, perDoc: DataFrame, idCol: String,
+      scoreCols: Seq[String]): DataFrame =
+    source.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        scoreCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", NeurIPS): score every `raw`
     * document by how target-like its hashed-unigram bag is — the
@@ -128,10 +176,14 @@ object Sampling {
     * `ln((ct+1)/(T+B)) - ln((cr+1)/(R+B))` (Laplace-smoothed, natural log)
     * is rounded ONCE to integer micro-units; a document's
     * `weight_micros` is the exact bigint sum of its per-token bucket
-    * micros, so the per-doc aggregation is order-independent and
-    * engine-exact — the only doubles in the pipeline are the `buckets`
-    * per-bucket ratios, each a correctly-rounded IEEE division pair
-    * through one `ln`.
+    * micros, so the per-doc aggregation is order-independent. Cross-engine
+    * caveat, stated honestly: IEEE 754 does not require `ln` to be
+    * correctly rounded, so the contract additionally assumes both engines'
+    * libm agree at the single rounding point — a 1-ulp `ln` divergence
+    * landing within ~1e-16 of an exact .5 micro boundary could flip one
+    * bucket's micros by 1 (probability ~1e-10 per bucket; LOUD — the oracle
+    * reports a hash mismatch — never a silent wrong answer; empirically
+    * absent on the oracled corpora and the seeded equivalence sweep).
     *
     * Scale shape: the corpus is tokenized ONCE into per-(doc, bucket)
     * counts (one shuffle with map-side combine; ≤ `buckets` distinct rows
@@ -141,35 +193,18 @@ object Sampling {
     * corpus self-join, no Window, no driver-side token data.
     * `materialize = true` (default) persists the shared per-(doc,bucket)
     * relation for the duration of the computation and releases it before
-    * returning the cached result; `materialize = false` returns the
-    * unexecuted plan (the tokenize pass appears in multiple branches —
-    * explain/audit or lazy composition only). */
-  /** Per-(doc, bucket) token counts — the hashed-unigram feature relation
-    * shared by [[dsirWeights]] and [[unigramNll]]: corpus-convention ascii
-    * tokens, bucket = first-8-hex-digits of md5(token) mod `buckets`. One
-    * shuffle with map-side combine; ≤ `buckets` rows per doc. */
-  private def bucketCounts(df: DataFrame, textCol: String, idCol: String,
-      buckets: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-        explode(TextOps.asciiTokens(col(textCol))).as("tok"))
-      .select(col("doc_id"),
-        (conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 8),
-          16, 10).cast("long") % buckets).as("bkt"))
-      .groupBy(col("doc_id"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-
+    * returning the cached result — the CALLER owns that cache and must
+    * unpersist it; `materialize = false` returns the unexecuted plan (the
+    * tokenize pass appears in multiple branches — explain/audit or lazy
+    * composition only). */
   def dsirWeights(raw: DataFrame, target: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 256,
       materialize: Boolean = true): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
-    val rawCounts = bucketCounts(raw, textCol, idCol, buckets)
-    val handle =
-      if (materialize)
-        rawCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else rawCounts
-    try {
+    withBucketRelation(bucketCounts(raw, textCol, idCol, buckets),
+        materialize) { handle =>
       // model estimates: bucket-keyed aggregates (<= `buckets` rows each)
       val rc = handle.groupBy(col("bkt")).agg(sum(col("c")).as("cr"))
       val tc = bucketCounts(target, textCol, idCol, buckets)
@@ -190,19 +225,8 @@ object Sampling {
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_grams"),
           sum(col("c") * col("lr_micros")).as("weight_micros"))
-      // one row per raw doc: token-free docs score 0 (an empty product)
-      val out = raw.select(col(idCol).cast("long").as("doc_id"))
-        .join(w, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("weight_micros"), lit(0L)).as("weight_micros"))
-      if (!materialize) out // plan-only: nothing executed, nothing cached
-      else {
-        val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached.count() // materialize so the shared token pass can be released
-        cached
-      }
-    } finally if (materialize) handle.unpersist()
+      allDocsLeft(raw, w, idCol, Seq("n_grams", "weight_micros"))
+    }
   }
 
   /** Gumbel-top-k resampling over importance weights — the selection step
@@ -228,9 +252,9 @@ object Sampling {
       temperature: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
-    val h = conv(substring(md5(to_binary(
-        concat(lit(seed.toString), lit(":"), col(idCol).cast("string")),
-        lit("utf-8"))), 1, 13), 16, 10).cast("long")
+    val h = conv(substring(TextOps.md5Key(
+        concat(lit(seed.toString), lit(":"), col(idCol).cast("string"))),
+        1, 13), 16, 10).cast("long")
     val u = (h.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 16^13
     val gumbelMicros = round(lit(1e6) * -log(-log(u))).cast("long")
     val key = (round(col(weightCol) / lit(temperature)).cast("long") +
@@ -253,33 +277,36 @@ object Sampling {
     * exp(micros/1e6)). Fixed-point contract like [[dsirWeights]]: each
     * bucket's −ln p is rounded ONCE to micros, the per-doc sum is an exact
     * bigint, and the final average is floor of an IEEE division of two
-    * < 2^53 integers — engine-exact everywhere. Token-free docs score 0.
+    * < 2^53 integers — exact on any engine up to the same single-`ln`
+    * libm caveat documented on [[dsirWeights]]. Token-free docs score 0.
     *
     * Scale shape: identical to [[dsirWeights]] — one tokenize pass into
     * per-(doc,bucket) counts, a bucket-cardinality model aggregate that
-    * broadcasts back, one per-doc sum; no Window, no corpus self-join. */
+    * broadcasts back, one per-doc sum; no Window, no corpus self-join.
+    * Same cache ownership contract as [[dsirWeights]]. */
   def unigramNll(corpus: DataFrame, lm: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       buckets: Int = 256,
       materialize: Boolean = true): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
-    val corpusCounts = bucketCounts(corpus, textCol, idCol, buckets)
-    val handle =
-      if (materialize)
-        corpusCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else corpusCounts
-    try {
+    withBucketRelation(bucketCounts(corpus, textCol, idCol, buckets),
+        materialize) { handle =>
       // when lm eq corpus, reuse the (possibly persisted) corpus relation
       val lmCounts =
         if (lm eq corpus) handle else bucketCounts(lm, textCol, idCol, buckets)
       val mc = lmCounts.groupBy(col("bkt")).agg(sum(col("c")).as("cm"))
       val total = mc.agg(coalesce(sum(col("cm")), lit(0L)).as("tm"))
       // per-bucket token NLL in integer micros: the ONE rounding point.
-      // Corpus buckets absent from the LM get the cm=0 smoothed mass via a
-      // left join from the corpus bucket set.
-      val corpusBkts = handle.select(col("bkt")).distinct()
-      val nll = corpusBkts.join(mc, Seq("bkt"), "left").crossJoin(total)
+      // The bucket dimension is the free `range(buckets)` (every corpus
+      // bucket is in [0, buckets) by construction), not a distinct() over
+      // the corpus relation — that would be a second full pass over the
+      // largest intermediate just to recover ≤ `buckets` values. Buckets
+      // absent from the LM get the cm=0 smoothed mass via the left join;
+      // buckets absent from the corpus cost ≤ `buckets` dead rows that the
+      // inner join below drops.
+      val bktDim = corpus.sparkSession.range(buckets).select(col("id").as("bkt"))
+      val nll = bktDim.join(mc, Seq("bkt"), "left").crossJoin(total)
         .select(col("bkt"),
           round(lit(1e6) * -log((coalesce(col("cm"), lit(0L)) + lit(1.0)) /
               (col("tm") + lit(buckets.toDouble))))
@@ -291,17 +318,7 @@ object Sampling {
         .select(col("doc_id"), col("n_grams"),
           floor(col("nll_sum").cast("double") / col("n_grams").cast("double"))
             .cast("long").as("nll_micros_per_tok"))
-      val out = corpus.select(col(idCol).cast("long").as("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("nll_micros_per_tok"), lit(0L)).as("nll_micros_per_tok"))
-      if (!materialize) out // plan-only: nothing executed, nothing cached
-      else {
-        val cached = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cached.count()
-        cached
-      }
-    } finally if (materialize) handle.unpersist()
+      allDocsLeft(corpus, perDoc, idCol, Seq("n_grams", "nll_micros_per_tok"))
+    }
   }
 }
