@@ -495,6 +495,18 @@ object SparkEntry {
       val all = docs(s, d)
       owned(ops.Sampling.unigramNll(all, all)).orderBy("doc_id")
     }),
+    // d41: SemDeDup (Abbas et al. 2023) — semantic dedup over the d36/d37
+    // 16-dim witness slice with the same 8 deterministic centroids d37
+    // assigns against: nearest-centroid cells, within-cell cosine ε-graph
+    // at 0.7 (57 edges over 474 eligible rows at sf0.01), connected
+    // components, keep = lowest centroid-cosine per component. Every
+    // decision is index-order double arithmetic, so the DuckDB oracle
+    // (same centroid literals, recursive-CTE components, row_number keep
+    // rule) reproduces (cell, component, keep) bit-exactly.
+    "d41_semdedup" -> ((s, d) =>
+      owned(Similarity.semDedup(raggedSlice16(s, d),
+          Similarity.planesFor(16, 8, 7L), threshold = 0.7))
+        .orderBy("vec_id")),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -1027,6 +1039,79 @@ object SparkEntry {
          |dm AS (SELECT *, LEAST($m) AS m FROM dist)
          |SELECT vec_id, CAST(CASE $argmin END AS INTEGER) AS cell
          |FROM dm ORDER BY vec_id""".stripMargin
+    },
+    // SemDeDup end-to-end oracle: same centroid literals as the Spark
+    // broadcast; assignment + centroid cosine re-derived per cell
+    // (index-order double arithmetic, d36/d37 style), the within-cell
+    // ε-graph via the d04 list fold, components via the d24 recursive CTE,
+    // and the paper's lowest-centroid-cosine keep rule as a window over
+    // components. Every comparison is between bit-identical doubles, so the
+    // full (cell, component, keep) table hash-matches.
+    "d41_semdedup" -> {
+      val cs = Similarity.planesFor(16, 8, 7L)
+      val cNorm = cs.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        math.sqrt(s)
+      }
+      val dcols = cs.zipWithIndex.map { case (cvec, ci) =>
+        val terms = cvec.zipWithIndex.map { case (c, i) =>
+          s"(e[${i + 1}] - $c) * (e[${i + 1}] - $c)"
+        }.mkString(" + ")
+        s"$terms AS d$ci"
+      }.mkString(",\n    ")
+      val pcols = cs.zipWithIndex.map { case (cvec, ci) =>
+        val terms = cvec.zipWithIndex.map { case (c, i) =>
+          s"e[${i + 1}] * $c"
+        }.mkString(" + ")
+        s"$terms AS p$ci"
+      }.mkString(",\n    ")
+      val nrmExpr = (0 until 16).map(i =>
+        s"CAST(e[${i + 1}] AS DOUBLE) * CAST(e[${i + 1}] AS DOUBLE)")
+        .mkString(" + ")
+      val m = cs.indices.map(ci => s"d$ci").mkString(", ")
+      val argmin = cs.indices.map(ci => s"WHEN d$ci = m THEN $ci").mkString(" ")
+      val csim = cs.indices.map(ci =>
+        s"WHEN d$ci = m THEN CASE WHEN nrm > 0 THEN p$ci / (nrm * ${cNorm(ci)}) ELSE 0.0 END")
+        .mkString(" ")
+      s"""WITH RECURSIVE
+         |v AS (
+         |  SELECT vec_id, list_slice(embedding, 1, 16) AS e
+         |  FROM embeddings WHERE vec_id % 37 <> 0 AND vec_id % 41 <> 0),
+         |b AS (
+         |  SELECT vec_id, e, sqrt($nrmExpr) AS nrm,
+         |    $dcols,
+         |    $pcols
+         |  FROM v),
+         |bm AS (SELECT *, LEAST($m) AS m FROM b),
+         |asg AS (
+         |  SELECT vec_id, e, nrm,
+         |    CAST(CASE $argmin END AS INTEGER) AS cell,
+         |    CASE $csim END AS csim
+         |  FROM bm),
+         |edges AS (
+         |  SELECT x.vec_id AS ea, y.vec_id AS eb
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE CASE WHEN x.nrm * y.nrm > 0 THEN
+         |      list_sum(list_transform(list_zip(x.e, y.e),
+         |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / (x.nrm * y.nrm)
+         |    ELSE 0.0 END >= 0.7),
+         |sym AS (SELECT ea AS a, eb AS b FROM edges
+         |        UNION SELECT eb, ea FROM edges),
+         |walk(node, lbl) AS (
+         |  SELECT vec_id, vec_id FROM asg
+         |  UNION
+         |  SELECT s.b, w.lbl FROM walk w JOIN sym s ON s.a = w.node),
+         |comp AS (SELECT node AS vec_id, min(lbl) AS component
+         |         FROM walk GROUP BY node)
+         |SELECT c.vec_id, a.cell, c.component,
+         |  CAST(CASE WHEN row_number() OVER (
+         |      PARTITION BY c.component ORDER BY a.csim, c.vec_id) = 1
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep,
+         |  CAST(0 AS INTEGER) AS capped
+         |FROM comp c JOIN asg a ON a.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin
     },
     // Same smoothed unigram models re-derived from scratch: md5-hash
     // buckets, Laplace +1, one round() per bucket log-ratio, bigint sums.

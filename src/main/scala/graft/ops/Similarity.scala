@@ -468,4 +468,123 @@ object Similarity {
     }
     (parts.reduce(_ union _), nd)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering the embedding space and keeping exactly one example from
+    * each group of semantically near-identical examples within a cluster.
+    *
+    * Stages, each a standard scale shape:
+    *   1. assignment — ONE narrow map over the corpus against BROADCAST
+    *      centroids: the production [[nearestCell]] kernel (the same code
+    *      d13/d37 run), computing each row's cosine to its own centroid in
+    *      the same pass. Ragged rows (null / shorter than the centroid dim)
+    *      are excluded exactly as [[ivfTopK]] excludes them.
+    *   2. ε-graph — pairs with cosine ≥ `threshold`, generated by a single
+    *      self-join keyed on the SHORT cell id: the only shuffle of
+    *      embedding data, with the quadratic term bounded per cell. Cells
+    *      larger than `maxCell` pass through UNDEDUPED with `capped` = 1
+    *      rather than silently exploding the join — at production scale
+    *      SemDeDup grows the centroid count with the corpus precisely so
+    *      cells stay bounded, and the cap makes that contract loud (cell
+    *      occupancy is |centroids| rows, so the check is driver-free-sized).
+    *   3. components — [[Dedup.connectedComponents]] over the (small) edge
+    *      set labels each semantic-duplicate group with its min vec_id.
+    *   4. keep rule — per component, keep the example with the LOWEST
+    *      cosine to its cluster centroid (the paper's choice: the least
+    *      prototypical member preserves the most diversity), vec_id
+    *      breaking exact double ties deterministically; singletons keep.
+    *
+    * All similarity arithmetic is the oracle fold — index-order double
+    * accumulation over the first `dim` entries, zero-norm rows having
+    * DEFINED similarity 0.0 — so a DuckDB oracle given the same centroid
+    * literals reproduces every (cell, component, keep) decision bit-exactly
+    * (d41). Returns (vec_id, cell, component, keep, capped), MATERIALIZED
+    * and persisted (the component loop must execute) — caller releases it;
+    * every internal cache is released before returning, failure-safe. */
+  def semDedup(emb: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, maxCell: Int = 1 << 16): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids(0).length
+    require(centroids.forall(_.length == dim), "ragged centroid matrix")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // centroid norms are driver-side constants, computed with the same
+    // index-order fold the oracle embeds as literals
+    val cNorms = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcN = spark.sparkContext.broadcast(cNorms)
+    var assigned: DataFrame = null
+    var cc: DataFrame = null
+    var out: DataFrame = null
+    var handedOff = false
+    try {
+      assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .filter(r => r._2 != null && r._2.length >= dim)
+        .map { case (id, v) =>
+          val cell = nearestCell(v, bcC.value, dim)
+          var dc = 0.0; var nv = 0.0; var i = 0
+          while (i < dim) {
+            val x = v(i).toDouble
+            dc += x * bcC.value(cell)(i); nv += x * x; i += 1
+          }
+          val nrm = math.sqrt(nv)
+          val den = nrm * bcN.value(cell)
+          val csim = if (den > 0.0) dc / den else 0.0
+          (id, cell, csim, nrm, v.take(dim))
+        }
+        .toDF("vec_id", "cell", "csim", "nrm", "emb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val oversized = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCell).select("cell").as[Int].collect().toSet
+      val graphSide =
+        if (oversized.isEmpty) assigned
+        else assigned.filter(!col("cell").isInCollection(oversized))
+      // ε-graph: one shuffle keyed on the cell id; the native graft_dot runs
+      // inside the join filter with norms precomputed — one dot per pair
+      import graft.functions.VecFunctions.dotF
+      val a = graphSide.select(col("vec_id").as("doc_a"), col("cell"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      val b = graphSide.select(col("vec_id").as("doc_b"), col("cell"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      val prod = col("na") * col("nb")
+      val sim = when(prod > 0.0, dotF(col("ea"), col("eb")) / prod)
+        .otherwise(lit(0.0))
+      val edges = a.join(b, Seq("cell"))
+        .filter(col("doc_a") < col("doc_b") && sim >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      cc = Dedup.connectedComponents(
+        graphSide.select(col("vec_id").as("doc_id")), edges)
+      val labeled = cc.select(col("doc_id").as("vec_id"), col("component"))
+        .join(assigned.select(col("vec_id"), col("cell"), col("csim")),
+          Seq("vec_id"))
+      val winners = labeled.groupBy("component")
+        .agg(min(struct(col("csim"), col("vec_id"))).as("w"))
+      val graphOut = labeled.join(winners, Seq("component"))
+        .select(col("vec_id"), col("cell"), col("component"),
+          (col("vec_id") === col("w.vec_id")).cast("int").as("keep"),
+          lit(0).as("capped"))
+      val full =
+        if (oversized.isEmpty) graphOut
+        else graphOut.union(
+          assigned.filter(col("cell").isInCollection(oversized))
+            .select(col("vec_id"), col("cell"),
+              col("vec_id").as("component"),
+              lit(1).as("keep"), lit(1).as("capped")))
+      out = full.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize so every upstream cache can be released now
+      handedOff = true
+      out
+    } finally {
+      if (cc != null) cc.unpersist(false)
+      if (assigned != null) assigned.unpersist(false)
+      if (!handedOff && out != null) out.unpersist(false)
+    }
+  }
 }

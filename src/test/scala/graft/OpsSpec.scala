@@ -346,6 +346,51 @@ class OpsSpec extends AnyFunSuite {
     assert(blockedRows.toSet == one)
   }
 
+  test("semDedup: planted truth — keep = lowest centroid-cosine, singletons kept, ragged excluded, cap passthrough") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val emb = Seq(
+      (1L, Array(10f, 0f)),     // cell 0, csim 1.0
+      (2L, Array(9.8f, 1.0f)),  // cell 0, sim(1,2)=.9948 ≥ .97 → dup of 1
+      (3L, Array(8f, 3f)),      // cell 0, sim .936/.967 to 1/2 → singleton
+      (4L, Array(0f, 5f)),      // cell 1, csim 1.0
+      (5L, Array(1f, 9f)),      // cell 1, sim(4,5)=.9939 → dup of 4
+      (6L, Array(0f, 0f)),      // zero norm: csim 0, sims DEFINED 0 → singleton
+      (7L, null.asInstanceOf[Array[Float]]), // ragged: excluded
+      (8L, Array(3f))                        // short: excluded
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, cents, threshold = 0.97)
+    val got = out.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    out.unpersist()
+    assert(got === Array(
+      (1L, 0, 1L, 0, 0), // comp {1,2}: 2 has the LOWER csim → 1 dropped
+      (2L, 0, 1L, 1, 0),
+      (3L, 0, 3L, 1, 0),
+      (4L, 1, 4L, 0, 0), // comp {4,5}: 5 kept, prototypical 4 dropped
+      (5L, 1, 4L, 1, 0),
+      (6L, 0, 6L, 1, 0)))
+    // cell 0 has 4 members; maxCell=3 passes it through undeduped + flagged,
+    // while cell 1 still dedups
+    val capped = Similarity.semDedup(emb, cents, threshold = 0.97, maxCell = 3)
+    val got2 = capped.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    capped.unpersist()
+    assert(got2 === Array(
+      (1L, 0, 1L, 1, 1),
+      (2L, 0, 2L, 1, 1),
+      (3L, 0, 3L, 1, 1),
+      (4L, 1, 4L, 0, 0),
+      (5L, 1, 4L, 1, 0),
+      (6L, 0, 6L, 1, 1)))
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, cents, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semDedup(emb, Array(Array(1.0), Array(1.0, 2.0)), 0.5)
+    }
+  }
+
   test("autoBits keeps expected bucket occupancy <= target as the corpus grows") {
     // analytic bound: bits >= log2(n/target) ⇒ n / 2^bits <= target, until
     // the 24-bit clamp (~1e9 rows at target 64)
