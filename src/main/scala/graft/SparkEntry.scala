@@ -507,6 +507,13 @@ object SparkEntry {
       owned(Similarity.semDedup(raggedSlice16(s, d),
           Similarity.planesFor(16, 8, 7L), threshold = 0.7))
         .orderBy("vec_id")),
+    // d42: exact-substring REMOVAL (Lee et al. 2022) — the cleaning pass
+    // that completes d27's counting: every duplicated 8-token window is
+    // removed from every doc except the gram's first (lowest doc_id, pos)
+    // occurrence; a token is dropped iff any non-owner duplicated window
+    // covers it. Output is the cleaned normalized-token stream.
+    "d42_dup_removal" -> ((s, d) =>
+      owned(Dedup.removeDupWindows(docs(s, d), n = 8)).orderBy("doc_id")),
     // d27: duplicate-window stats — the counting pass of exact substring
     // dedup (Lee et al. 2022): sliding 8-token windows flagged when their
     // gram occurs >= 2 times corpus-wide (n=8 because the synthetic docs
@@ -1196,6 +1203,45 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(p.w, 0) = 0 THEN 0
         |       ELSE floor(100 * p.d / p.w) END AS BIGINT) AS dup_pct
         |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // Same token/window grammar as the d27 oracle, plus ownership (first
+    // occurrence by (doc_id, pos) keeps its text) and token-coverage
+    // removal; kept tokens re-join in order.
+    "d42_dup_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+        |      x -> lower(x)) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(t) - 6)) AS pos,
+        |    unnest(list_transform(range(1, len(t) - 6),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS g
+        |  FROM toks),
+        |fl AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY g) AS c,
+        |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM w)
+        |  WHERE c >= 2 AND rn > 1),
+        |tk AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok
+        |  FROM toks),
+        |keptk AS (
+        |  SELECT k.doc_id, k.i, k.tok FROM tk k
+        |  WHERE NOT EXISTS (SELECT 1 FROM fl f
+        |    WHERE f.doc_id = k.doc_id AND k.i BETWEEN f.pos AND f.pos + 7)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS text_clean
+        |  FROM keptk GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     "d28_minhash_witness" ->
       """WITH base AS (

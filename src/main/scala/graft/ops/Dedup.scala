@@ -329,6 +329,116 @@ object Dedup {
     }
   }
 
+  /** Exact-substring REMOVAL pass (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", §4.1 ExactSubstr): every n-token
+    * window whose gram occurs ≥ 2 times corpus-wide is removed from every
+    * document EXCEPT the one holding the gram's first occurrence (lowest
+    * (doc_id, position) — "remove the substring from all but one of them").
+    * A token is dropped iff ≥ 1 non-owner duplicated window covers it;
+    * overlapping flagged windows merge into maximal removed spans exactly as
+    * coverage implies. Completes [[dupWindowStats]] (the counting pass) into
+    * the cleaning transform.
+    *
+    * Removal operates on the NORMALIZED TOKEN STREAM (the shared
+    * [[TextOps.asciiTokens]] convention every gram operator uses), and
+    * `text_clean` is the space-joined kept tokens — the honest contract for
+    * a tokenizer-defined operator (raw-byte splicing would claim a fidelity
+    * the window grammar doesn't have). Returns
+    * (doc_id, n_tokens, n_removed, text_clean) per input row.
+    *
+    * Plan shape at 10^12 rows: one narrow tokenize (persisted doc-sized, not
+    * window-sized), a window explode into the gram-keyed groupBy carrying
+    * (count, first owner) with map-side partial agg, then — the cost the
+    * counting pass's complement identity avoids and a removal pass cannot —
+    * ONE join-back of the re-exploded windows against the (count ≥ 2)-
+    * filtered gram table, both sides hash-partitioned on the same short key
+    * (exchange-reusable), the duplicated-gram side pre-shrunk by the filter.
+    * Flag positions collapse doc-keyed (a doc's flag list is bounded by its
+    * own window count — doc-sized rows, never corpus-sized), and one narrow
+    * map rebuilds the kept text. No corpus self-join, no Window, no collect.
+    *
+    * Rows with null / uncastable ids pass through UNMODIFIED and do not
+    * enter the window stream (an owner must be addressable); ids are
+    * expected unique per row (Lee et al. is a per-document transform).
+    * `oracleKeys` as in [[dupWindowStats]]: md5 gram-string keys the d42
+    * DuckDB oracle recomputes, or native xxhash64 window keys for
+    * oracle-free pipeline stages (~1e-8 false-flag rate at 10^12 windows).
+    * materialize=false returns the UNEXECUTED plan with no persist markers
+    * (leak-free; the tokenize is recomputed per branch). */
+  def removeDupWindows(docs: DataFrame, n: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id",
+      oracleKeys: Boolean = true, materialize: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__txt"))
+    def toksOf(df: DataFrame) = df.select(col("doc_id"),
+      TextOps.asciiTokens(col("__txt")).as("__t"))
+    val toks0 = toksOf(base)
+    val toks = if (materialize)
+      toks0.persist(StorageLevel.MEMORY_AND_DISK) else toks0
+    try {
+      // posexplode: pos = 0-based window start, aligned with the gram array
+      // (tokenNgrams/windowXx64Keys emit exactly one entry per start). The
+      // md5 projection runs post-explode in the same stage — gram strings
+      // never ride a shuffle.
+      val addressed = toks.filter(col("doc_id").isNotNull)
+      val w =
+        if (oracleKeys) addressed
+          .select(col("doc_id"),
+            posexplode(Decontam.tokenNgrams(col("__t"), n)).as(Seq("pos", "g")))
+          .select(col("doc_id"), col("pos"), TextOps.md5Key(col("g")).as("gkey"))
+        else addressed
+          .select(col("doc_id"), posexplode(
+            graft.functions.TokenFunctions.windowXx64Keys(col("__t"), n))
+            .as(Seq("pos", "gkey")))
+      val dupGrams = w.groupBy(col("gkey"))
+        .agg(count(lit(1)).as("__c"),
+          min(struct(col("doc_id"), col("pos"))).as("__own"))
+        .filter(col("__c") >= 2)
+        .select(col("gkey"), col("__own"))
+      val flags = w.join(dupGrams, Seq("gkey"))
+        .filter(!(col("doc_id") === col("__own.doc_id") &&
+          col("pos") === col("__own.pos")))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("pos")).as("__flags"))
+      val out = toks.join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__t"), col("__flags"))
+        .as[(java.lang.Long, Seq[String], Seq[Int])]
+        .map { case (id, t0, fl) =>
+          val t = if (t0 == null) Seq.empty[String] else t0
+          val covered = new Array[Boolean](t.length)
+          if (fl != null) fl.foreach { p =>
+            var i = p
+            val end = math.min(p + n - 1, t.length - 1)
+            while (i <= end) { covered(i) = true; i += 1 }
+          }
+          val kept = new StringBuilder
+          var removed = 0L
+          var i = 0
+          while (i < t.length) {
+            if (covered(i)) removed += 1
+            else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(t(i))
+            }
+            i += 1
+          }
+          (id, t.length.toLong, removed, kept.toString)
+        }
+        .toDF("doc_id", "n_tokens", "n_removed", "text_clean")
+      if (!materialize) out
+      else {
+        val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+        try { cached.count(); cached } // materialized: tokenize cache can go
+        catch { case e: Throwable => cached.unpersist(false); throw e }
+      }
+    } finally {
+      if (materialize) toks.unpersist(false)
+    }
+  }
+
   /** SimHash 64-bit signature of token features. */
   def simhash(text: String): Long = {
     val toks = TextOps.tokenize(if (text == null) "" else text.toLowerCase)

@@ -224,6 +224,55 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.subsetOf(allowed), s"false pairs: ${pairs -- allowed}")
   }
 
+  test("removeDupWindows: planted removal truth — ownership, coverage merge, intra-doc repeats, null ids pass through") {
+    import spark.implicits._
+    val corpus = Seq(
+      (Some(0L), "a b c d e f g h i j"),   // owner of every shared gram
+      (Some(1L), "a b c d e f g h i j"),   // full dup of 0 → fully removed
+      (Some(2L), "p q r s t u v w x y z"), // unique → intact
+      (Some(3L), "c d e f g h i j"),       // one window, dup of 0's w2 → gone
+      (Some(4L), "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8"), // intra-doc
+      (Some(5L), "s1 s2"),                 // < n tokens → no windows
+      (Some(6L), ""),                      // empty
+      (None,     "p q r s t u v w x y z")  // null id: same text as doc 2 —
+                                           // must NOT enter the window
+                                           // stream (else doc 2 gets culled)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupWindows(corpus, n = 8)
+    val got = out.collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => t._1.getOrElse(-1L))
+    out.unpersist()
+    assert(got === Array(
+      (None, 11L, 0L, "p q r s t u v w x y z"),
+      (Some(0L), 10L, 0L, "a b c d e f g h i j"),
+      (Some(1L), 10L, 10L, ""),
+      (Some(2L), 11L, 0L, "p q r s t u v w x y z"),
+      (Some(3L), 8L, 8L, ""),
+      (Some(4L), 16L, 8L, "m1 m2 m3 m4 m5 m6 m7 m8"),
+      (Some(5L), 2L, 0L, "s1 s2"),
+      (Some(6L), 0L, 0L, "")))
+    // fast xx64 keys produce the identical cleaning on this corpus
+    val fast = Dedup.removeDupWindows(corpus, n = 8, oracleKeys = false)
+    val gotFast = fast.collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => t._1.getOrElse(-1L))
+    fast.unpersist()
+    assert(gotFast === got)
+    // plan-only mode executes to the same rows and caches nothing itself
+    val lazyRows = Dedup.removeDupWindows(corpus, n = 8, materialize = false)
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => t._1.getOrElse(-1L))
+    assert(lazyRows === got)
+    intercept[IllegalArgumentException] {
+      Dedup.removeDupWindows(corpus, n = 0)
+    }
+  }
+
   test("simhash: identical texts share signature; near-dups within hamming 3") {
     val s0 = Dedup.simhash(mkText(1, 200))
     val s1 = Dedup.simhash(mkText(1, 200))
