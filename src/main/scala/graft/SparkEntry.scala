@@ -507,6 +507,17 @@ object SparkEntry {
       owned(Similarity.semDedup(raggedSlice16(s, d),
           Similarity.planesFor(16, 8, 7L), threshold = 0.7))
         .orderBy("vec_id")),
+    // d43: top-k corpus vocabulary — the tokenizer-training audit pass:
+    // token-keyed aggregate (vocabulary-sized exchange, map-side combine)
+    // with doc frequency, topped by TakeOrderedAndProject on the total
+    // (n_occurrences DESC, token) order — k rows cross to the driver.
+    "d43_vocab" -> ((s, d) =>
+      ops.CorpusStats.topTokens(docs(s, d), k = 200)),
+    // d44: token-length histogram — floor(log2(n_tokens)) buckets (−1 =
+    // empty) via integer bit-length, so both engines bucket bit-exactly;
+    // narrow native token-count scan into a ≤ ~64-row aggregate.
+    "d44_len_hist" -> ((s, d) =>
+      ops.CorpusStats.lengthHistogram(docs(s, d)).orderBy("log2_tokens")),
     // d42: exact-substring REMOVAL (Lee et al. 2022) — the cleaning pass
     // that completes d27's counting: every duplicated 8-token window is
     // removed from every doc except the gram's first (lowest doc_id, pos)
@@ -1204,6 +1215,24 @@ object SparkEntry {
         |       ELSE floor(100 * p.d / p.w) END AS BIGINT) AS dup_pct
         |FROM toks t LEFT JOIN per p ON t.doc_id = p.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "d43_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9]+'), x -> lower(x))) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occurrences DESC, token LIMIT 200""".stripMargin,
+    "d44_len_hist" ->
+      """WITH c AS (
+        |  SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+        |    AS n
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN n <= 0 THEN -1
+        |    ELSE length(bin(n)) - 1 END AS INTEGER) AS log2_tokens,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same token/window grammar as the d27 oracle, plus ownership (first
     // occurrence by (doc_id, pos) keeps its text) and token-coverage
     // removal; kept tokens re-join in order.

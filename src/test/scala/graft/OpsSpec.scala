@@ -273,6 +273,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus stats: topTokens counts + doc frequency + deterministic tie order; lengthHistogram integer-exact buckets") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "x x y"),
+      (1L, "x z"),
+      (2L, ""),
+      (3L, "a b c"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8")
+    ).toDF("doc_id", "text")
+    val top = ops.CorpusStats.topTokens(corpus, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // x: 3 occurrences / 2 docs; the 1-occurrence tie breaks on token asc
+    assert(top === Array(("x", 3L, 2L), ("a", 1L, 1L)))
+    val hist = ops.CorpusStats.lengthHistogram(corpus)
+      .orderBy("log2_tokens").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // doc 2: 0 tokens → bucket −1; docs 0/1/3: 3,2,3 tokens → bucket 1;
+    // doc 4: 8 tokens → bucket 3
+    assert(hist === Array((-1, 1L, 0L), (1, 3L, 8L), (3, 1L, 8L)))
+    intercept[IllegalArgumentException] {
+      ops.CorpusStats.topTokens(corpus, k = 0)
+    }
+  }
+
   test("simhash: identical texts share signature; near-dups within hamming 3") {
     val s0 = Dedup.simhash(mkText(1, 200))
     val s1 = Dedup.simhash(mkText(1, 200))
