@@ -143,6 +143,24 @@ object PlanCheck {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("d40_unigram_ppl (lazy plan)", d40,
       Seq("BroadcastHashJoin", "HashAggregate"), Seq("Window"))
+    // d42: the removal pass must be aggregate + join-back shapes — the
+    // gram verdicts come from a partial HashAggregate and rejoin the window
+    // stream on the short key, never a corpus Window `partition by gram`
+    // (one boilerplate 8-gram duplicated 10^9 times would funnel through a
+    // single reducer) — audited on the lazy (materialize = false) plan,
+    // nothing executed, no persist markers taken
+    val d42 = graft.ops.Dedup.removeDupWindows(
+        spark.read.parquet(s"$sfDir/documents.parquet"), n = 8,
+        materialize = false)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d42_dup_removal (lazy plan)", d42,
+      Seq("HashAggregate"), Seq("Window", "InMemoryTableScan", "CartesianProduct"))
+    // d43: the vocabulary top-k must be TakeOrderedAndProject (bounded
+    // per-partition top-k, k rows to the driver) over a partial aggregate —
+    // never a global Sort of the vocabulary or a Window rank
+    val d43 = planOf("d43_vocab")
+    check("d43_vocab", d43,
+      Seq("TakeOrderedAndProject", "HashAggregate"), Seq("Window"))
     // d23: packing must be the two-phase scan over the sorted RDD (the
     // object handoff prints as SerializeFromObject over Scan[obj]) — a
     // `Window` here would mean the global single-task cumsum crept back in.
