@@ -272,25 +272,19 @@ object Similarity {
     * PAMI'11). One narrow assignment map over the corpus, broadcast
     * centroids + queries, no corpus shuffle — the second standard scale path
     * next to multi-probe LSH. */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-      nCells: Int = 16, nProbe: Int = 4, sampleN: Int = 4096,
-      seed: Long = 42L): DataFrame = {
+  /** Coarse k-means quantizer (10 iters, seeded init) on a deterministic
+    * corpus sample — small and driver-side by design, like any IVF training
+    * step. Ordering by a seeded hash of vec_id makes the sample (a)
+    * identical at any parallelism level — same-job-same-result across N and
+    * 4N executors — and (b) spread across the id space; orderBy+limit
+    * compiles to TakeOrdered (per-partition top-k + driver merge, no sort
+    * shuffle of the corpus). Ragged sample rows are dropped so the k-means
+    * inner loops index safely. Shared by [[ivfTopK]] and the trained-
+    * centroid [[semDedup]] path. */
+  def trainCentroids(emb: DataFrame, nCells: Int = 16, sampleN: Int = 4096,
+      seed: Long = 42L): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // ragged rows (null / shorter-than-dim embeddings — the exact shapes
-    // withSignatures tolerates with sig 0) would NPE/AIOOBE inside nearest()
-    // and kill the job: exclude them from both the index and the queries,
-    // matching the LSH path's "never a candidate" semantics
-    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .filter(r => r._2 != null)
-    // coarse quantizer: k-means (10 iters, k-means++-less seeded init) on a
-    // deterministic sample — small and driver-side by design, like any IVF
-    // training step. Ordering by a seeded hash of vec_id makes the sample (a)
-    // identical at any parallelism level — same-job-same-result across N and
-    // 4N executors — and (b) spread across the id space; orderBy+limit
-    // compiles to TakeOrdered (per-partition top-k + driver merge, no sort
-    // shuffle of the corpus).
     val sample0 = emb
       .filter(col("embedding").isNotNull)
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -299,7 +293,6 @@ object Similarity {
       .select(col("embedding")).as[Array[Float]].collect()
     require(sample0.nonEmpty, "empty corpus")
     val dim = sample0(0).length
-    // drop ragged sample rows so the k-means inner loops index safely
     val sample = sample0.filter(_.length == dim)
     val rnd = new java.util.Random(seed)
     var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
@@ -318,6 +311,23 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4, sampleN: Int = 4096,
+      seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // ragged rows (null / shorter-than-dim embeddings — the exact shapes
+    // withSignatures tolerates with sig 0) would NPE/AIOOBE inside nearest()
+    // and kill the job: exclude them from both the index and the queries,
+    // matching the LSH path's "never a candidate" semantics
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .filter(r => r._2 != null)
+    val centroids = trainCentroids(emb, nCells, sampleN, seed)
+    val dim = centroids(0).length
     val bcCentroids = spark.sparkContext.broadcast(centroids)
     // assign corpus rows to cells (narrow map; no shuffle); ragged short
     // rows are excluded the same way the LSH path never candidates them
@@ -501,6 +511,16 @@ object Similarity {
     * (d41). Returns (vec_id, cell, component, keep, capped), MATERIALIZED
     * and persisted (the component loop must execute) — caller releases it;
     * every internal cache is released before returning, failure-safe. */
+  /** Production [[semDedup]]: centroids trained by the shared IVF k-means
+    * ([[trainCentroids]] — deterministic sample, same result at any
+    * parallelism). `nCells` should grow with the corpus so cells stay
+    * bounded (the paper's k ∝ corpus size); the explicit-centroid overload
+    * below is the oracle-able form (d41). */
+  def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
+      maxCell: Int, sampleN: Int, seed: Long): DataFrame =
+    semDedup(emb, trainCentroids(emb, nCells, sampleN, seed), threshold,
+      maxCell)
+
   def semDedup(emb: DataFrame, centroids: Array[Array[Double]],
       threshold: Double, maxCell: Int = 1 << 16): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")

@@ -464,6 +464,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup trained-centroid path: dup groups stay within planted clusters, exactly one keeper each") {
+    val out = Similarity.semDedup(embeddings, nCells = 3, threshold = 0.95,
+      maxCell = 1 << 16, sampleN = 4096, seed = 42L)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getInt(3)))
+    out.unpersist()
+    assert(rows.length == 90)
+    // every component holds exactly one keeper, and a multi-member
+    // component never crosses the planted cluster boundary (id / 30)
+    val byComp = rows.groupBy(_._2)
+    for ((comp, members) <- byComp) {
+      assert(members.count(_._3 == 1) == 1, s"component $comp keeper count")
+      assert(members.map(_._1 / 30).distinct.length == 1,
+        s"component $comp crossed planted clusters")
+    }
+    // the 0.95 graph on 0.2-jitter clusters must actually merge something
+    assert(byComp.size < 90, "no dups found at 0.95 on jittered clusters")
+  }
+
   test("autoBits keeps expected bucket occupancy <= target as the corpus grows") {
     // analytic bound: bits >= log2(n/target) ⇒ n / 2^bits <= target, until
     // the 24-bit clamp (~1e9 rows at target 64)
