@@ -497,12 +497,13 @@ object SparkEntry {
     }),
     // d41: SemDeDup (Abbas et al. 2023) — semantic dedup over the d36/d37
     // 16-dim witness slice with the same 8 deterministic centroids d37
-    // assigns against: nearest-centroid cells, within-cell cosine ε-graph
-    // at 0.7 (57 edges over 474 eligible rows at sf0.01), connected
-    // components, keep = lowest centroid-cosine per component. Every
-    // decision is index-order double arithmetic, so the DuckDB oracle
-    // (same centroid literals, recursive-CTE components, row_number keep
-    // rule) reproduces (cell, component, keep) bit-exactly.
+    // assigns against: nearest-centroid cells, then ONE cell-keyed shuffle
+    // into per-cell tasks that build the cosine ε-graph at 0.7 (57 edges
+    // over 474 eligible rows at sf0.01), its duplicate groups (union-find),
+    // and the lowest-centroid-cosine keep rule locally. Every decision is
+    // index-order double arithmetic, so the DuckDB oracle (same centroid
+    // literals, recursive-CTE components, row_number keep rule) reproduces
+    // (cell, component, keep) bit-exactly.
     "d41_semdedup" -> ((s, d) =>
       owned(Similarity.semDedup(raggedSlice16(s, d),
           Similarity.planesFor(16, 8, 7L), threshold = 0.7))

@@ -479,48 +479,51 @@ object Similarity {
     (parts.reduce(_ union _), nd)
   }
 
-  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
-    * by clustering the embedding space and keeping exactly one example from
-    * each group of semantically near-identical examples within a cluster.
-    *
-    * Stages, each a standard scale shape:
-    *   1. assignment — ONE narrow map over the corpus against BROADCAST
-    *      centroids: the production [[nearestCell]] kernel (the same code
-    *      d13/d37 run), computing each row's cosine to its own centroid in
-    *      the same pass. Ragged rows (null / shorter than the centroid dim)
-    *      are excluded exactly as [[ivfTopK]] excludes them.
-    *   2. ε-graph — pairs with cosine ≥ `threshold`, generated by a single
-    *      self-join keyed on the SHORT cell id: the only shuffle of
-    *      embedding data, with the quadratic term bounded per cell. Cells
-    *      larger than `maxCell` pass through UNDEDUPED with `capped` = 1
-    *      rather than silently exploding the join — at production scale
-    *      SemDeDup grows the centroid count with the corpus precisely so
-    *      cells stay bounded, and the cap makes that contract loud (cell
-    *      occupancy is |centroids| rows, so the check is driver-free-sized).
-    *   3. components — [[Dedup.connectedComponents]] over the (small) edge
-    *      set labels each semantic-duplicate group with its min vec_id.
-    *   4. keep rule — per component, keep the example with the LOWEST
-    *      cosine to its cluster centroid (the paper's choice: the least
-    *      prototypical member preserves the most diversity), vec_id
-    *      breaking exact double ties deterministically; singletons keep.
-    *
-    * All similarity arithmetic is the oracle fold — index-order double
-    * accumulation over the first `dim` entries, zero-norm rows having
-    * DEFINED similarity 0.0 — so a DuckDB oracle given the same centroid
-    * literals reproduces every (cell, component, keep) decision bit-exactly
-    * (d41). Returns (vec_id, cell, component, keep, capped), MATERIALIZED
-    * and persisted (the component loop must execute) — caller releases it;
-    * every internal cache is released before returning, failure-safe. */
   /** Production [[semDedup]]: centroids trained by the shared IVF k-means
     * ([[trainCentroids]] — deterministic sample, same result at any
-    * parallelism). `nCells` should grow with the corpus so cells stay
-    * bounded (the paper's k ∝ corpus size); the explicit-centroid overload
-    * below is the oracle-able form (d41). */
+    * parallelism; the one Spark job this overload runs at build time).
+    * `nCells` should grow with the corpus so cells stay bounded (the
+    * paper's k ∝ corpus size); the explicit-centroid overload is the
+    * oracle-able form (d41). */
   def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
       maxCell: Int, sampleN: Int, seed: Long): DataFrame =
     semDedup(emb, trainCentroids(emb, nCells, sampleN, seed), threshold,
       maxCell)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering the embedding space and keeping exactly one example from
+    * each group of semantically near-identical examples within a cluster.
+    *
+    * The key structural fact — SemDeDup compares only WITHIN a cluster, so
+    * duplicate groups can never span cells — makes the whole graph stage
+    * local: the plan is one narrow assignment map over BROADCAST centroids
+    * (the production [[nearestCell]] kernel d13/d37 run, computing each
+    * row's cosine to its own centroid in the same pass), then ONE shuffle
+    * keyed on the short cell id into a per-cell task that computes the
+    * ε-graph (cosine ≥ `threshold`), its connected components (union-find),
+    * and the keep rule in memory. No self-join, no iterative label
+    * propagation, no driver-side state, and the quadratic term is bounded
+    * per cell: a task holds at most `maxCell` vectors (size maxCell with
+    * the embedding dim in mind — 2^16 × 768-dim floats ≈ 200 MB). Cells
+    * larger than `maxCell` stream through UNDEDUPED with `capped` = 1
+    * rather than silently exploding — at production scale SemDeDup grows
+    * the centroid count with the corpus precisely so cells stay bounded,
+    * and the cap makes that contract loud. Ragged rows (null / shorter
+    * than the centroid dim) are excluded exactly as [[ivfTopK]] excludes
+    * them.
+    *
+    * Keep rule — per duplicate group, keep the example with the LOWEST
+    * cosine to its cluster centroid (the paper's choice: the least
+    * prototypical member preserves the most diversity), smallest vec_id on
+    * exact double ties; singletons keep. Component label = the group's
+    * minimum vec_id.
+    *
+    * All similarity arithmetic is the oracle fold — index-order double
+    * accumulation over the first `dim` entries, zero-norm rows having
+    * DEFINED similarity 0.0 — so a DuckDB oracle given the same centroid
+    * literals reproduces every (cell, component, keep) decision bit-exactly
+    * (d41). Returns the LAZY (vec_id, cell, component, keep, capped) plan:
+    * no internal caches, no jobs at build time. */
   def semDedup(emb: DataFrame, centroids: Array[Array[Double]],
       threshold: Double, maxCell: Int = 1 << 16): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
@@ -528,6 +531,7 @@ object Similarity {
     require(centroids.forall(_.length == dim), "ragged centroid matrix")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(maxCell >= 1, s"maxCell must be >= 1, got $maxCell")
     val spark = emb.sparkSession
     import spark.implicits._
     // centroid norms are driver-side constants, computed with the same
@@ -539,72 +543,88 @@ object Similarity {
     }
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcN = spark.sparkContext.broadcast(cNorms)
-    var assigned: DataFrame = null
-    var cc: DataFrame = null
-    var out: DataFrame = null
-    var handedOff = false
-    try {
-      assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .filter(r => r._2 != null && r._2.length >= dim)
-        .map { case (id, v) =>
-          val cell = nearestCell(v, bcC.value, dim)
-          var dc = 0.0; var nv = 0.0; var i = 0
-          while (i < dim) {
-            val x = v(i).toDouble
-            dc += x * bcC.value(cell)(i); nv += x * x; i += 1
-          }
-          val nrm = math.sqrt(nv)
-          val den = nrm * bcN.value(cell)
-          val csim = if (den > 0.0) dc / den else 0.0
-          (id, cell, csim, nrm, v.take(dim))
+    val assigned = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .filter(r => r._2 != null && r._2.length >= dim)
+      .map { case (id, v) =>
+        val cell = nearestCell(v, bcC.value, dim)
+        var dc = 0.0; var nv = 0.0; var i = 0
+        while (i < dim) {
+          val x = v(i).toDouble
+          dc += x * bcC.value(cell)(i); nv += x * x; i += 1
         }
-        .toDF("vec_id", "cell", "csim", "nrm", "emb")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val oversized = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxCell).select("cell").as[Int].collect().toSet
-      val graphSide =
-        if (oversized.isEmpty) assigned
-        else assigned.filter(!col("cell").isInCollection(oversized))
-      // ε-graph: one shuffle keyed on the cell id; the native graft_dot runs
-      // inside the join filter with norms precomputed — one dot per pair
-      import graft.functions.VecFunctions.dotF
-      val a = graphSide.select(col("vec_id").as("doc_a"), col("cell"),
-        col("emb").as("ea"), col("nrm").as("na"))
-      val b = graphSide.select(col("vec_id").as("doc_b"), col("cell"),
-        col("emb").as("eb"), col("nrm").as("nb"))
-      val prod = col("na") * col("nb")
-      val sim = when(prod > 0.0, dotF(col("ea"), col("eb")) / prod)
-        .otherwise(lit(0.0))
-      val edges = a.join(b, Seq("cell"))
-        .filter(col("doc_a") < col("doc_b") && sim >= threshold)
-        .select(col("doc_a"), col("doc_b"))
-      cc = Dedup.connectedComponents(
-        graphSide.select(col("vec_id").as("doc_id")), edges)
-      val labeled = cc.select(col("doc_id").as("vec_id"), col("component"))
-        .join(assigned.select(col("vec_id"), col("cell"), col("csim")),
-          Seq("vec_id"))
-      val winners = labeled.groupBy("component")
-        .agg(min(struct(col("csim"), col("vec_id"))).as("w"))
-      val graphOut = labeled.join(winners, Seq("component"))
-        .select(col("vec_id"), col("cell"), col("component"),
-          (col("vec_id") === col("w.vec_id")).cast("int").as("keep"),
-          lit(0).as("capped"))
-      val full =
-        if (oversized.isEmpty) graphOut
-        else graphOut.union(
-          assigned.filter(col("cell").isInCollection(oversized))
-            .select(col("vec_id"), col("cell"),
-              col("vec_id").as("component"),
-              lit(1).as("keep"), lit(1).as("capped")))
-      out = full.persist(StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize so every upstream cache can be released now
-      handedOff = true
-      out
-    } finally {
-      if (cc != null) cc.unpersist(false)
-      if (assigned != null) assigned.unpersist(false)
-      if (!handedOff && out != null) out.unpersist(false)
-    }
+        val nrm = math.sqrt(nv)
+        val den = nrm * bcN.value(cell)
+        val csim = if (den > 0.0) dc / den else 0.0
+        (cell, id, csim, nrm, v.take(dim))
+      }
+    assigned.groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        // buffer at most maxCell + 1 members to detect the cap; an oversized
+        // cell streams through (buffered head + lazy tail), never
+        // materializing in task memory
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Double, Array[Float])]
+        var over = false
+        while (!over && it.hasNext) {
+          val r = it.next()
+          buf += ((r._2, r._3, r._4, r._5))
+          if (buf.length > maxCell) over = true
+        }
+        if (over)
+          buf.iterator.map(m => (m._1, cell, m._1, 1, 1)) ++
+            it.map(r => (r._2, cell, r._2, 1, 1))
+        else {
+          // deterministic local order (shuffle order is not): sort by id;
+          // union-find parents always point to the SMALLER index, so each
+          // component's root index carries its minimum vec_id
+          val ms = buf.sortBy(_._1).toArray
+          val n = ms.length
+          val parent = Array.tabulate(n)(identity)
+          def find(x: Int): Int = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              // the oracle fold: index-order double dot over the dim slice,
+              // zero-norm products => DEFINED similarity 0.0 (no edge)
+              val prod = ms(i)._3 * ms(j)._3
+              if (prod > 0.0) {
+                val va = ms(i)._4; val vb = ms(j)._4
+                var d = 0.0; var k = 0
+                while (k < dim) { d += va(k).toDouble * vb(k).toDouble; k += 1 }
+                if (d / prod >= threshold) {
+                  val ri = find(i); val rj = find(j)
+                  if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+          // keep = argmin (csim, vec_id) per component: ids ascend with the
+          // index, so a strict < scan lands ties on the smallest vec_id
+          val bestIdx = new java.util.HashMap[Int, Int]()
+          i = 0
+          while (i < n) {
+            val r = find(i)
+            val b = bestIdx.getOrDefault(r, -1)
+            if (b < 0 || ms(i)._2 < ms(b)._2) bestIdx.put(r, i)
+            i += 1
+          }
+          (0 until n).iterator.map { idx =>
+            val r = find(idx)
+            (ms(idx)._1, cell, ms(r)._1,
+              if (bestIdx.get(r) == idx) 1 else 0, 0)
+          }
+        }
+      }
+      .toDF("vec_id", "cell", "component", "keep", "capped")
   }
 }

@@ -155,6 +155,17 @@ object PlanCheck {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
     check("d42_dup_removal (lazy plan)", d42,
       Seq("HashAggregate"), Seq("Window", "InMemoryTableScan", "CartesianProduct"))
+    // d41: SemDeDup must be one narrow assignment map into ONE cell-keyed
+    // exchange feeding per-cell tasks (MapGroups) — never a corpus
+    // self-join (the ε-graph is local), never a Window, never iterative
+    // label propagation reading caches. Lazy plan: nothing executes.
+    val d41 = graft.ops.Similarity.semDedup(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        graft.ops.Similarity.planesFor(16, 8, 7L), 0.7)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("d41_semdedup (lazy plan)", d41, Seq("MapGroups"),
+      Seq("Window", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "CartesianProduct", "InMemoryTableScan"))
     // d43: the vocabulary top-k must be TakeOrderedAndProject (bounded
     // per-partition top-k, k rows to the driver) over a partial aggregate —
     // never a global Sort of the vocabulary or a Window rank
