@@ -519,6 +519,44 @@ object SparkEntry {
     // narrow native token-count scan into a ≤ ~64-row aggregate.
     "d44_len_hist" -> ((s, d) =>
       ops.CorpusStats.lengthHistogram(docs(s, d)).orderBy("log2_tokens")),
+    // d45: UT1-style domain blocklist filter (the RefinedWeb/FineWeb URL
+    // filtering stage). Hosts are synthesized from `source` in-query (cdn.
+    // subdomains on doc_id % 7) so suffix matching actually fires; the
+    // blocklist literal carries an overlapping cdn.src2/src2 pair, so
+    // most-specific-wins is exercised on real rows. Plan: zero corpus
+    // exchanges — one broadcast LEFT join per suffix level (PlanCheck).
+    "d45_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val hosts = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("cdn."), col("source"), lit(".example.com")))
+          .otherwise(concat(col("source"), lit(".example.com"))).as("host"))
+      val bl = Seq(
+        ("src1.example.com", "adult"),
+        ("src2.example.com", "tracking"),
+        ("cdn.src2.example.com", "ads"),
+        ("src4.example.com", "gambling")).toDF("host", "category")
+      ops.WebFilters.blocklistFilter(hosts, bl)
+        .select(col("doc_id"), col("host"),
+          col("block_category"), col("blocked"))
+        .orderBy("doc_id")
+    }),
+    // d46: RefinedWeb-style line-wise correction. The synthetic docs are
+    // single-line, so boilerplate is injected in-query (same expression in
+    // the oracle): a nav bar, a social counter, and on doc_id % 4 == 0
+    // enough chrome that the >50%-removed verdict actually drops documents.
+    "d46_line_fix" -> ((s, d) => {
+      val injected = concat(
+        lit("HOME | ABOUT | CONTACT\n"),
+        col("text"),
+        lit("\n"), (col("doc_id") % 50).cast("string"), lit(" comments"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nSign in\nRead more\nSUBSCRIBE NOW TODAY"))
+          .otherwise(lit("\nA perfectly ordinary closing line.")))
+      ops.WebFilters.lineFix(
+          docs(s, d).select(col("doc_id"), injected.as("text")))
+        .orderBy("doc_id")
+    }),
     // d42: exact-substring REMOVAL (Lee et al. 2022) — the cleaning pass
     // that completes d27's counting: every duplicated 8-token window is
     // removed from every doc except the gram's first (lowest doc_id, pos)
@@ -1234,6 +1272,69 @@ object SparkEntry {
         |    ELSE length(bin(n)) - 1 END AS INTEGER) AS log2_tokens,
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same host synthesis + blocklist literals; suffix matching as one LEFT
+    // join per level on the label-slice, most-specific entry first in the
+    // coalesce — exactly the operator's join chain.
+    "d45_blocklist" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'cdn.' || source || '.example.com'
+        |         ELSE source || '.example.com' END AS host
+        |  FROM documents),
+        |bl(bl_host, bl_cat) AS (VALUES
+        |  ('src1.example.com', 'adult'),
+        |  ('src2.example.com', 'tracking'),
+        |  ('cdn.src2.example.com', 'ads'),
+        |  ('src4.example.com', 'gambling')),
+        |lv AS (SELECT doc_id, host, string_split(host, '.') AS labs
+        |  FROM hosts)
+        |SELECT lv.doc_id, lv.host,
+        |  coalesce(b0.bl_cat, b1.bl_cat, b2.bl_cat, b3.bl_cat)
+        |    AS block_category,
+        |  CAST(coalesce(b0.bl_cat, b1.bl_cat, b2.bl_cat, b3.bl_cat)
+        |    IS NOT NULL AS INTEGER) AS blocked
+        |FROM lv
+        |LEFT JOIN bl b0 ON len(labs) >= 2
+        |  AND array_to_string(labs[1:], '.') = b0.bl_host
+        |LEFT JOIN bl b1 ON len(labs) - 1 >= 2
+        |  AND array_to_string(labs[2:], '.') = b1.bl_host
+        |LEFT JOIN bl b2 ON len(labs) - 2 >= 2
+        |  AND array_to_string(labs[3:], '.') = b2.bl_host
+        |LEFT JOIN bl b3 ON len(labs) - 3 >= 2
+        |  AND array_to_string(labs[4:], '.') = b3.bl_host
+        |ORDER BY lv.doc_id""".stripMargin,
+    // Same injection expression and the same three anchored ASCII-only
+    // boilerplate-line rules (nav phrase, social counter, all-caps bar),
+    // evaluated inside a list_filter lambda.
+    "d46_line_fix" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10)
+        |    || CAST(doc_id % 50 AS VARCHAR) || ' comments'
+        |    || CASE WHEN doc_id % 4 = 0
+        |        THEN chr(10) || 'Sign in' || chr(10) || 'Read more'
+        |          || chr(10) || 'SUBSCRIBE NOW TODAY'
+        |        ELSE chr(10) || 'A perfectly ordinary closing line.'
+        |      END AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM inj),
+        |fx AS (SELECT doc_id, l,
+        |  list_filter(l, x -> NOT (
+        |    regexp_matches(lower(trim(x)),
+        |      '^(?:home|about(?: us)?|contact(?: us)?|sign in|sign up|log in|login|logout|register|subscribe|read more|learn more|menu|search|share|print|previous|next|back to top|skip to content)$')
+        |    OR regexp_matches(lower(trim(x)),
+        |      '^[0-9]+ (?:likes?|comments?|shares?|views?|replies|votes?|followers)$')
+        |    OR (length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')) >= 4
+        |        AND regexp_replace(trim(x), '[^A-Za-z]', '', 'g')
+        |            = upper(regexp_replace(trim(x), '[^A-Za-z]', '', 'g'))
+        |        AND length(trim(x)) <= 80))) AS k
+        |  FROM ls)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_lines,
+        |  CAST(len(l) - len(k) AS BIGINT) AS n_removed,
+        |  CAST((len(l) - len(k)) * 2 <= len(l) AS INTEGER) AS doc_kept,
+        |  array_to_string(k, chr(10)) AS fixed_text
+        |FROM fx ORDER BY doc_id""".stripMargin,
     // Same token/window grammar as the d27 oracle, plus ownership (first
     // occurrence by (doc_id, pos) keeps its text) and token-coverage
     // removal; kept tokens re-join in order.

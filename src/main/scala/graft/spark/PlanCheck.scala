@@ -228,6 +228,32 @@ object PlanCheck {
         cnt.queryExecution.executedPlan.toString, Seq("*(1) Project"))
     }
 
+    // d45: the blocklist suffix chain must be all-broadcast LEFT joins —
+    // the corpus side never exchanges (the only Exchange allowed is the
+    // one-row-per-host dedup agg of the tiny blocklist itself, which sits
+    // under a BroadcastExchange); d46: the line fix is a pure narrow
+    // projection. Audit the bare operators (the driver queries' orderBy
+    // adds a range exchange for the oracle dump).
+    {
+      import spark.implicits._
+      val hosts = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), org.apache.spark.sql.functions
+          .concat(col("source"), lit(".example.com")).as("host"))
+      val blDf = Seq(("src1.example.com", "adult")).toDF("host", "category")
+      val d45 = graft.ops.WebFilters.blocklistFilter(hosts, blDf)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      check("d45_blocklist (operator)", d45,
+        Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
+      val corpusShuffled = d45.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+      if (!corpusShuffled) println("PASS d45_blocklist: corpus side never exchanges")
+      else { println("FAIL d45_blocklist: corpus-side exchange found"); failures += 1 }
+      val d46 = graft.ops.WebFilters.lineFix(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      check("d46_line_fix (operator)", d46, Seq("Project"), Seq("Exchange"))
+    }
+
     if (args.contains("--print")) {
       println(r01); println(r02); println(d01); println(fp); println(d03)
     }
