@@ -217,6 +217,20 @@ object SparkEntry {
       s.range(n).as[Long].map(id => (id, fixtures.FixtureGen.media(id))).toDF("media_id", "payload")
         .transform(df => ops.Multimodal.mediaMetaDF(s, df))
     }),
+    // m03: multimodal ORACLE WITNESS — the m01 container parsers run over
+    // arithmetic-parameterized payloads (every header field a pure integer
+    // function of media_id, no PRNG), so DuckDB reconstructs the planted
+    // truth for every parsed field without touching a byte — the
+    // planted-truth witness pattern (d26/d28) extended to the media family.
+    "m03_media_witness" -> ((s, d) => {
+      import s.implicits._
+      val n = docCount(s, d) * 2
+      s.range(n).as[Long]
+        .map(id => (id, fixtures.FixtureGen.mediaWitness(id)))
+        .toDF("media_id", "payload")
+        .transform(df => ops.Multimodal.mediaMetaDF(s, df))
+        .orderBy("media_id")
+    }),
     "m02_media_ann" -> ((s, d) => {
       import s.implicits._
       val n = docCount(s, d) * 2
@@ -1335,6 +1349,34 @@ object SparkEntry {
         |  CAST((len(l) - len(k)) * 2 <= len(l) AS INTEGER) AS doc_kept,
         |  array_to_string(k, chr(10)) AS fixed_text
         |FROM fx ORDER BY doc_id""".stripMargin,
+    // Planted-truth reconstruction: media ids are 0..2n-1 (n = documents
+    // rows, doc_id dense 0..n-1), every header field the same integer
+    // arithmetic the witness builder packed into the container bytes, and
+    // the fixed 64-byte body pins total sizes per format.
+    "m03_media_witness" ->
+      """WITH ids AS (
+        |  SELECT doc_id * 2 AS media_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 FROM documents)
+        |SELECT media_id,
+        |  CASE media_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    ELSE 'wav' END AS format,
+        |  CAST(CASE media_id % 3
+        |    WHEN 0 THEN 16 + (media_id * 37) % 2048
+        |    WHEN 1 THEN 8 + (media_id * 41) % 4000
+        |    ELSE -1 END AS INTEGER) AS width,
+        |  CAST(CASE media_id % 3
+        |    WHEN 0 THEN 16 + (media_id * 53) % 2048
+        |    WHEN 1 THEN 8 + (media_id * 29) % 4000
+        |    ELSE -1 END AS INTEGER) AS height,
+        |  CAST(CASE media_id % 3 WHEN 2 THEN
+        |      ([8000, 16000, 22050, 44100, 48000])[CAST((media_id * 31) % 5 AS INTEGER) + 1]
+        |    ELSE -1 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE media_id % 3 WHEN 2 THEN 1 + media_id % 2
+        |    ELSE -1 END AS INTEGER) AS channels,
+        |  CAST(CASE media_id % 3 WHEN 0 THEN 97 WHEN 1 THEN 83
+        |    ELSE 100 END AS BIGINT) AS n_bytes
+        |FROM ids ORDER BY media_id""".stripMargin,
     // Same token/window grammar as the d27 oracle, plus ownership (first
     // occurrence by (doc_id, pos) keeps its text) and token-coverage
     // removal; kept tokens re-join in order.

@@ -1165,35 +1165,64 @@ object FixtureGen {
     val body = new Array[Byte](128 + r.nextInt(1024))
     r.nextBytes(body)
     (mediaId % 4) match {
-      case 0 => // PNG with IHDR w/h
-        val w = 16 + r.nextInt(2048); val h = 16 + r.nextInt(2048)
-        val out = java.nio.ByteBuffer.allocate(33 + body.length)
-        out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-        out.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
-          .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-        out.putInt(0) // CRC placeholder (parser reads IHDR fields only)
-        out.put(body)
-        out.array()
-      case 1 => // JPEG: SOI, APP0 skip-chunk, SOF0 with h/w
-        val w = 8 + r.nextInt(4000); val h = 8 + r.nextInt(4000)
-        val out = java.nio.ByteBuffer.allocate(2 + 4 + 4 + 9 + body.length)
-        out.put(0xff.toByte).put(0xd8.toByte)
-        out.put(0xff.toByte).put(0xe0.toByte).putShort(6.toShort).putShort(0.toShort).putShort(0.toShort)
-        out.put(0xff.toByte).put(0xc0.toByte).putShort(9.toShort).put(8.toByte)
-          .putShort(h.toShort).putShort(w.toShort)
-        out.put(body)
-        out.array()
-      case 2 => // WAV: RIFF/WAVE + fmt chunk (PCM, channels, sampleRate)
-        val sr = Array(8000, 16000, 22050, 44100, 48000).apply(r.nextInt(5))
-        val ch = 1 + r.nextInt(2)
-        val out = java.nio.ByteBuffer.allocate(36 + body.length)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        out.put("RIFF".getBytes).putInt(28 + body.length).put("WAVE".getBytes)
-        out.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(ch.toShort)
-          .putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16.toShort)
-        out.put(body)
-        out.array()
+      case 0 => pngBytes(16 + r.nextInt(2048), 16 + r.nextInt(2048), body)
+      case 1 => jpegBytes(8 + r.nextInt(4000), 8 + r.nextInt(4000), body)
+      case 2 => wavBytes(
+        Array(8000, 16000, 22050, 44100, 48000).apply(r.nextInt(5)),
+        1 + r.nextInt(2), body)
       case _ => body // unknown format: parser must degrade gracefully
     }
+  }
+
+  /** Arithmetic-parameterized media payload: every container-header field is
+    * a pure integer function of `mediaId` (no PRNG), so a SQL oracle can
+    * reconstruct the planted truth without parsing a byte — the
+    * planted-truth-reconstruction witness pattern (d26/d28), extended to
+    * the multimodal container parsers. Body is 64 zero bytes, so total
+    * sizes are fixed per format (png 97 / jpeg 83 / wav 100). */
+  def mediaWitness(mediaId: Long): Array[Byte] = {
+    val body = new Array[Byte](64)
+    (mediaId % 3) match {
+      case 0 => pngBytes(
+        (16 + (mediaId * 37) % 2048).toInt, (16 + (mediaId * 53) % 2048).toInt, body)
+      case 1 => jpegBytes(
+        (8 + (mediaId * 41) % 4000).toInt, (8 + (mediaId * 29) % 4000).toInt, body)
+      case _ => wavBytes(
+        Array(8000, 16000, 22050, 44100, 48000).apply(((mediaId * 31) % 5).toInt),
+        (1 + mediaId % 2).toInt, body)
+    }
+  }
+
+  // PNG signature + IHDR carrying w/h (CRC placeholder: parsers read fields)
+  private def pngBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33 + body.length)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(0)
+    out.put(body)
+    out.array()
+  }
+
+  // JPEG: SOI, APP0 skip-chunk, SOF0 with h/w
+  private def jpegBytes(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 4 + 4 + 9 + body.length)
+    out.put(0xff.toByte).put(0xd8.toByte)
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(6.toShort).putShort(0.toShort).putShort(0.toShort)
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(9.toShort).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort)
+    out.put(body)
+    out.array()
+  }
+
+  // WAV: RIFF/WAVE + fmt chunk (PCM, channels, sampleRate)
+  private def wavBytes(sr: Int, ch: Int, body: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(36 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(28 + body.length).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1.toShort).putShort(ch.toShort)
+      .putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16.toShort)
+    out.put(body)
+    out.array()
   }
 }

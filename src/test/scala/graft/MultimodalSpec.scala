@@ -80,4 +80,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.format == "wav", m.toString)
     assert(m.channels == 2 && m.sampleRate == 44100, m.toString)
   }
+
+  test("media witness: parse round-trips the arithmetic planted truth") {
+    // png id=0: w=16, h=16, 97 bytes
+    val p = Multimodal.meta(graft.fixtures.FixtureGen.mediaWitness(0L))
+    assert(p == Multimodal.MediaMeta("png", 16, 16, -1, -1, 97L), p.toString)
+    // jpeg id=7: w = 8 + 7*41 % 4000 = 295, h = 8 + 7*29 % 4000 = 211
+    val j = Multimodal.meta(graft.fixtures.FixtureGen.mediaWitness(7L))
+    assert(j == Multimodal.MediaMeta("jpeg", 295, 211, -1, -1, 83L), j.toString)
+    // wav id=5: sr table[(5*31)%5 = 0] = 8000, ch = 1 + 5%2 = 2
+    val w = Multimodal.meta(graft.fixtures.FixtureGen.mediaWitness(5L))
+    assert(w == Multimodal.MediaMeta("wav", -1, -1, 8000, 2, 100L), w.toString)
+  }
 }
