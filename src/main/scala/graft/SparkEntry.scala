@@ -541,10 +541,14 @@ object SparkEntry {
     // exchanges — one broadcast LEFT join per suffix level (PlanCheck).
     "d45_blocklist" -> ((s, d) => {
       import s.implicits._
+      val rawHost = when(col("doc_id") % 7 === 0,
+        concat(lit("cdn."), col("source"), lit(".example.com")))
+        .otherwise(concat(col("source"), lit(".example.com")))
+      // every 11th host arrives as an UPPERCASED root-dotted FQDN and must
+      // still match — exercises the operator's DNS normalization
       val hosts = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit("cdn."), col("source"), lit(".example.com")))
-          .otherwise(concat(col("source"), lit(".example.com"))).as("host"))
+        when(col("doc_id") % 11 === 0, concat(upper(rawHost), lit(".")))
+          .otherwise(rawHost).as("host"))
       val bl = Seq(
         ("src1.example.com", "adult"),
         ("src2.example.com", "tracking"),
@@ -560,12 +564,14 @@ object SparkEntry {
     // the oracle): a nav bar, a social counter, and on doc_id % 4 == 0
     // enough chrome that the >50%-removed verdict actually drops documents.
     "d46_line_fix" -> ((s, d) => {
+      // the "Sign in\r" line exercises CRLF handling through the gate: the
+      // \r must be stripped before the anchored nav match on both engines
       val injected = concat(
         lit("HOME | ABOUT | CONTACT\n"),
-        col("text"),
+        coalesce(col("text"), lit("")),
         lit("\n"), (col("doc_id") % 50).cast("string"), lit(" comments"),
         when(col("doc_id") % 4 === 0,
-          lit("\nSign in\nRead more\nSUBSCRIBE NOW TODAY"))
+          lit("\nSign in\r\nRead more\nSUBSCRIBE NOW TODAY"))
           .otherwise(lit("\nA perfectly ordinary closing line.")))
       ops.WebFilters.lineFix(
           docs(s, d).select(col("doc_id"), injected.as("text")))
@@ -1292,15 +1298,18 @@ object SparkEntry {
     "d45_blocklist" ->
       """WITH hosts AS (
         |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN upper(h) || '.' ELSE h END AS host
+        |  FROM (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN 'cdn.' || source || '.example.com'
-        |         ELSE source || '.example.com' END AS host
-        |  FROM documents),
+        |         ELSE source || '.example.com' END AS h
+        |    FROM documents)),
         |bl(bl_host, bl_cat) AS (VALUES
         |  ('src1.example.com', 'adult'),
         |  ('src2.example.com', 'tracking'),
         |  ('cdn.src2.example.com', 'ads'),
         |  ('src4.example.com', 'gambling')),
-        |lv AS (SELECT doc_id, host, string_split(host, '.') AS labs
+        |lv AS (SELECT doc_id, host,
+        |  string_split(lower(rtrim(host, '.')), '.') AS labs
         |  FROM hosts)
         |SELECT lv.doc_id, lv.host,
         |  coalesce(b0.bl_cat, b1.bl_cat, b2.bl_cat, b3.bl_cat)
@@ -1323,25 +1332,26 @@ object SparkEntry {
     "d46_line_fix" ->
       """WITH inj AS (
         |  SELECT doc_id,
-        |    'HOME | ABOUT | CONTACT' || chr(10) || text || chr(10)
+        |    'HOME | ABOUT | CONTACT' || chr(10) || coalesce(text, '')
+        |    || chr(10)
         |    || CAST(doc_id % 50 AS VARCHAR) || ' comments'
         |    || CASE WHEN doc_id % 4 = 0
-        |        THEN chr(10) || 'Sign in' || chr(10) || 'Read more'
-        |          || chr(10) || 'SUBSCRIBE NOW TODAY'
+        |        THEN chr(10) || 'Sign in' || chr(13) || chr(10)
+        |          || 'Read more' || chr(10) || 'SUBSCRIBE NOW TODAY'
         |        ELSE chr(10) || 'A perfectly ordinary closing line.'
         |      END AS t
         |  FROM documents),
         |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM inj),
         |fx AS (SELECT doc_id, l,
         |  list_filter(l, x -> NOT (
-        |    regexp_matches(lower(trim(x)),
+        |    regexp_matches(lower(trim(regexp_replace(x, '\r', '', 'g'))),
         |      '^(?:home|about(?: us)?|contact(?: us)?|sign in|sign up|log in|login|logout|register|subscribe|read more|learn more|menu|search|share|print|previous|next|back to top|skip to content)$')
-        |    OR regexp_matches(lower(trim(x)),
+        |    OR regexp_matches(lower(trim(regexp_replace(x, '\r', '', 'g'))),
         |      '^[0-9]+ (?:likes?|comments?|shares?|views?|replies|votes?|followers)$')
-        |    OR (length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')) >= 4
-        |        AND regexp_replace(trim(x), '[^A-Za-z]', '', 'g')
-        |            = upper(regexp_replace(trim(x), '[^A-Za-z]', '', 'g'))
-        |        AND length(trim(x)) <= 80))) AS k
+        |    OR (length(regexp_replace(trim(regexp_replace(x, '\r', '', 'g')), '[^A-Za-z]', '', 'g')) >= 4
+        |        AND regexp_replace(trim(regexp_replace(x, '\r', '', 'g')), '[^A-Za-z]', '', 'g')
+        |            = upper(regexp_replace(trim(regexp_replace(x, '\r', '', 'g')), '[^A-Za-z]', '', 'g'))
+        |        AND length(trim(regexp_replace(x, '\r', '', 'g'))) <= 80))) AS k
         |  FROM ls)
         |SELECT doc_id,
         |  CAST(len(l) AS BIGINT) AS n_lines,

@@ -40,15 +40,20 @@ object WebFilters {
     *
     * Output: input columns + `block_category` (null = unlisted) + `blocked`
     * (0/1 int — int not boolean so every oracle engine hashes it alike). */
+  /** DNS names are case-insensitive and may arrive as FQDNs with a root
+    * dot; UT1 lists are lowercase without one. Normalize both sides the
+    * same way before any comparison. */
+  private def normHost(h: Column): Column = lower(rtrim(h, "."))
+
   def blocklistFilter(df: DataFrame, blocklist: DataFrame,
       hostCol: String = "host", levels: Int = 4,
       blHostCol: String = "host", blCatCol: String = "category"): DataFrame = {
     require(levels >= 1 && levels <= 8, s"levels must be in [1,8], got $levels")
     val bl = blocklist
-      .select(col(blHostCol).cast("string").as("bl_host"),
+      .select(normHost(col(blHostCol).cast("string")).as("bl_host"),
         col(blCatCol).cast("string").as("bl_cat"))
       .groupBy(col("bl_host")).agg(min(col("bl_cat")).as("bl_cat"))
-    val labels = split(col(hostCol), "\\.", -1)
+    val labels = split(normHost(col(hostCol)), "\\.", -1)
     var out = df
     val catCols = (0 until levels).map { i =>
       // suffix at level i = host minus its first i labels; null (never
@@ -79,7 +84,11 @@ object WebFilters {
     "^[0-9]+ (?:likes?|comments?|shares?|views?|replies|votes?|followers)$"
 
   private def isBoilerplateLine(line: Column): Column = {
-    val t = trim(line)
+    // strip CR first: lines from CRLF text end in \r, and Java's '$'
+    // matches before a final line terminator while RE2's does not — with
+    // no \r (and no \n, post-split) in the subject, '$' means end-of-text
+    // in both engines and the oracle twin stays exact
+    val t = trim(regexp_replace(line, "\r", ""))
     val letters = regexp_replace(t, "[^A-Za-z]", "")
     lower(t).rlike(NavLineRe) ||
       lower(t).rlike(CounterLineRe) ||

@@ -243,9 +243,16 @@ object PlanCheck {
       val d45 = graft.ops.WebFilters.blocklistFilter(hosts, blDf)
         .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
       check("d45_blocklist (operator)", d45,
-        Seq("BroadcastHashJoin"), Seq("SortMergeJoin"))
+        Seq("BroadcastHashJoin"), Seq("SortMergeJoin", "ShuffledHashJoin"))
+      // all four suffix levels must be broadcast joins, and the ONLY
+      // hash-partitioned exchange allowed is the blocklist's own one-row-
+      // per-host dedup agg (keyed bl_host) under its BroadcastExchange —
+      // any other Exchange means the corpus moved
+      val nBhj = d45.linesIterator.count(_.contains("BroadcastHashJoin"))
+      if (nBhj == 4) println("PASS d45_blocklist: 4 broadcast joins (one per level)")
+      else { println(s"FAIL d45_blocklist: $nBhj BroadcastHashJoin, expected 4"); failures += 1 }
       val corpusShuffled = d45.linesIterator.exists(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+        l.contains("Exchange hashpartitioning") && !l.contains("bl_host"))
       if (!corpusShuffled) println("PASS d45_blocklist: corpus side never exchanges")
       else { println("FAIL d45_blocklist: corpus-side exchange found"); failures += 1 }
       val d46 = graft.ops.WebFilters.lineFix(

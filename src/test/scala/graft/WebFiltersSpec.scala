@@ -74,6 +74,21 @@ class WebFiltersSpec extends AnyFunSuite {
     assert(deepEnough(0L) == (("tracking", 1)))
   }
 
+  test("blocklist: hosts normalize — case-insensitive, root dot stripped") {
+    val m = block(Seq(
+      0L -> "Bad.Example.COM",        // DNS case-insensitivity
+      1L -> "bad.example.com.",       // FQDN root dot
+      2L -> "CDN.BAD.EXAMPLE.COM."),  // both, on a subdomain
+      bl ++ Seq("MIXED.Case.Org" -> "listed-mixed"))
+    assert(m(0L) == (("adult", 1)))
+    assert(m(1L) == (("adult", 1)))
+    assert(m(2L) == (("ads", 1)))
+    // blocklist-side normalization too
+    val n = block(Seq(0L -> "mixed.case.org"),
+      Seq("MIXED.Case.Org." -> "listed-mixed"))
+    assert(n(0L) == (("listed-mixed", 1)))
+  }
+
   test("blocklist: duplicate entries collapse to the smallest category") {
     val m = block(Seq(0L -> "bad.example.com"),
       Seq("bad.example.com" -> "zeta", "bad.example.com" -> "alpha"))
@@ -124,6 +139,15 @@ class WebFiltersSpec extends AnyFunSuite {
     // "OK GO" (5 letters, caps) removed; "NO"/"USA" (<4 letters) kept;
     // the >80-char shout kept
     assert(m(0L) == ((4L, 1L, 1, s"NO\n$longBar\nUSA")))
+  }
+
+  test("lineFix: CRLF lines strip the \\r before the anchored rules") {
+    // "Sign in\r" must be removed (Java '$' would also match before the
+    // final \r, but RE2's would not — the operator strips \r inside the
+    // PREDICATE so both engine semantics agree); kept lines stay verbatim
+    // (lines are removed, never rewritten), and 2 of 3 removed drops the doc
+    val m = fix(Seq(0L -> "Sign in\r\nReal prose stays.\r\n12 likes\r"))
+    assert(m(0L) == ((3L, 2L, 0, "Real prose stays.\r")))
   }
 
   test("lineFix: null and empty text are single empty kept lines") {
