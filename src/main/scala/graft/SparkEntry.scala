@@ -283,11 +283,11 @@ object SparkEntry {
         .select(col("doc_id"), coalesce(col("n_neardups"), lit(0L)).as("n_neardups"))
     }),
     "d08_lang_id" -> ((s, d) =>
-      // column-expression variant of the langId heuristic: integer-exact
-      // script/stopword counts + a CASE decision, codegen'd and DuckDB-
-      // reproducible (the row kernel TextOps.langId stays for typed/stream
-      // paths; OpsSpec asserts the two agree on the reference vectors)
-      TextOps.langIdDF(docs(s, d), col("text")).orderBy("doc_id")),
+      // native one-pass graft_lang_id scan; the regex langIdDF stays as
+      // the documented oracle-shaped reference form (TextExprSpec pins
+      // bit-equality, this DuckDB oracle gates the swap; the row kernel
+      // TextOps.langId stays for typed/stream paths)
+      TextOps.langIdFast(docs(s, d), col("text")).orderBy("doc_id")),
     "d09_fingerprint" -> ((s, d) => {
       import s.implicits._
       docs(s, d).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]

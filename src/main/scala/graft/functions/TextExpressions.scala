@@ -219,9 +219,125 @@ object CanonUrl {
   }
 }
 
+/** Native Catalyst expression: one-pass language-ID features —
+  * `struct(n_latin INT, n_cjk INT, lang STRING)` — replacing the ~12
+  * interpreted regex passes of the oracle-shaped `TextOps.langIdDF` form
+  * (6 char-class counts, a pad-and-double `regexp_replace`, 4 stopword
+  * alternation counts, a diacritic count) with one code-point scan plus one
+  * token scan, at BIT-IDENTICAL results (TextExprSpec pins the equivalence
+  * on adversarial vectors and a seeded fuzz corpus).
+  *
+  * Parity is structural, not re-derived: the input is clipped with the same
+  * `UTF8String.substringSQL(1, 4000)` the SQL `substring` calls and lowered
+  * with the same `UTF8String.toLowerCase` the SQL `lower` calls (so
+  * full-case-mapping edge cases like U+0130 agree by construction), and the
+  * stopword count reproduces the regex form's space-doubling semantics —
+  * a stopword counts iff it is a maximal run delimited by literal spaces
+  * or the string boundary (tabs/newlines are NOT delimiters, matching the
+  * `[ ]word[ ]` pattern). Null in → null out; the `langIdFast` wrapper
+  * coalesces to the regex form's null outputs (0, 0, 'und').
+  */
+case class LangIdFeatures(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_lang_id requires string, got $t")
+  }
+  override def dataType: DataType = LangIdFeatures.schema
+  override def prettyName: String = "graft_lang_id"
+
+  override def nullSafeEval(input: Any): Any =
+    LangIdFeatures.features(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LangIdFeatures$$.MODULE$$.features($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdFeatures =
+    copy(child = newChild)
+}
+
+object LangIdFeatures {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_latin", IntegerType, nullable = false),
+    StructField("n_cjk", IntegerType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  private val En = Set("the", "and", "of", "to", "is")
+  private val De = Set("der", "und", "die", "das", "ist")
+  private val Fr = Set("le", "la", "les", "et", "est")
+  private val Es = Set("el", "los", "las", "y", "es")
+
+  /** Shared by interpreted eval and generated code. */
+  def features(s0: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = s0.substringSQL(1, 4000)
+    val str = s.toString
+    var cjk = 0; var kana = 0; var hangul = 0; var arab = 0; var cyr = 0; var latin = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+      else if (cp >= 0x3040 && cp <= 0x30FF) kana += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7AF) hangul += 1
+      else if (cp >= 0x0600 && cp <= 0x06FF) arab += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+      else if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0x17F)) latin += 1
+      i += Character.charCount(cp)
+    }
+    val total = cjk + kana + hangul + arab + cyr + latin
+    val lang =
+      if (total == 0) "und"
+      else if (kana * 5 >= total) "ja"
+      else if (hangul * 2 >= total) "ko"
+      else if (cjk * 2 >= total) "zh"
+      else if (arab * 2 >= total) "ar"
+      else if (cyr * 2 >= total) "ru"
+      else if (latin * 2 >= total) latinLang(s)
+      else "und"
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](latin, cjk, UTF8String.fromString(lang)))
+  }
+
+  private def latinLang(s: UTF8String): String = {
+    val lowered = s.toLowerCase.toString
+    val n = lowered.length
+    var wEn = 0; var wDe = 0; var wFr = 0; var wEs = 0
+    var i = 0
+    while (i <= n) { // <= so the final (virtually space-terminated) token runs
+      var j = i
+      while (j < n && lowered.charAt(j) != ' ') j += 1
+      val len = j - i
+      if (len >= 1 && len <= 3) { // every stopword is 1..3 chars
+        val t = lowered.substring(i, j)
+        if (En.contains(t)) wEn += 1
+        if (De.contains(t)) wDe += 1
+        if (Fr.contains(t)) wFr += 1
+        if (Es.contains(t)) wEs += 1
+      }
+      i = j + 1
+    }
+    var k = 0
+    while (k < n) {
+      val c = lowered.charAt(k)
+      if (c == 'ä' || c == 'ö' || c == 'ü' || c == 'ß') wDe += 1
+      k += 1
+    }
+    if (math.max(math.max(wEn, wDe), math.max(wFr, wEs)) == 0) "en"
+    else if (wEn >= wDe && wEn >= wFr && wEn >= wEs) "en"
+    else if (wDe >= wFr && wDe >= wEs) "de"
+    else if (wFr >= wEs) "fr"
+    else "es"
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graft.Shims
   /** Column-level entry points used by ops.TextOps. */
   def nfc(c: Column): Column = Shims.column(NfcNormalize(Shims.expression(c)))
   def canonUrl(c: Column): Column = Shims.column(CanonUrl(Shims.expression(c)))
+  def langIdFeatures(c: Column): Column =
+    Shims.column(LangIdFeatures(Shims.expression(c)))
 }

@@ -101,6 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.GraftAsciiTokenCount)
     ext.injectFunction(GraftExtensions.GraftTokenNgrams)
     ext.injectFunction(GraftExtensions.GraftWindowKeys)
+    ext.injectFunction(GraftExtensions.GraftLangId)
   }
 }
 
@@ -129,6 +130,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 1, "graft_canon_url takes exactly 1 argument")
       CanonUrl(children.head)
+    })
+
+  val GraftLangId: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_lang_id"),
+    new ExpressionInfo(classOf[LangIdFeatures].getName, "graft_lang_id"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_lang_id takes exactly 1 argument")
+      LangIdFeatures(children.head)
     })
 
   val GraftAsciiTokens: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

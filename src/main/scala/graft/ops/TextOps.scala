@@ -128,6 +128,22 @@ object TextOps {
     * count is an integer; the language string is a pure CASE over them).
     * Examines the first 4000 characters like the row kernel. Returns
     * (doc_id, n_latin, n_cjk, detected_lang). */
+  /** Production/bench twin of [[langIdDF]]: the same
+    * (doc_id, n_latin, n_cjk, detected_lang) output from ONE native
+    * codegen'd scan (`graft_lang_id`) instead of ~12 interpreted regex
+    * passes — the signatureExpr precedent: the regex form below stays as
+    * the documented oracle-shaped reference, TextExprSpec pins
+    * bit-equality on adversarial + seeded-fuzz vectors, and the d08
+    * DuckDB oracle (which mirrors the regex form) gates the swap. */
+  def langIdFast(df: DataFrame, text: Column): DataFrame = {
+    val f = graft.functions.TextFunctions.langIdFeatures(text)
+    df.select(
+      col("doc_id").cast("long").as("doc_id"),
+      coalesce(f.getField("n_latin"), lit(0)).as("n_latin"),
+      coalesce(f.getField("n_cjk"), lit(0)).as("n_cjk"),
+      coalesce(f.getField("lang"), lit("und")).as("detected_lang"))
+  }
+
   def langIdDF(df: DataFrame, text: Column): DataFrame = {
     val s = substring(text, 1, 4000)
     def cnt(c: Column, pattern: String): Column =

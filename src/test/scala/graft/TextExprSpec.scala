@@ -152,6 +152,86 @@ class TextExprSpec extends AnyFunSuite {
     assert(r.getString(1) == "https://h/x?a=2&b=1")
   }
 
+  // ---- graft_lang_id: native one-pass twin of the regex langIdDF form ----
+
+  /** Run both langId forms over the same (doc_id, text) rows and assert
+    * row-for-row equality of (n_latin, n_cjk, detected_lang). */
+  private def assertLangParity(rows: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = rows.toDF("doc_id", "text")
+    val fast = TextOps.langIdFast(df, col("text")).orderBy("doc_id").collect()
+    val ref = TextOps.langIdDF(df, col("text")).orderBy("doc_id").collect()
+    assert(fast.length == ref.length)
+    fast.zip(ref).foreach { case (f, r) =>
+      if (f != r) fail(s"fast=$f ref=$r for doc ${f.getLong(0)}: '${
+        rows.find(_._1 == f.getLong(0))
+          .map(t => String.valueOf(t._2).take(80)).getOrElse("")}'")
+    }
+  }
+
+  test("graft_lang_id: hand vectors match the regex form on every branch") {
+    assertLangParity(Seq(
+      0L -> "the cat and the dog is in of to the house",
+      1L -> "der Hund und die Katze ist das Tier über größer",
+      2L -> "le chat et la maison est les jardins",
+      3L -> "el perro y los gatos las casas es",
+      4L -> "これはひらがなとカタカナのテキストです",
+      5L -> "한국어 텍스트 문장입니다 안녕하세요",
+      6L -> "这是一段中文文本没有假名",
+      7L -> "هذا نص باللغة العربية للاختبار",
+      8L -> "это русский текст для проверки",
+      9L -> "1234 %% ++ __ 5678",          // no letters -> und
+      10L -> "",                            // empty -> und
+      11L -> "xqz vbn mlp",                 // latin, zero stopwords -> en
+      12L -> "the, and. of! to? is;",       // punctuation-adjacent: NOT counted
+      13L -> "THE AND OF TO IS",            // uppercase stopwords lower to hits
+      14L -> "ÄÖÜ über jedoch wäre",        // uppercase diacritics count via lower
+      15L -> "the\tand\nof\rto",            // tab/newline are NOT delimiters
+      16L -> "  the  and  ",                // doubled spaces, empty tokens
+      17L -> "İstanbul IS the İS city",     // U+0130 full case mapping (i̇)
+      18L -> "es es es est est la la le",   // fr/es tie-break order
+      19L -> (("the and " * 800) + "tail"), // crosses the 4000-char clip
+      20L -> "𝒜𝒷𝒸 the 𝒹𝑒 and 𝒻𝑔",           // astral chars around stopwords
+      21L -> "×÷ the and of",               // U+00D7/U+00F7 count as latin (class parity)
+      22L -> null))
+  }
+
+  test("graft_lang_id: 1000-case seeded fuzz equivalence vs the regex form") {
+    val alphabet: Array[String] = Array(
+      "the", "and", "of", "to", "is", "der", "und", "die", "das", "ist",
+      "le", "la", "les", "et", "est", "el", "los", "las", "y", "es",
+      " ", "  ", "\t", "\n", "\r", ",", ".", "!", "ä", "ö", "ü", "ß",
+      "Ä", "Ö", "Ü", "é", "û", "×", "÷", "İ", "ı", "ẞ",
+      "漢", "字", "か", "タ", "한", "글", "م", "ر", "б", "в",
+      "x", "q", "Z", "0", "9", "𝒜", " ", "word", "thee", "sthe")
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 1000).map { i =>
+      val sb = new StringBuilder
+      val parts = rnd.nextInt(60)
+      (0 until parts).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+      i.toLong -> sb.toString
+    }
+    assertLangParity(rows)
+  }
+
+  test("graft_lang_id: SQL registration + executed plan stays codegen'd") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val (id, info, builder) = graft.functions.GraftExtensions.GraftLangId
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    val r = spark.sql(
+      "SELECT graft_lang_id('the cat and the dog is here') AS f").head()
+    assert(r.getStruct(0).getString(2) == "en")
+    // non-foldable source (a literal DF constant-folds to LocalTableScan)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val src = spark.range(4).select(col("id").as("doc_id"),
+      concat(lit("the and of "), col("id")).as("text"))
+    val exec = TextOps.langIdFast(src, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("*(1) Project"), exec)
+  }
+
   test("d25 query shape: nfc_chars < raw_chars on every row (composition fired)") {
     import spark.implicits._
     val df = Seq((7L, "word soup")).toDF("doc_id", "text")
