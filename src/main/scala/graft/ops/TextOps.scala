@@ -74,17 +74,20 @@ object TextOps {
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \\t\\n\\r0-9A-Za-z]+|[ \\t\\n\\r]+"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+    regexp_count(text, lit(BpeTokenPattern))
 
   /** Stopword / word-shape quality counters (integer-exact for the oracle
-    * compare; ratios are derived downstream where float drift doesn't matter). */
+    * compare; ratios are derived downstream where float drift doesn't
+    * matter). Counting uses `regexp_count`, which has identical
+    * non-overlapping-match semantics to the oracle's
+    * `len(regexp_extract_all(...))` without materializing every match. */
   def qualityScore(df: DataFrame, text: Column): DataFrame =
     df.select(
       col("doc_id").cast("long").as("doc_id"),
-      size(regexp_extract_all(lower(text),
-        lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b"), lit(0))).as("n_stopwords"),
-      size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).as("n_word_runs"),
-      size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0))).as("n_nonspace"))
+      regexp_count(lower(text),
+        lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b")).as("n_stopwords"),
+      regexp_count(text, lit("[A-Za-z]+")).as("n_word_runs"),
+      regexp_count(text, lit("[^ \\t\\n\\r]")).as("n_nonspace"))
 
   /** Gopher-style quality gate as a single integer-arithmetic verdict per
     * document (keep=1/0): enough word runs, some stopwords (English-ish
@@ -93,11 +96,11 @@ object TextOps {
   def qualityFilter(df: DataFrame, text: Column): DataFrame =
     df.select(
       col("doc_id").cast("long").as("doc_id"),
-      (size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))) >= 10 &&
-        size(regexp_extract_all(lower(text),
-          lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b"), lit(0))) >= 2 &&
+      (regexp_count(text, lit("[A-Za-z]+")) >= 10 &&
+        regexp_count(lower(text),
+          lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b")) >= 2 &&
         coalesce(regexp_count(text, lit("[0-9]")), lit(0)) * 2 <=
-          size(regexp_extract_all(text, lit("[^ \\t\\n\\r]"), lit(0)))
+          regexp_count(text, lit("[^ \\t\\n\\r]"))
       ).cast("int").as("keep_flag"))
 
   /** Unicode NFC normalization stats + text (d25): raw vs normalized
