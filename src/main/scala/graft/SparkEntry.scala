@@ -812,7 +812,7 @@ object SparkEntry {
     "d01_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
         |       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
         |  CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
         |  CAST(length(regexp_extract_all(text, '[A-Z]')) AS INTEGER) AS n_upper,

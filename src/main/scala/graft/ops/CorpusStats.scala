@@ -45,8 +45,7 @@ object CorpusStats {
     * aggregate: the exchange carries one row per bucket per partition.
     * Buckets are integer-exact (floor of log2 on a BIGINT via bit length,
     * no floating point), so any engine reproduces them bit-for-bit. */
-  def lengthHistogram(docs: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def lengthHistogram(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val n = TextOps.asciiTokenCount(col(textCol)).cast("long")
     // floor(log2(n)) for n >= 1 computed integrally: 63 - leading zeros.
     // Spark has no BIGINT clz, but log2 via bit tests is overkill here —

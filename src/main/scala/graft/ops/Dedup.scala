@@ -35,7 +35,12 @@ object Dedup {
       .groupBy(col("content_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  final case class DocSig(doc_id: Long, sig: Array[Long])
+  /** `nShingles == 0` (text shorter than shingleK) leaves `sig` at the
+    * all-MaxValue sentinel — such docs carry NO minhash evidence and must
+    * never pair (two unrelated 2-char docs would otherwise estimate 100 %
+    * similar); [[minhashPairs]] excludes them, mirroring the witness form's
+    * null-signature convention. */
+  final case class DocSig(doc_id: Long, sig: Array[Long], nShingles: Int)
   final case class BandKey(band: Int, bucket: Long, doc_id: Long)
 
   /** MinHash signatures: k char-5-shingles → 64 permutation mins. Narrow. */
@@ -61,7 +66,7 @@ object Dedup {
             }
             i += 1
           }
-          DocSig(id, sig)
+          DocSig(id, sig, sh.length)
         }
       }
   }
@@ -93,7 +98,10 @@ object Dedup {
     // persisted: feeds the banding pass AND both sides of the signature
     // verify join — without it the full shingle+64-permutation pass over
     // every document runs three times
-    val sigs = minhashSignatures(spark, docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // shingle-less docs (text shorter than shingleK) carry no evidence:
+    // exclude them here or every pair of them estimates 100 % similar
+    val sigs = minhashSignatures(spark, docs).filter(_.nShingles > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = 64 / bands
     val banded = sigs.flatMap { s =>
       (0 until bands).iterator.map { b =>
@@ -123,14 +131,16 @@ object Dedup {
       .distinct()
       .toDF("doc_a", "doc_b")
     // verify: estimated jaccard = fraction of matching signature positions
-    val s1 = sigs.toDF("doc_a", "sig_a")
-    val s2 = sigs.toDF("doc_b", "sig_b")
+    val s1 = sigs.toDF("doc_a", "sig_a", "n_a").drop("n_a")
+    val s2 = sigs.toDF("doc_b", "sig_b", "n_b").drop("n_b")
     val out = candidates
       .join(s1, "doc_a").join(s2, "doc_b")
       .withColumn("est_jaccard_pct",
         (lit(100) * size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           x => x)) / lit(64)).cast("int"))
-      .filter(col("est_jaccard_pct") >= (threshold * 100).toInt)
+      // round, don't truncate: 0.29 * 100 is 28.999... in IEEE doubles, and
+      // a floor would silently lower the nominal threshold by one point
+      .filter(col("est_jaccard_pct") >= math.round(threshold * 100).toInt)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard_pct"))
     if (!materialize) out // plan-only: nothing executed, nothing cached yet
     else {
@@ -606,7 +616,8 @@ object Dedup {
         (a, b, pct)
       }
       .toDF("doc_a", "doc_b", "jaccard_pct")
-      .filter(col("jaccard_pct") >= (threshold * 100).toInt)
+      // round, not floor — same IEEE boundary note as minhashPairs
+      .filter(col("jaccard_pct") >= math.round(threshold * 100).toInt)
     if (!materialize) out // plan-only: nothing executed, nothing cached yet
     else {
       val cached = out.persist(StorageLevel.MEMORY_AND_DISK)
@@ -770,6 +781,11 @@ object Dedup {
       cached = nodes
         .select(col(idCol).cast("long").as("node"),
           col(idCol).cast("long").as("lbl"))
+        // a duplicated node id would FAN OUT in every pointer-jump join
+        // (row count multiplies each round) and inflate the Σlbl
+        // convergence witness; dedup the seed — one row per node is the
+        // loop's invariant, enforced here rather than assumed of callers
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       var prevSum = lblSum(cached) // materializes the seed labels
       var labels = reRoot(cached)

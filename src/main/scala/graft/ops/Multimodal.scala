@@ -50,7 +50,8 @@ object Multimodal {
           if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
             if (i + 9 <= n) out = MediaMeta("jpeg", be16(b, i + 7), be16(b, i + 5), -1, -1, n.toLong)
             else i = n
-          } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+          } else if (marker == 0xff) i += 1 // T.81 B.1.1.2: 0xFF fill bytes may pad any marker
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
           else i += 2 + (if (i + 4 <= n) be16(b, i + 2) else n)
         }
         if (out != null) out else MediaMeta("unknown", -1, -1, -1, -1, n.toLong)

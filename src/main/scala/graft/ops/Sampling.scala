@@ -74,7 +74,7 @@ object Sampling {
     require(keepNibbles >= 0 && keepNibbles <= 16,
       s"keepNibbles must be in [0,16], got $keepNibbles")
     val nibble = substring(
-      md5(to_binary(col(idCol).cast("string"), lit("utf-8"))), 1, 1)
+      TextOps.md5Key(col(idCol).cast("string")), 1, 1)
     val bound = "0123456789abcdefg".charAt(keepNibbles).toString
     df.filter(nibble < lit(bound))
   }
@@ -103,7 +103,7 @@ object Sampling {
       if (t >= 65536) "g" else f"$t%04x" // 'g' > every hex char: keep all
     }
     val nib4 = substring(
-      md5(to_binary(col(idCol).cast("string"), lit("utf-8"))), 1, 4)
+      TextOps.md5Key(col(idCol).cast("string")), 1, 4)
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hex4(defaultRate))) {
       case (acc, (g, r)) =>
         when(col(groupCol).cast("string") === lit(g), lit(hex4(r)))

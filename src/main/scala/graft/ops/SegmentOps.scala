@@ -54,7 +54,7 @@ object SegmentOps {
     val segs = base.select(col("doc_id"),
       posexplode(col("segs")).as(Seq("seg_idx", "seg")))
     val cand = segs.filter(length(col("seg")) >= minChars)
-      .withColumn("seg_md5", md5(to_binary(col("seg"), lit("utf-8"))))
+      .withColumn("seg_md5", TextOps.md5Key(col("seg")))
     // winner per distinct segment = lexicographic min of (doc_id, seg_idx):
     // partial-aggregated min, so hot segments never concentrate pre-agg rows
     val winners = cand.groupBy(col("seg_md5"))

@@ -210,11 +210,18 @@ object Similarity {
       k: Int = 10, bits: Int = 0, seed: Long = 42L): DataFrame = {
     val nBits = if (bits > 0) bits else autoBits(emb.count())
     // broadcast-plane signatures: constant plan size at any dim (see
-    // withSignatures; bit-identical to the signatureExpr literal form)
+    // withSignatures; bit-identical to the signatureExpr literal form).
+    // The query side signs its OWN tiny isin-filtered scan: signatures are
+    // row-local, and filtering bucketed instead would sit the isin above a
+    // typed mapPartitions — no pushdown, so the full-corpus signature pass
+    // would run twice (once to keep a handful of query rows, once for the
+    // corpus join side).
     val bucketed = withSignatures(emb, dim, nBits, Seq(seed))
       .select(col("vec_id"), col("embedding"), col("buckets").getItem(0).as("bucket"))
     val flips = array((0 until nBits).map(b => lit(1L << b)) :+ lit(0L): _*)
-    val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
+    val q = withSignatures(emb.filter(col("vec_id").isin(queryIds: _*)),
+        dim, nBits, Seq(seed))
+      .select(col("vec_id"), col("embedding"), col("buckets").getItem(0).as("bucket"))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(transform(flips, f => col("bucket").bitwiseXOR(f))).as("bucket"))
     val scored = bucketed
@@ -335,7 +342,9 @@ object Similarity {
       .map { case (id, v) => (nearestCell(v, bcCentroids.value, dim), id, v) }
       .toDF("cell", "neighbor_id", "n_emb")
     // queries probe their nProbe nearest cells
-    val queries = vecs.filter(r => queryIds.contains(r._1) && r._2.length >= dim).collect()
+    // Set membership, not Seq.contains — a Seq would linear-scan per corpus row
+    val qSet = queryIds.toSet
+    val queries = vecs.filter(r => qSet.contains(r._1) && r._2.length >= dim).collect()
     val probes = queries.flatMap { case (qid, qv) =>
       val byDist = centroids.indices.sortBy { c =>
         var d = 0.0; var i = 0

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count; empty/blank → 0. Matches the DuckDB oracle
-    * `length(regexp_split_to_array(trim(text), '\s+'))` semantics. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** Whitespace token count; null/empty/blank → 0 (total, per the doc
+    * contract). Matches the DuckDB oracle
+    * `length(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))`. */
+  def tokenCount(text: Column): Column = {
+    val t = trim(coalesce(text, lit("")))
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+  }
 
   /** ASCII `[A-Za-z0-9]+` token runs, lowercased; null text → no tokens.
     * The shared tokenization for n-gram ops (SegmentOps bigrams, Decontam
@@ -93,15 +95,20 @@ object TextOps {
     * document (keep=1/0): enough word runs, some stopwords (English-ish
     * running text), digits bounded to half the visible characters. Integer
     * comparisons only — the oracle compares exactly, no float drift. */
-  def qualityFilter(df: DataFrame, text: Column): DataFrame =
+  def qualityFilter(df: DataFrame, text: Column): DataFrame = {
+    // total on null text (→ 0, no word runs): the oracle's CASE already
+    // maps a NULL condition to 0, so a nullable keep_flag would both break
+    // the documented 1/0 contract and diverge from the gate
+    val t = coalesce(text, lit(""))
     df.select(
       col("doc_id").cast("long").as("doc_id"),
-      (regexp_count(text, lit("[A-Za-z]+")) >= 10 &&
-        regexp_count(lower(text),
+      (regexp_count(t, lit("[A-Za-z]+")) >= 10 &&
+        regexp_count(lower(t),
           lit("\\b(?:the|a|and|of|to|is|in|that|it|for)\\b")) >= 2 &&
-        coalesce(regexp_count(text, lit("[0-9]")), lit(0)) * 2 <=
-          regexp_count(text, lit("[^ \\t\\n\\r]"))
+        coalesce(regexp_count(t, lit("[0-9]")), lit(0)) * 2 <=
+          regexp_count(t, lit("[^ \\t\\n\\r]"))
       ).cast("int").as("keep_flag"))
+  }
 
   /** Unicode NFC normalization stats + text (d25): raw vs normalized
     * codepoint counts and the normalized string itself, via the native

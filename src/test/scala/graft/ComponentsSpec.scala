@@ -51,6 +51,16 @@ class ComponentsSpec extends AnyFunSuite {
     assert(m(0L) == ((0L, 1)) && m(1L) == ((1L, 1)))
   }
 
+  test("duplicate node ids in the seed do not fan out the propagation") {
+    spark.sparkContext.setLogLevel("WARN")
+    // id 1 appears twice: without the seed distinct() every pointer-jump
+    // join would multiply its rows each round (and skew the Σlbl witness)
+    val m = run(Seq(0L, 1L, 1L, 2L), Seq((0L, 1L), (1L, 2L)))
+    assert(m.size == 3)
+    assert(Seq(0L, 1L, 2L).forall(i => m(i)._1 == 0L))
+    assert(m(0L)._2 == 1 && m(1L)._2 == 0 && m(2L)._2 == 0)
+  }
+
   test("no edges: every node is its own keeper") {
     val m = run(Seq(10L, 20L), Seq.empty)
     assert(m(10L) == ((10L, 1)) && m(20L) == ((20L, 1)))

@@ -81,6 +81,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.channels == 2 && m.sampleRate == 44100, m.toString)
   }
 
+  test("jpeg: 0xFF fill bytes before a marker are skipped (T.81 B.1.1.2)") {
+    // SOI, two fill bytes, then SOF0 24x42
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.put(0xff.toByte).put(0xd8.toByte)
+    bb.put(0xff.toByte).put(0xff.toByte) // fill
+    bb.put(0xff.toByte).put(0xc0.toByte).putShort(9).put(8.toByte)
+      .putShort(42).putShort(24)
+    val m = Multimodal.meta(bb.array())
+    assert(m.format == "jpeg" && m.width == 24 && m.height == 42, m.toString)
+  }
+
   test("media witness: parse round-trips the arithmetic planted truth") {
     // png id=0: w=16, h=16, 97 bytes
     val p = Multimodal.meta(graft.fixtures.FixtureGen.mediaWitness(0L))

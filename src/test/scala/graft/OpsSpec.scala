@@ -224,6 +224,33 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.subsetOf(allowed), s"false pairs: ${pairs -- allowed}")
   }
 
+  test("tokenCount and qualityFilter are total on null text (0, not NULL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "two words"))
+      .toDF("doc_id", "text")
+    val tc = df.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tc == Map(0L -> 0, 1L -> 0, 2L -> 2))
+    val kf = TextOps.qualityFilter(df, col("text")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap // getInt throws on NULL
+    assert(kf == Map(0L -> 0, 1L -> 0, 2L -> 0))
+  }
+
+  test("minhash-LSH: sub-shingle docs carry no evidence and never pair") {
+    import spark.implicits._
+    // 'ok' and 'no' are shorter than shingleK=5: both signatures stay at
+    // the all-MaxValue sentinel — without the exclusion they'd estimate
+    // 100% similar to each other (and to any other shingle-less doc)
+    val shorts = Seq(
+      (100L, "ok"), (101L, "no"), (102L, ""),
+      (103L, "a proper document with enough text to shingle and stand alone"))
+    val pairs = Dedup.minhashPairs(spark, shorts.toDF("doc_id", "text"),
+        threshold = 0.6)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.isEmpty, s"sub-shingle docs paired: $pairs")
+  }
+
   test("removeDupWindows: planted removal truth — ownership, coverage merge, intra-doc repeats, null ids pass through") {
     import spark.implicits._
     val corpus = Seq(
