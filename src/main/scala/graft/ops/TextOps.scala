@@ -49,7 +49,10 @@ object TextOps {
     * gram/content join-key convention (d02/d22/d27): arbitrary-length text
     * never rides a shuffle, and the encoding is THE thing the DuckDB oracle
     * must agree on, so every consumer (Dedup.exact, Decontam.flagOverlap,
-    * Dedup.dupWindowStats) calls this one definition. */
+    * Dedup.dupWindowStats) calls this one definition. md5 here is the
+    * ORACLE-CHECKABLE convention (DuckDB recomputes it), not an adversarial
+    * integrity boundary — state that must survive hostile collision pairs
+    * (e.g. the streaming dedup key) uses SHA-256 instead. */
   def md5Key(c: Column): Column = md5(to_binary(c, lit("utf-8")))
 
   /** Punctuation count (fixed class, ASCII) — codegen regexp. */

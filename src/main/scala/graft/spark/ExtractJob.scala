@@ -48,17 +48,11 @@ object ExtractJob {
     val batched =
       if (sizeSort) input.sortWithinPartitions(length(col("html")))
       else input
-    val okRows = spark.sparkContext.longAccumulator("graft.pages.ok")
-    val errRows = spark.sparkContext.longAccumulator("graft.pages.err")
-    val bytesIn = spark.sparkContext.longAccumulator("graft.bytes.in")
-    batched.mapPartitions { iter =>
-      iter.map { p =>
-        val r = Extractor.extract(p)
-        if (r.error.isEmpty) okRows.add(1) else errRows.add(1)
-        bytesIn.add(r.htmlBytes)
-        r
-      }
-    }
+    // no per-row accumulators here: nothing read them, they cost atomic
+    // adds on the hot path, and multi-action consumers would double-count
+    // — ExtractMain's UnitStatsAcc (audited, surfaced in lineage) is the
+    // one metrics channel
+    batched.mapPartitions(_.map(Extractor.extract))
   }
 
   /** Histogram-budget batching — the analogue of the reference's aspect

@@ -167,7 +167,10 @@ object ExtractMain {
     val acc = new UnitStatsAcc
     spark.sparkContext.register(acc, "unit-lineage")
     val out = extracted.toDF()
-      .withColumn("unit", pmod(xxhash64(col("url")), lit(a.units.toLong)).cast("int"))
+      // the SAME unitOf val as the resume filter above — a re-typed copy
+      // here could silently diverge under a one-sided edit, writing rows
+      // into units the run never commits
+      .withColumn("unit", unitOf)
       .withColumn("crawl_date", to_date(col("warc_ts")))
     val schema = out.schema
     val (ui, ei, bi, ti) = (schema.fieldIndex("unit"), schema.fieldIndex("error"),
@@ -233,8 +236,12 @@ object ExtractMain {
     // master comes from spark-submit on a real cluster; --master is the
     // sandbox/local override
     a.master.foreach { m =>
-      builder.master(m).config("spark.sql.shuffle.partitions",
-        m.replaceAll("[^0-9]", "") match { case "" => "32"; case n => n })
+      // size shuffle partitions to the core count ONLY for the local[N]
+      // shape; stripping digits from an arbitrary master would turn
+      // spark://host:7077 into 7077 partitions
+      val parts = "^local\\[([0-9]+)\\]$".r.findFirstMatchIn(m)
+        .map(_.group(1)).getOrElse("32")
+      builder.master(m).config("spark.sql.shuffle.partitions", parts)
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

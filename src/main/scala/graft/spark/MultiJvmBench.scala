@@ -96,9 +96,15 @@ object ExecutorSim {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val files = new java.io.File(dir).listFiles()
+    val listed = new java.io.File(dir).listFiles()
+    require(listed != null, s"corpus dir missing or unreadable: $dir")
+    val files = listed
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
       .zipWithIndex.collect { case (p, i) if i % nProcs == idx => p }
+    require(files.nonEmpty,
+      s"executor $idx/$nProcs got an empty file slice — corpus at $dir has " +
+        s"${listed.count(_.getName.endsWith(".parquet"))} parquet files; " +
+        "materialize with at least one file per executor")
     def job(): (Long, Long) = {
       val pages = spark.read.parquet(files: _*).as[Page]
       val out = ExtractJob.run(pages)

@@ -35,9 +35,10 @@ object PlanCheck {
     // r01: aggregation must be partial (map-side combine, partial_ before the
     // exchange) and the executed plan codegen'd (AQE hides codegen markers in
     // SimpleMode until the plan is finalized, so run it and inspect)
-    val r01 = planOf("r01_agg")
-    check("r01_agg", r01, Seq("HashAggregate", "partial_count"))
     val r01df = graft.SparkEntry.queries("r01_agg")(spark, sfDir)
+    val r01 = r01df.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    check("r01_agg", r01, Seq("HashAggregate", "partial_count"))
     r01df.collect()
     // '*' prefix = WholeStageCodegen in Spark 4 formatted explain
     val r01Formatted = r01df.queryExecution

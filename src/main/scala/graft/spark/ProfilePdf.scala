@@ -30,6 +30,10 @@ object ProfilePdf {
     // html rows
     val ids3 = (0 until 4000).filterNot(i => i % 50 == 1 || i % 50 == 26).map(_.toLong)
     val pages3 = ids3.map(i => graft.fixtures.FixtureGen.fixture(i).page)
+    // warm the HTML branch too — the PDF warmups above never touch
+    // BlockBuilder/Classifier/Assembler, so without this the html numbers
+    // would include their first-execution JIT and overstate the html class
+    pages3.take(100).foreach(graft.Extractor.extract)
     val t2 = System.nanoTime()
     pages3.foreach(graft.Extractor.extract)
     val dt3 = (System.nanoTime() - t2) / 1e9

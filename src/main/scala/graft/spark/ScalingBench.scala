@@ -150,7 +150,10 @@ object ScalingBench {
       f""""cores":${x.cores},"secs":${x.secs}%.2f,"pages_per_sec":${x.pagesPerSec}%.0f,"mb_per_sec":${x.mbPerSec}%.1f"""
     def eff(lo: Run, hi: Run): Double = (lo.secs / hi.secs) / (hi.cores.toDouble / lo.cores)
     println(
-      f"""{"bench":"scaling","n_pages":$n,"html_mb":${r(8).bytes / 1e6}%.1f,""" +
+      // r(8).pages, not the requested n: a pre-existing corpus dir with a
+      // _SUCCESS marker is reused as-is, and the record must describe the
+      // corpus actually measured
+      f"""{"bench":"scaling","n_pages":${r(8).pages},"html_mb":${r(8).bytes / 1e6}%.1f,""" +
       s""""levels":[{${runJson(r(2))}},{${runJson(r(8))}},{${runJson(r(32))}}],""" +
       f""""efficiency_2_to_8":${eff(r(2), r(8))}%.3f,"efficiency_8_to_32":${eff(r(8), r(32))}%.3f}""")
   }

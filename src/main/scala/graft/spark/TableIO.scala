@@ -95,11 +95,24 @@ object TableIO {
     true
   }
 
-  /** Remove scratch debris left by this or previous crashed runs. */
-  def cullScratch(root: String): Unit = {
+  /** Remove scratch debris left by previous CRASHED runs. A scratch dir is
+    * only culled once it has been untouched for `graceMs` (default 6 h):
+    * an unconditional cull would delete a CONCURRENT run's in-flight
+    * scratch (scheduler retry racing a still-live run) and fail its write
+    * or its exactly-once audit mid-job. mtime refreshes as the live run
+    * writes files, so only genuinely dead runs age past the grace. */
+  def cullScratch(root: String, graceMs: Long = 6L * 3600 * 1000): Unit = {
     val dd = dataDir(root)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def deadDir(p: java.nio.file.Path): Boolean =
+      try {
+        val newest = listDir(p)(_.map(f =>
+          Files.getLastModifiedTime(f).toMillis).maxOption.getOrElse(0L))
+        math.max(newest, Files.getLastModifiedTime(p).toMillis) < cutoff
+      } catch { case _: java.io.IOException => false } // vanished: racing its own run
     if (Files.isDirectory(dd))
       listDir(dd)(_.filter(_.getFileName.toString.startsWith(".run-")).toList)
+        .filter(deadDir)
         .foreach(deleteRecursively)
     // manifest-dir debris: a crash between writeString and the atomic move
     // in commitUnit leaves .tmp-unit-* files that nothing else removes —

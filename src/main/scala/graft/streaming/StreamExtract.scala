@@ -42,8 +42,12 @@ object StreamExtract {
   /** Streaming exact-dedup with custom keyed state
     * (`KeyValueGroupedDataset.flatMapGroupsWithState`): the first page per
     * content hash passes, later arrivals are dropped — the always-on
-    * pipeline's dedup stage. State per key is one boolean, keyed on the md5
-    * of the extracted text. Pass `stateTtl = Some("1 hour")` for a
+    * pipeline's dedup stage. State per key is one boolean, keyed on the
+    * SHA-256 of the extracted text: unlike the oracle-checkable md5 batch
+    * key convention (TextOps.md5Key), this state key faces ADVERSARIAL
+    * crawled content, and chosen-prefix md5 collisions are practical — a
+    * collision pair would silently drop a distinct document as a
+    * duplicate. Pass `stateTtl = Some("1 hour")` for a
     * processing-time TTL that bounds state at scale (tune to the crawl
     * revisit horizon); None keeps state for the query lifetime. */
   def dedupStream(extracted: Dataset[ExtractedPage],
@@ -57,13 +61,13 @@ object StreamExtract {
       .groupByKey { p =>
         // error rows and empty extractions are NOT content duplicates of each
         // other — key them by url so each passes through exactly once;
-        // real content keys on the md5 of the text (collision-safe)
+        // real content keys on the SHA-256 of the text
         if (p.error.nonEmpty || p.text == null || p.text.isEmpty) "u:" + p.url
         else {
           // per-thread digest: getInstance is a JCA provider-registry lookup
           // plus an allocation — too heavy to pay once per record on the
           // streaming hot path
-          val md = Md5.get(); md.reset()
+          val md = Sha256.get(); md.reset()
           "t:" + java.util.Base64.getEncoder.encodeToString(
             md.digest(p.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
@@ -88,8 +92,8 @@ object StreamExtract {
     * `outDir` with exactly-once checkpointing.
     * runMain graft.streaming.StreamExtract <inDir> <outDir> <checkpointDir>
     */
-  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
+  private val Sha256 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
