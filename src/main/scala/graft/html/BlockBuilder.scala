@@ -75,6 +75,20 @@ object BlockBuilder {
       /** Readability-style negative class/id indicator on a container tag. */
       private def hasDropClass(ab: Int, ae: Int): Boolean = {
         if (ae <= ab) return false
+        // cheap pre-scan: most attributed tags carry no class/id at all, so
+        // skip the Map-allocating Attrs.parse unless the bytes could hold
+        // one (substring check — a false positive just pays the old parse)
+        var mayHave = false
+        var i = ab
+        while (!mayHave && i < ae - 1) {
+          val b = html(i) | 0x20
+          if (b == 'c' && i + 4 < ae && (html(i + 1) | 0x20) == 'l' &&
+            (html(i + 2) | 0x20) == 'a' && (html(i + 3) | 0x20) == 's' &&
+            (html(i + 4) | 0x20) == 's') mayHave = true
+          else if (b == 'i' && (html(i + 1) | 0x20) == 'd') mayHave = true
+          i += 1
+        }
+        if (!mayHave) return false
         val attrs = Attrs.parse(html, ab, ae)
         val cls = attrs.getOrElse("class", "") + " " + attrs.getOrElse("id", "")
         cls.length > 1 && dropClassRe.matcher(cls.toLowerCase).find()
@@ -94,7 +108,10 @@ object BlockBuilder {
       private var tblDroppedCtx = false
 
       private def flushBlock(): Unit = {
-        if (buf.nonEmpty) {
+        // blkBegin >= 0 ⇔ at least one visible char was recorded; a
+        // whitespace-only verbatim buffer (<pre>   </pre>) would otherwise
+        // emit a block with the invalid span [-1, -1)
+        if (buf.nonEmpty && blkBegin >= 0) {
           out += RawBlock(blkTag, blkKind, blkLevel, buf.result(), blkBegin, blkEnd,
             blkChars, blkAnchor, blkDropped, Array.empty)
         }
@@ -164,9 +181,12 @@ object BlockBuilder {
               tblCellBuf = new CollapseBuf(32)
             // line/block boundaries inside a cell separate words the same
             // way they do in normal flow ('123 Main St<br>Springfield' must
-            // not fuse to 'StSpringfield')
+            // not fuse to 'StSpringfield'); inside a NESTED table (whose
+            // text flattens into the enclosing cell, below) the nested
+            // tr/td boundaries separate the same way
             case _ if tblCellBuf != null &&
               (name == "br" || name == "hr" ||
+                name == "tr" || name == "td" || name == "th" ||
                 blockTags.contains(name) || containerTags.contains(name)) =>
               tblCellBuf.wsHint()
             case _ => ()
@@ -186,6 +206,12 @@ object BlockBuilder {
           flushBlock()
           dropDepth += 1; startedDrop = true
         }
+        // bare text directly inside the drop subtree (no intervening block/
+        // container tag to reset the state) must accumulate as DROPPED —
+        // without this it kept the enclosing block's dropped=false and
+        // boilerplate leaked into content (fusing with following text when
+        // the drop tag is not a container)
+        if (startedDrop) blkDropped = true
 
         if (!startedDrop) {
           if (name == "table") {
@@ -258,7 +284,7 @@ object BlockBuilder {
           // (<a href=http://x.com/>), which the tokenizer marks self-closing;
           // a leaked anchorDepth counts every later char as link text and a
           // leaked dropDepth drops the entire rest of the document
-          if (startedDrop) dropDepth -= 1
+          if (startedDrop) { dropDepth -= 1; blkDropped = dropDepth > 0 }
           if (startedAnchor) anchorDepth = math.max(0, anchorDepth - 1)
         }
       }
@@ -272,7 +298,14 @@ object BlockBuilder {
         var j = stack.length - 1
         while (j >= i) {
           val (nm, sd, sb, sa) = stack(j)
-          if (sd) dropDepth -= 1
+          if (sd) {
+            // the drop subtree's own bare text flushes AS dropped here —
+            // buffered drop text must not fuse (undropped) with whatever
+            // follows the closing tag
+            flushBlock()
+            dropDepth -= 1
+            blkDropped = dropDepth > 0
+          }
           if (sa) anchorDepth = math.max(0, anchorDepth - 1)
           if (tblDepth > 0) {
             nm match {
@@ -307,7 +340,11 @@ object BlockBuilder {
       override def text(begin: Int, end: Int): Unit = {
         lastTextEnd = end.toLong
         if (tblDepth > 0) {
-          if (tblCellBuf != null && tblNested == 0) {
+          // tblNested > 0 included: a nested table's text FLATTENS into the
+          // enclosing cell (browsers render it; silently discarding it lost
+          // real content from bordered tables) — the wsHint on nested
+          // tr/td/table boundaries above keeps its words separated
+          if (tblCellBuf != null) {
             val nonWs = tblCellBuf.putRunBytes(html, begin, end, cs)
             if (nonWs > 0) {
               if (tblCellBegin < 0) tblCellBegin = begin.toLong
@@ -357,11 +394,8 @@ object BlockBuilder {
   private[html] def probeDataTable(html: Array[Byte], from: Int): Boolean = {
     val limit = math.min(html.length, from + 64 * 1024)
     var i = from
-    var depth = 0 // nested-table depth relative to the probed table
     var th = 0
     var tr = 0
-    var nested = false
-    var block = false
     @inline def lower(b: Byte): Char =
       (if (b >= 'A' && b <= 'Z') b + 32 else b.toInt).toChar
     while (i < limit) {
@@ -399,12 +433,12 @@ object BlockBuilder {
             k2 += 1
           }
           if (name == "table") {
-            if (closing) {
-              if (depth == 0)
-                return th >= 2 && tr >= 2 && !nested && !block
-              depth -= 1
-            } else { depth += 1; nested = true }
-            if (nested) return false // page-layout signature: stop scanning
+            // the probed table's own close: verdict on what was seen; an
+            // OPENING table first means a nested table — the page-layout
+            // signature, never a data table (so no depth tracking needed:
+            // the scan ends at the first table tag either way)
+            if (closing) return th >= 2 && tr >= 2
+            return false
           } else if (!closing && (name == "script" || name == "style")) {
             // raw-text element: skip to its close tag (case-insensitive)
             var k = j
@@ -422,7 +456,7 @@ object BlockBuilder {
               else k += 1
             }
             i = if (done) k else limit
-          } else if (depth == 0 && !closing) {
+          } else if (!closing) {
             if (name == "th") th += 1
             else if (name == "tr") tr += 1
             else if (probeBlockTags.contains(name)) return false
@@ -524,26 +558,6 @@ object BlockBuilder {
       }
       nonWs
     }
-  }
-
-  /** Collapse whitespace runs to single spaces and trim — the analogue of the
-    * reference's CTC collapse (consecutive dups folded, blanks dropped,
-    * /root/reference/src/processors/decode.rs:554-640).
-    */
-  def collapse(sb: java.lang.CharSequence): String = {
-    val out = new java.lang.StringBuilder(sb.length)
-    var i = 0
-    var pendingSpace = false
-    while (i < sb.length) {
-      val c = sb.charAt(i)
-      if (isWs(c)) { if (out.length() > 0) pendingSpace = true }
-      else {
-        if (pendingSpace) { out.append(' '); pendingSpace = false }
-        out.append(c)
-      }
-      i += 1
-    }
-    out.toString
   }
 
 }

@@ -45,7 +45,21 @@ object Charset {
     }
     val head = sb.toString
     val key = "charset="
-    val at = head.indexOf(key)
+    // honor charset= ONLY inside a <meta ...> tag (the HTML meta prescan):
+    // the bare substring search let a URL query string, comment, or code
+    // sample in the first 2 KB ('<a href="/x?charset=big5">') hijack the
+    // page decoding and mojibake every non-ASCII run
+    var at = head.indexOf(key)
+    while (at >= 0 && {
+      val lt = head.lastIndexOf('<', at)
+      val inMeta = lt >= 0 && head.regionMatches(lt, "<meta", 0, 5) &&
+        lt + 5 < head.length &&
+        (Character.isWhitespace(head.charAt(lt + 5)) || head.charAt(lt + 5) == '/') && {
+          val gt = head.indexOf('>', lt)
+          gt < 0 || gt > at
+        }
+      !inMeta
+    }) at = head.indexOf(key, at + 1)
     if (at >= 0) {
       var s = at + key.length
       while (s < head.length && (head.charAt(s) == '"' || head.charAt(s) == '\'' || head.charAt(s) == ' ')) s += 1

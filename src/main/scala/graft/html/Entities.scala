@@ -24,8 +24,14 @@ object Entities {
     * is semi+1-amp. Named replacements come from the shared table (no
     * allocation); numeric ones allocate one tiny String. */
   def matchAt(s: String, amp: Int): (String, Int) = {
-    val semi = s.indexOf(';', amp + 1)
-    if (semi <= amp || semi - amp > 10) return null
+    // bounded search: a ';' further than 10 chars out can never complete an
+    // entity, and an UNBOUNDED indexOf made '&'-dense text with no
+    // semicolons quadratic (every '&' scanned to end-of-string)
+    val limit = math.min(s.length, amp + 11)
+    var semi = -1
+    var k = amp + 1
+    while (semi < 0 && k < limit) { if (s.charAt(k) == ';') semi = k; k += 1 }
+    if (semi <= amp) return null
     val body = s.substring(amp + 1, semi)
     val rep: String =
       if (body.startsWith("#x") || body.startsWith("#X")) {

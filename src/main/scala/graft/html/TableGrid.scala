@@ -21,10 +21,19 @@ object TableGrid {
   /** Resolve (row, col) for raw cells given per-row order + spans, tracking
     * occupancy from earlier rowspans.
     */
+  /** Total occupancy-mark budget per table. Attrs.MaxSpan bounds ONE span
+    * at 512, but a page full of 512×512 cells would still do
+    * cells × 512² set insertions — this caps the aggregate. Real tables
+    * (10³–10⁴ cells, small spans) never approach it; past the budget,
+    * placement stops consulting rowspan overhang (the adversarial table's
+    * tail degrades, the job does not). */
+  private val MaxOccupancy = 1 << 22
+
   def resolve(rows: Vector[Vector[(Int, Int, Boolean, String)]]): Grid = {
     // rows(r) = ordered cells (rowSpan, colSpan, header, text)
     val occupied = scala.collection.mutable.Set.empty[(Int, Int)]
     val out = Vector.newBuilder[Cell]
+    var budget = MaxOccupancy
     var maxCol = 0
     var r = 0
     while (r < rows.length) {
@@ -33,10 +42,11 @@ object TableGrid {
         while (occupied.contains((r, c))) c += 1
         out += Cell(r, c, rs, cs, hdr, text)
         var dr = 0
-        while (dr < rs) {
+        while (dr < rs && budget > 0) {
           var dc = 0
-          while (dc < cs) {
+          while (dc < cs && budget > 0) {
             occupied += ((r + dr, c + dc))
+            budget -= 1
             dc += 1
           }
           dr += 1

@@ -265,6 +265,61 @@ class KernelSpec extends AnyFunSuite {
     assert(kept.map(_.text) == Vector("this paragraph is the real article content"))
   }
 
+  test("pre: whitespace-only verbatim block is not emitted (span invariant)") {
+    val bs = blocksOf("<pre>   \n  </pre><p>after words here now</p>")
+    assert(bs.forall(b => b.beginByte >= 0 && b.beginByte < b.endByte),
+      bs.map(b => (b.text, b.beginByte, b.endByte)).toString)
+    assert(bs.map(_.text) == Vector("after words here now"))
+  }
+
+  test("charset: only meta tags declare; a URL query string cannot hijack") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val hijack = ("<html><head><title>t</title></head><body>" +
+      "<a href=\"/convert?charset=big5\">x</a><p>café</p>").getBytes(UTF_8)
+    val d = Charset.sniff(hijack)
+    assert(d.charset == UTF_8 && !d.declared, d.toString)
+    val meta = ("<html><head><meta charset=\"windows-1252\"></head>").getBytes(UTF_8)
+    val d2 = Charset.sniff(meta)
+    assert(d2.declared && d2.charset.name.toLowerCase.contains("1252"), d2.toString)
+    // charset= inside some other tag's attribute region is also not a meta
+    val other = ("<html><head><script src=\"x?charset=sjis\"></script>" +
+      "<meta charset=utf-8></head>").getBytes(UTF_8)
+    val d3 = Charset.sniff(other)
+    assert(d3.declared && d3.charset == UTF_8, d3.toString)
+  }
+
+  test("tables: nested-table text flattens into the enclosing cell") {
+    val html = "<table border='1'><tr><td>outer<table><tr><td>inner one</td>" +
+      "<td>inner two</td></tr></table></td><td>plain</td></tr></table>"
+    val tb = blocksOf(html).find(_.kind == "table").get
+    // the captured grid keeps the OUTER structure; the nested table's text
+    // joins its enclosing cell, word-separated at nested cell boundaries
+    assert(tb.text.contains("outer inner one inner two"), tb.text)
+    assert(tb.text.contains("plain"), tb.text)
+    assert(!tb.text.contains("<table><tr><td>outer<table>"), tb.text)
+  }
+
+  test("blocks: bare text directly inside a drop subtree is dropped, never fused") {
+    // no inner block/container tag: the drop container's own text must be
+    // flagged dropped (it used to keep the enclosing block's dropped=false)
+    val html = "<p>Article text here</p>" +
+      "<footer>Copyright 2024 Example Corp</footer>"
+    val kept = Classifier.classify(blocksOf(html)).filter(_.keep)
+    assert(kept.map(_.text) == Vector("Article text here"))
+    val footer = blocksOf(html).find(_.text.contains("Copyright"))
+    assert(footer.exists(_.dropped), footer.toString)
+    // inline drop inside a paragraph: nav text must not fuse with ' world'
+    val bs2 = blocksOf("<p>Hello <nav>Home About Contact</nav> world</p>")
+    val navB = bs2.find(_.text.contains("Home"))
+    assert(navB.exists(_.dropped), bs2.map(b => (b.text, b.dropped)).toString)
+    val keptTexts = Classifier.classify(bs2).filter(_.keep).map(_.text)
+    assert(!keptTexts.exists(_.contains("Home")), keptTexts.toString)
+    // drop-class container with bare text
+    val bs3 = blocksOf("<div class='sidebar'>Sponsored junk links</div>" +
+      "<p>real content paragraph words</p>")
+    assert(bs3.find(_.text.contains("Sponsored")).exists(_.dropped))
+  }
+
   test("classifier: link-density gate drops link lists outside nav") {
     val html = "<ul>" + (1 to 6).map(i => s"<li><a href='/$i'>link words here</a></li>").mkString + "</ul>" +
       "<p>content paragraph with enough plain words</p>"
