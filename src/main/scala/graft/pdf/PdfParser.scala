@@ -212,7 +212,11 @@ object PdfParser {
             }
           case _ => () // header / unknown line: skip
         }
-      } else if (e > i && bytes(i) == 'E') {
+      } else if (e == i + 1 && bytes(i) == 'E') {
+        // exactly the bare "E" marker line — a corrupt line that merely
+        // STARTS with 'E' must be skipped like any unknown line, not split
+        // the page (spurious page break + wrong block indices on every
+        // later span)
         if (inPage) { flushPage(); inPage = false }
       }
       i = e + 1
@@ -297,11 +301,23 @@ object PdfParser {
     val lines = Vector.newBuilder[Vector[TextBox]]
     var cur = Vector.newBuilder[TextBox]
     var anchor = Double.NaN
+    var anchorH = 0.0
     for (tb <- byY) {
-      if (anchor.isNaN || math.abs(tb.box.cy - anchor) < SameLineYTol) {
-        if (anchor.isNaN) anchor = tb.box.cy
+      // reference tolerance is a flat 10px (sorting.rs:35-84) — sized for
+      // body text; tightly-leaded small text (8pt at 9.6pt leading:
+      // footnotes, dense tables) has real lines closer than 10, which a
+      // flat tolerance would merge and interleave by x. Scale the tolerance
+      // down with the glyph height (same-line fragments sit within a
+      // fraction of their own height), capped at the reference's 10.
+      val tol = math.min(SameLineYTol,
+        0.8 * math.min(if (anchorH > 0) anchorH else tb.box.h, tb.box.h))
+      if (anchor.isNaN || math.abs(tb.box.cy - anchor) < math.max(tol, 0.01)) {
+        if (anchor.isNaN) { anchor = tb.box.cy; anchorH = tb.box.h }
         cur += tb
-      } else { lines += cur.result(); cur = Vector.newBuilder; cur += tb; anchor = tb.box.cy }
+      } else {
+        lines += cur.result(); cur = Vector.newBuilder; cur += tb
+        anchor = tb.box.cy; anchorH = tb.box.h
+      }
     }
     lines += cur.result()
     val sb = new java.lang.StringBuilder(256)
@@ -473,59 +489,93 @@ object PdfParser {
   val TableUnclipRatio = 1.05
 
   def renderPage(page: PdfPage): (String, Vector[(Long, Long, String)]) = {
-    val tableBoxes = Array.fill(page.tables.length)(Vector.newBuilder[TextBox])
-    val bodyBoxes = Vector.newBuilder[TextBox]
-    val unclipped = page.tables.map(t => Geom.unclip(t.box, TableUnclipRatio, TableUnclipRatio))
-    // mask-then-detect (structure.rs:1981-1990): T boxes inside a formula
-    // region are the formula's own rendering — the recognized latex replaces
-    // them, so they are consumed, never grouped into body text regions
-    for (tb <- page.boxes) {
-      val ti = unclipped.indexWhere(t =>
-        tb.box.cx >= t.x1 && tb.box.cx <= t.x2 &&
-        tb.box.cy >= t.y1 && tb.box.cy <= t.y2)
-      if (ti >= 0) tableBoxes(ti) += tb
-      else if (!page.formulas.exists(f =>
-        tb.box.cx >= f.box.x1 && tb.box.cx <= f.box.x2 &&
-        tb.box.cy >= f.box.y1 && tb.box.cy <= f.box.y2)) bodyBoxes += tb
-    }
-    val regions = textRegions(bodyBoxes.result())
-
-    // unified typed element table: every Sortable's payload is an index into
-    // `els`, and the element's class travels as the PageEl tag (no magic
-    // index ranges). Labels: text regions NormalText; titles level1 DocTitle
-    // else ParaTitle; figures/formulas/tables Vision.
-    val els = Vector.newBuilder[PageEl]
-    var nEls = 0
-    def add(el: PageEl): Int = { els += el; nEls += 1; nEls - 1 }
-    val regionEls = regions.map { r =>
-      LayoutSort.Sortable(union(r), LayoutSort.NormalText, add(RegionEl(r)))
-    }
-    val floating =
-      page.titles.map { t =>
-        LayoutSort.Sortable(t.tb.box,
-          if (t.level == 1) LayoutSort.DocTitle else LayoutSort.ParaTitle, add(TitleEl(t)))
-      } ++
-      page.figures.map { f =>
-        LayoutSort.Sortable(f.box, LayoutSort.Vision, add(FigureEl(f)))
-      } ++
-      page.formulas.map { f =>
-        LayoutSort.Sortable(f.box, LayoutSort.Vision, add(FormulaEl(f)))
-      } ++
-      page.tables.zipWithIndex.map { case (t, i) =>
-        LayoutSort.Sortable(t.box, LayoutSort.Vision, add(TableEl(i)))
+    // A formula/table suppressed by the overlap rule is a RE-CLASSIFICATION,
+    // not a deletion: its diverted T boxes (consumed by mask-then-detect /
+    // cell assignment below) would otherwise vanish with it — a silent hole
+    // in the text, since those pools are disjoint from every region by
+    // construction (unlike figures/titles, whose drop is dedup of their own
+    // duplicated render). The page re-lays out without the demoted element
+    // so its boxes flow back into body regions; each round excludes at
+    // least one element, so the loop is bounded by the element count.
+    var exFormulas = Set.empty[Int]
+    var exTables = Set.empty[Int]
+    var tableBoxesR: Array[Vector[TextBox]] = null
+    var elTable: Vector[PageEl] = null
+    var ordered: Vector[LayoutSort.Sortable] = null
+    var stable = false
+    while (!stable) {
+      val tableBoxes = Array.fill(page.tables.length)(Vector.newBuilder[TextBox])
+      val bodyBoxes = Vector.newBuilder[TextBox]
+      val unclipped = page.tables.map(t => Geom.unclip(t.box, TableUnclipRatio, TableUnclipRatio))
+      // mask-then-detect (structure.rs:1981-1990): T boxes inside a formula
+      // region are the formula's own rendering — the recognized latex
+      // replaces them, so they are consumed, never grouped into body regions
+      for (tb <- page.boxes) {
+        val ti = unclipped.indices.find(i => !exTables.contains(i) && {
+          val t = unclipped(i)
+          tb.box.cx >= t.x1 && tb.box.cx <= t.x2 &&
+            tb.box.cy >= t.y1 && tb.box.cy <= t.y2
+        }).getOrElse(-1)
+        if (ti >= 0) tableBoxes(ti) += tb
+        else if (!page.formulas.zipWithIndex.exists { case (f, fi) =>
+          !exFormulas.contains(fi) &&
+            tb.box.cx >= f.box.x1 && tb.box.cx <= f.box.x2 &&
+            tb.box.cy >= f.box.y1 && tb.box.cy <= f.box.y2
+        }) bodyBoxes += tb
       }
-    val headerEls = page.headers.map { h =>
-      LayoutSort.Sortable(h.box, LayoutSort.NormalText, add(HeaderEl(h)))
+      val regions = textRegions(bodyBoxes.result())
+
+      // unified typed element table: every Sortable's payload is an index
+      // into `els`, and the element's class travels as the PageEl tag (no
+      // magic index ranges). Labels: text regions NormalText; titles level1
+      // DocTitle else ParaTitle; figures/formulas/tables Vision.
+      val els = Vector.newBuilder[PageEl]
+      var nEls = 0
+      def add(el: PageEl): Int = { els += el; nEls += 1; nEls - 1 }
+      val regionEls = regions.map { r =>
+        LayoutSort.Sortable(union(r), LayoutSort.NormalText, add(RegionEl(r)))
+      }
+      val formulaElIdx = scala.collection.mutable.HashMap.empty[Int, Int] // el idx -> formula idx
+      val tableElIdx = scala.collection.mutable.HashMap.empty[Int, Int]   // el idx -> table idx
+      val floating =
+        page.titles.map { t =>
+          LayoutSort.Sortable(t.tb.box,
+            if (t.level == 1) LayoutSort.DocTitle else LayoutSort.ParaTitle, add(TitleEl(t)))
+        } ++
+        page.figures.map { f =>
+          LayoutSort.Sortable(f.box, LayoutSort.Vision, add(FigureEl(f)))
+        } ++
+        page.formulas.zipWithIndex.collect { case (f, fi) if !exFormulas.contains(fi) =>
+          val el = add(FormulaEl(f)); formulaElIdx(el) = fi
+          LayoutSort.Sortable(f.box, LayoutSort.Vision, el)
+        } ++
+        page.tables.zipWithIndex.collect { case (t, i) if !exTables.contains(i) =>
+          val el = add(TableEl(i)); tableElIdx(el) = i
+          LayoutSort.Sortable(t.box, LayoutSort.Vision, el)
+        }
+      val headerEls = page.headers.map { h =>
+        LayoutSort.Sortable(h.box, LayoutSort.NormalText, add(HeaderEl(h)))
+      }
+      val footerEls = page.footers.map { f =>
+        LayoutSort.Sortable(f.box, LayoutSort.NormalText, add(FooterEl(f)))
+      }
+      elTable = els.result()
+      // duplicate-element suppression before ordering (text beats vision)
+      val surviving = LayoutSort.removeOverlaps(regionEls ++ floating)
+      val survivingIdx = surviving.map(_.payload).toSet
+      val demotedF = formulaElIdx.collect { case (el, fi) if !survivingIdx(el) => fi }
+      val demotedT = tableElIdx.collect { case (el, ti) if !survivingIdx(el) => ti }
+      if (demotedF.isEmpty && demotedT.isEmpty) {
+        stable = true
+        tableBoxesR = tableBoxes.map(_.result())
+        val (regionsKept, floatingKept) =
+          surviving.partition(s => elTable(s.payload).isInstanceOf[RegionEl])
+        ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionsKept, floatingKept)
+      } else {
+        exFormulas ++= demotedF
+        exTables ++= demotedT
+      }
     }
-    val footerEls = page.footers.map { f =>
-      LayoutSort.Sortable(f.box, LayoutSort.NormalText, add(FooterEl(f)))
-    }
-    val elTable = els.result()
-    // duplicate-element suppression before ordering (text beats vision)
-    val surviving = LayoutSort.removeOverlaps(regionEls ++ floating)
-    val (regionsKept, floatingKept) =
-      surviving.partition(s => elTable(s.payload).isInstanceOf[RegionEl])
-    val ordered = LayoutSort.enhancedOrder(headerEls, footerEls, regionsKept, floatingKept)
 
     val pieces = Vector.newBuilder[String]
     val offs = Vector.newBuilder[(Long, Long, String)]
@@ -552,7 +602,7 @@ object PdfParser {
         offs += ((f.beginByte, f.endByte, if (f.decoded) "pdf_formula_dec" else "pdf_formula"))
         pieces += "$$" + normalizeLatex(f.text) + "$$"
       case TableEl(i) =>
-        val (html, used) = assembleTable(page.tables(i), tableBoxes(i).result())
+        val (html, used) = assembleTable(page.tables(i), tableBoxesR(i))
         if (html.nonEmpty) {
           pieces += html
           for (tb <- used) offs += ((tb.beginByte, tb.endByte, fragKind(tb)))

@@ -374,7 +374,12 @@ object RealPdf {
       /** true when [[flatWidthEm]] is EXACT (Courier family: uniform
         * 600/1000), not the 0.5 em estimate — exact flat metrics take TJ
         * kerning and Tc/Tw spacing like per-code /Widths do */
-      flatExact: Boolean = false) {
+      flatExact: Boolean = false,
+      /** the /Resources /Font entry NAMED this font but its dict could not
+        * be dereferenced (dangling ref, corrupt ObjStm): decoding show
+        * strings blind could be confident mojibake (a lost TYPE0 dict would
+        * decode 2-byte CIDs byte-wise as Latin-1), so decode throws */
+      unresolved: Boolean = false) {
     /** real geometry available: per-code /Widths or an exact flat advance.
       * Gates TJ kern + Tc/Tw folds — on the 0.5 em ESTIMATE they would be
       * false precision added to a coarse grid. */
@@ -383,7 +388,11 @@ object RealPdf {
     @inline private def encByte(b: Int): String =
       if (enc != null) enc(b & 0xFF) else (b & 0xFF).toChar.toString
     def decode(raw: Array[Byte], default: String): String =
-      if (cmap.nonEmpty) {
+      if (unresolved) {
+        if (raw.isEmpty) ""
+        else throw new PdfParseException(
+          s"font /$name resource cannot be resolved: decoding its text would be blind")
+      } else if (cmap.nonEmpty) {
         val sb = new java.lang.StringBuilder(raw.length / codeLen + 1)
         var i = 0
         while (i + codeLen <= raw.length) {
@@ -569,6 +578,14 @@ object RealPdf {
     resources.get("Font").flatMap(deref) match {
       case Some(PDict(fontDict)) =>
         val out = Map.newBuilder[String, FontInfo]
+        // a named font whose dict is LOST (dangling ref, corrupt ObjStm)
+        // becomes an unresolved sentinel instead of vanishing from the map:
+        // Tf would otherwise null the current font and show strings would
+        // fall back to the blind Latin-1 decode, bypassing the Type0
+        // mojibake guard entirely
+        for ((fname, fref) <- fontDict if deref(fref).forall(!_.isInstanceOf[PDict]))
+          out += fname -> FontInfo(fname, type0 = false, codeLen = 1,
+            cmap = Map.empty, unresolved = true)
         for ((fname, fref) <- fontDict; PDict(fd) <- deref(fref)) {
           val type0 = fd.get("Subtype").contains(PName("Type0"))
           val (cmap, seenLen) = fd.get("ToUnicode") match {
@@ -1664,7 +1681,7 @@ object RealPdf {
     * correctly; all six coefficients compose, so rotated content lands at
     * its rotated position (its box stays axis-aligned — documented bound). */
   private[pdf] def interpretContent(data: Array[Byte], base: Int, exact: Boolean,
-      rawStart: Int, rawEnd: Int, out: scala.collection.mutable.ArrayBuffer[GlyphRun],
+      out: scala.collection.mutable.ArrayBuffer[GlyphRun],
       rects: scala.collection.mutable.ArrayBuffer[PaintedRect] = scala.collection.mutable.ArrayBuffer.empty,
       fonts: Map[String, FontInfo] = Map.empty,
       xobjs: Map[String, XForm] = Map.empty,
@@ -1756,18 +1773,30 @@ object RealPdf {
         val dx = e * ca + f * cc + ce
         val dy = e * cb + f * cd + cf
         out += GlyphRun(dx, dy, fontSize * scale, text, widthEm, b0, e0, !exact)
-        // advance the pen by the run width along the text-space x axis —
-        // BOTH Tm components, so rotated text matrices advance correctly
-        e += widthEm * fontSize * a
-        f += widthEm * fontSize * bb
       }
+      // the pen advances for every SHOWN glyph — including runs whose
+      // ToUnicode maps every code to the empty string (bfchar <03> <> on
+      // control/ornament glyphs): skipping the advance would stack the next
+      // run on top of the skipped one and corrupt line/column geometry.
+      // Advance along the text-space x axis through BOTH Tm components, so
+      // rotated text matrices advance correctly.
+      e += widthEm * fontSize * a
+      f += widthEm * fontSize * bb
     }
     var guard = 0
     while (!lx.atEnd && guard < 2000000) {
       guard += 1
       val tok =
         try lx.nextToken()
-        catch { case _: PdfParseException => lx.pos = data.length; Right("") }
+        catch {
+          case e: PdfParseException =>
+            // skipping the rest of the stream here would silently drop
+            // every remaining Tj/TJ — partial page text with error="" —
+            // the same class the undecodable-stream throw above guards;
+            // propagate to the document-level error row instead
+            throw new PdfParseException(
+              s"content stream token error at offset ${lx.pos}: ${e.getMessage}")
+        }
       tok match {
         case Left(v) => operands ::= v
         case Right(op) =>
@@ -1931,7 +1960,7 @@ object RealPdf {
                   val nc = m(2) * ca + m(3) * cc; val nd = m(2) * cb + m(3) * cd
                   val ne = m(4) * ca + m(5) * cc + ce; val nf = m(4) * cb + m(5) * cd + cf
                   interpretContent(xf.obj.data, xf.obj.rawStart, xf.obj.exact,
-                    xf.obj.rawStart, xf.obj.rawEnd, out, rects,
+                    out, rects,
                     if (xf.fonts.nonEmpty) xf.fonts else fonts,
                     if (xf.xobjs.nonEmpty) xf.xobjs else xobjs,
                     space, Array(na, nb, nc, nd, ne, nf), formDepth + 1,
@@ -2064,10 +2093,30 @@ object RealPdf {
     if (orphanMode && orphanStreams.isEmpty)
       throw new PdfParseException("real PDF: no page objects and no text-bearing streams")
 
-    def contentsOf(rec: PageRec): Vector[PObj] = rec.dict.get("Contents") match {
-      case Some(PRef(n))   => objs.get(n).toVector
-      case Some(PArr(vs))  => vs.collect { case PRef(n) if objs.contains(n) => objs(n) }
-      case _               => Vector.empty
+    def contentsOf(rec: PageRec): Vector[PObj] = {
+      // a missing element of a content chain is LOST TEXT, not a skippable
+      // detail — partial page text with error="" would violate the
+      // never-silently-partial contract
+      def expand(vs: Vector[PVal]): Vector[PObj] = vs.map {
+        case PRef(n) => objs.getOrElse(n,
+          throw new PdfParseException(
+            s"page /Contents references missing object $n: text would be silently missing"))
+        case other => throw new PdfParseException(
+          s"page /Contents array holds a non-reference entry ($other)")
+      }
+      rec.dict.get("Contents") match {
+        case Some(PRef(n)) => objs.get(n) match {
+          // spec 7.7.3.3: /Contents may be a ref to an ARRAY object of
+          // stream refs — a data-less PObj whose value is the array
+          case Some(o) if o.data == null && o.value.isInstanceOf[PArr] =>
+            expand(o.value.asInstanceOf[PArr].vs.toVector)
+          case Some(o) => Vector(o)
+          case None => throw new PdfParseException(
+            s"page /Contents references missing object $n: text would be silently missing")
+        }
+        case Some(PArr(vs)) => expand(vs.toVector)
+        case _              => Vector.empty
+      }
     }
 
     val pages = Vector.newBuilder[PdfPage]
@@ -2113,7 +2162,7 @@ object RealPdf {
             throw new PdfParseException(
               s"page content stream ${o.num} cannot be decoded (unsupported or corrupt filter/predictor): text would be silently missing")
         } else
-          interpretContent(o.data, o.rawStart, o.exact, o.rawStart, o.rawEnd,
+          interpretContent(o.data, o.rawStart, o.exact,
             runs, rects, fonts, xobjs, space, ctm0)
       }
       totalRuns += runs.length

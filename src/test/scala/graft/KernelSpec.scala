@@ -272,6 +272,54 @@ class KernelSpec extends AnyFunSuite {
     assert(bs.map(_.text) == Vector("after words here now"))
   }
 
+  test("sort-and-join: tightly-leaded small text keeps its lines (height-scaled tolerance)") {
+    import graft.geom.Box
+    import graft.pdf.PdfParser.{TextBox, sortAndJoin}
+    // 8pt glyphs at 9.6pt leading: baseline delta 9.6 is under the flat
+    // 10px tolerance (which would merge the lines and interleave words by
+    // x) but over 0.8 x height = 6.4 — the lines must stay separate
+    val l1a = TextBox(Box(0, 0, 30, 8), "one", 0, 1)
+    val l1b = TextBox(Box(32, 0, 62, 8), "two", 1, 2)
+    val l2a = TextBox(Box(0, 9.6, 30, 17.6), "three", 2, 3)
+    val l2b = TextBox(Box(32, 9.6, 62, 17.6), "four", 3, 4)
+    val (txt, _) = sortAndJoin(Vector(l2b, l1a, l2a, l1b), Box(0, 0, 62, 17.6))
+    assert(txt == "one two three four" || txt == "one two\nthree four", txt)
+    assert(!txt.contains("one three"), txt) // the interleaving failure shape
+    // normal 12pt text with small jitter still joins on one line
+    val j1 = TextBox(Box(0, 0, 30, 12), "big", 0, 1)
+    val j2 = TextBox(Box(32, 3, 62, 15), "text", 1, 2) // cy delta 3 < 0.8*12
+    assert(sortAndJoin(Vector(j2, j1), Box(0, 0, 62, 15))._1 == "big text")
+  }
+
+  test("pdf: a formula suppressed by the overlap rule demotes to body text, never vanishes") {
+    import graft.geom.Box
+    import graft.pdf.PdfParser
+    import graft.pdf.PdfParser.{PdfPage, TextBox}
+    // a low formula box sits INSIDE a paragraph's line stack: the lines
+    // above and below form one region whose union covers the formula, so
+    // the IoA text-priority rule suppresses the Vision element — its masked
+    // inner box must then render as body text, not disappear
+    val lines = Vector(
+      TextBox(Box(10, 10, 200, 22), "line above the formula", 0, 5),
+      TextBox(Box(10, 34, 200, 46), "line below the formula", 10, 15))
+    val inner = TextBox(Box(60, 25, 150, 31), "x equals y", 20, 25)
+    val formula = TextBox(Box(55, 24, 155, 32), "x = y", 20, 25)
+    val page = PdfPage(600, 800, lines :+ inner,
+      Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+      Vector.empty, Vector(formula))
+    val (txt, offs) = PdfParser.renderPage(page)
+    assert(txt.contains("x equals y"), txt) // the masked box's text survives
+    assert(!txt.contains("$$"), txt)        // the demoted formula is not rendered
+    assert(offs.exists(o => o._1 == 20 && o._3 == "pdf_fragment"), offs.toString)
+    // control: a formula clear of any region still renders as $$..$$
+    val clear = PdfPage(600, 800, lines,
+      Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+      Vector.empty, Vector(TextBox(Box(10, 300, 200, 320), "a+b", 30, 33)))
+    val (txt2, offs2) = PdfParser.renderPage(clear)
+    assert(txt2.contains("$$a+b$$"), txt2)
+    assert(offs2.exists(_._3 == "pdf_formula"), offs2.toString)
+  }
+
   test("charset: only meta tags declare; a URL query string cannot hijack") {
     import java.nio.charset.StandardCharsets.UTF_8
     val hijack = ("<html><head><title>t</title></head><body>" +

@@ -36,6 +36,92 @@ class RealPdfSpec extends AnyFunSuite {
     assert(!RealPdf.isReal("<html></html>".getBytes(ISO_8859_1)))
   }
 
+  test("indirect-array /Contents (spec 7.7.3.3) extracts both chained streams") {
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (first stream words) Tj ET\n"
+    val c2 = "BT /F1 12 Tf 1 0 0 1 50 600 Tm (second stream words) Tj ET\n"
+    val body =
+      "%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n" +
+        "5 0 obj\n[6 0 R 7 0 R]\nendobj\n" +
+        s"6 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+        s"7 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n" +
+        "trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    val got = Extractor.extract(Page("t://indarr", ts, body.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text.contains("first stream words") &&
+      got.text.contains("second stream words"), got.text)
+  }
+
+  test("/Contents chain with a missing element errors (never silently partial)") {
+    val c1 = "BT /F1 12 Tf 1 0 0 1 50 700 Tm (only half the page) Tj ET\n"
+    val body =
+      "%PDF-1.4\n" +
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+        "2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n" +
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [6 0 R 9 0 R] >>\nendobj\n" +
+        s"6 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+        "trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    val got = Extractor.extract(Page("t://missing-chain", ts, body.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("silently missing"), got.error)
+    assert(got.text.isEmpty)
+  }
+
+  test("corrupt token mid-content-stream is an ERROR row, not silent-partial text") {
+    // the malformed number after the first Tj used to silently discard the
+    // rest of the stream ('lost' vanished with error="")
+    val bytes = minimalPdf("BT /F1 12 Tf 1 0 0 1 50 700 Tm (seen) Tj 1.2.3 (lost) Tj ET\n")
+    val got = Extractor.extract(Page("t://tokerr", ts, bytes, "", "en"))
+    assert(got.error.contains("token error"), got.error)
+    assert(got.text.isEmpty)
+  }
+
+  test("unresolved font resource errors instead of blind Latin-1 decode") {
+    val content = "BT /F9 12 Tf 1 0 0 1 50 700 Tm (could be CID bytes) Tj ET\n"
+    val sb = new java.lang.StringBuilder
+    sb.append("%PDF-1.4\n")
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] /MediaBox [0 0 612 792] >>\nendobj\n")
+    // /F9 -> 7 0 R which does NOT exist: the name resolves to nothing
+    sb.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources << /Font << /F9 7 0 R >> >> >>\nendobj\n")
+    sb.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n").append(content).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    val got = Extractor.extract(Page("t://lostfont", ts, sb.toString.getBytes(ISO_8859_1), "", "en"))
+    assert(got.error.contains("cannot be resolved"), got.error)
+    assert(got.text.isEmpty)
+  }
+
+  test("codes mapped to empty text still advance the pen (layout geometry)") {
+    // 'a' maps to EMPTY, 'b' to 'b'; all widths 1000 (1 em = 12pt).
+    // Line 1: (aa) Tj (bb) Tj — with the advance, 'bb' spans [74, 98] and
+    // ends flush with the container's right edge (line 2 ends at 98) ->
+    // right-gap 0 -> SOFT wrap "bb cccc". Without the advance 'bb' ends at
+    // 74 -> gap 24 of width 48 (50% > 30%) -> hard break "bb\n\ncccc".
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<61> <>
+        |<62> <0062>
+        |endbfchar
+        |endcmap
+        |""".stripMargin
+    val content =
+      "BT /F9 12 Tf 1 0 0 1 50 700 Tm (aa) Tj (bb) Tj ET\n" +
+        "BT /F9 12 Tf 1 0 0 1 50 678 Tm (cccc) Tj ET\n"
+    val fd = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FirstChar 97 " +
+      "/Widths [1000 1000 1000] /ToUnicode 8 0 R >>"
+    val got = Extractor.extract(Page("t://emptyadv", ts,
+      fontPdf(content, fd, Some(cmap)), "", "en"))
+    assert(got.error == "", got.error)
+    assert(got.text == "bb cccc", got.text)
+  }
+
   test("minimal one-page Tj text extracts through the full pipeline") {
     val bytes = minimalPdf("BT /F1 12 Tf 1 0 0 1 50 700 Tm (Hello real pdf world) Tj ET\n")
     val got = Extractor.extract(Page("t://real1", ts, bytes, "", "en"))
