@@ -84,17 +84,30 @@ object Extractor {
       }
     } catch {
       case e: Throwable =>
+        // isPdf reflects the SNIFF, not success: a failed 70MB PDF is still
+        // a PDF row — hardcoding false would attribute every PDF failure to
+        // the HTML pipeline in any isPdf-grouped error accounting
         ExtractedPage(p.url, p.warc_ts, p.lang, "", Array.empty[Span],
           nBlocks = 0, nKept = 0, htmlBytes = raw.length.toLong,
-          isPdf = false, charset = "",
+          isPdf = PdfParser.isPdf(raw), charset = "",
           error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
     }
+  }
+
+  /** The same MaxHtmlBytes clamp extract() applies — the debug surfaces
+    * below must describe what production EMITS (and stay bounded on
+    * oversized pages), not re-parse the unclamped bytes. */
+  private def clampedHtml(p: Page): Array[Byte] = {
+    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    if (!PdfParser.isPdf(raw) && raw.length > MaxHtmlBytes)
+      java.util.Arrays.copyOf(raw, MaxHtmlBytes)
+    else raw
   }
 
   /** Debug surface: classified blocks of a non-PDF page (empty for PDFs /
     * failures). Used by the driver-facing x03/x06 inventory queries. */
   def debugBlocks(p: Page): Vector[graft.model.Block] = {
-    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    val raw = clampedHtml(p)
     try {
       if (PdfParser.isPdf(raw)) Vector.empty
       else {
@@ -107,7 +120,7 @@ object Extractor {
   /** Alternate output renders (semantic HTML + JSON with span coordinates)
     * for a non-PDF page — the reference's to_html / to_json surfaces. */
   def renders(p: Page): Option[(String, String)] = {
-    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    val raw = clampedHtml(p)
     try {
       if (PdfParser.isPdf(raw)) None
       else {
@@ -121,7 +134,7 @@ object Extractor {
 
   /** Debug surface: captured data tables as (blockIdx, nCells, canonicalHtml). */
   def debugTables(p: Page): Vector[(Int, Int, String)] = {
-    val raw = if (p.html == null) Array.emptyByteArray else p.html
+    val raw = clampedHtml(p)
     try {
       if (PdfParser.isPdf(raw)) Vector.empty
       else {

@@ -8,6 +8,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)       => (s, o, None)
       case Array(s, o, list) => (s, o, Some(list.split(',').toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [only,names,csv]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -47,7 +51,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // with --only, restrict the oracle dump to the refreshed queries: a
+    // full oracle_sql.json over an outDir holding STALE parquet from a
+    // previous run would let a compare validate old engine output against
+    // fresh SQL — the vacuous-success class the allowlist check guards
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

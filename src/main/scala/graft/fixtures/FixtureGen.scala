@@ -11,6 +11,16 @@ import java.nio.charset.{Charset => JCharset, StandardCharsets}
   * does NOT run the extractor: it computes the expected extracted text from
   * the generation grammar itself, so `extract(html) == expected` is a real
   * end-to-end byte-identity check (north rule).
+  *
+  * Independence caveat, stated honestly: the oracle DOES share a handful of
+  * leaf FORMATTING primitives with the engine — `TitleLevel.resolve`,
+  * `TableGrid.resolve/render`, `PdfParser.PageBreak`/`HardBreakGapFrac`,
+  * `RealPdf.AvgGlyphWidthEm` — so a bug inside those exact functions would
+  * corrupt both sides identically and pass the gate. Each has its own
+  * hand-vector KernelSpec coverage for that reason; everything ABOVE them
+  * (tokenizing, block discovery, classification, joining, span accounting,
+  * charset handling, PDF parsing) is computed from the grammar, never via
+  * engine code, and stays genuinely cross-checked.
   */
 object FixtureGen {
 
@@ -76,8 +86,14 @@ object FixtureGen {
 
     val isPdf = rowId % 50 == 1
     if (isPdf) {
-      val (bytes, expected, nSpans) = genPdf(r, lang)
-      return Fixture(Page(url, ts, bytes, "", lang), expected, nSpans)
+      // lang cycles independently of rowId%4 (same fix as the real-PDF
+      // branch below): rowId%50==1 forces rowId odd, which under the
+      // rowId%4 rule locked every dialect page to zh/ar — the Latin
+      // needs-space join and en/de layout paths of the synthetic branch
+      // were never exercised by the golden gate
+      val pdfLang = Array("en", "zh", "de", "ar").apply(((rowId / 50) % 4).toInt)
+      val (bytes, expected, nSpans) = genPdf(r, pdfLang)
+      return Fixture(Page(url, ts, bytes, "", pdfLang), expected, nSpans)
     }
 
     // genuine %PDF-1.x byte streams (uncompressed + FlateDecode text objects)
@@ -91,8 +107,15 @@ object FixtureGen {
     }
 
     val giant = rowId % 200 == 3
-    val cp1252 = !giant && (lang == "en" || lang == "de") && rowId % 20 == 5
-    // UTF-16LE pages (disjoint from cp1252: 9/34 mod 50 vs 5 mod 20); the
+    // rowId%20==6 is always even => lang "de" (umlaut-rich, so the cp1252
+    // high-byte range is actually exercised). The previous guard
+    // ((en|de) && rowId%20==5) was UNSATISFIABLE — %20==5 forces rowId odd,
+    // odd rowIds are zh/ar under the %4 lang rule — so the windows-1252
+    // decode path had zero golden coverage. Residues stay disjoint from
+    // utf16 (9/34 mod 50 are never 6 mod 20); rowId%100==26 slots go to the
+    // real-PDF branch first, leaving ~4% of rows cp1252.
+    val cp1252 = !giant && rowId % 20 == 6
+    // UTF-16LE pages (disjoint from cp1252: 9/34 mod 50 are never 6 mod 20); the
     // rowId%50==34 subset omits the BOM so the parity sniff path is exercised
     val utf16 = !giant && !cp1252 && rowId % 25 == 9
     val utf16Bom = utf16 && rowId % 50 != 34
